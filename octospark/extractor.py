@@ -1,0 +1,391 @@
+"""Pure-Python reference extractor — the golden-defining oracle.
+
+This module has NO Spark dependency. It defines the exact semantics of
+main-content extraction; the Spark pipeline (:mod:`octospark.pipeline`)
+imports these same functions inside its Arrow-batched UDFs, so
+"byte-identical extracted text per url" holds by construction at any
+parallelism (the north-rule invariant, BASELINE.json).
+
+Structure mirrors the reference's two-stage flow (jahtz/octopy):
+
+- :func:`segment_blocks`  — stage 1: html -> ordered Block list with
+  shallow text features (analog of ``SegmentationTaskModel.predict``,
+  reference src/octopy/segment.py:70,179 + feature precompute
+  src/octopy/plugins/kraken_polygonizer.py:64-70).
+- :func:`classify_blocks` — stage 2: Boilerpipe-style shallow-feature
+  rules over (prev, curr, next) blocks with a never-drop fallback
+  (analog of polygonization + ``_calculate_fallback``,
+  reference src/octopy/plugins/kraken_polygonizer.py:28-35,109-122).
+- :func:`merge_spans`     — span concatenation with offset bookkeeping
+  (analog of ``_segmentation_to_pagexml`` join/sort/serialize,
+  reference src/octopy/segment.py:117-157).
+- :func:`extract`         — the fused per-page pipeline; pure function
+  of (html bytes) with row-level error tolerance (analog of the
+  per-document try/except, reference src/octopy/cli/segment.py:137-145).
+
+Determinism rules (SURVEY.md §7.3):
+- pure functions of the input bytes; no RNG, no global state;
+- unicode decoding is ``errors='replace'`` (deterministic);
+- whitespace normalization happens in exactly one place
+  (:func:`_norm_ws`); all features are derived from normalized text.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from html.parser import HTMLParser
+
+# --- vocabulary -----------------------------------------------------------
+# Block label vocabulary — the analog of the reference's 27-class region
+# mapping (src/octopy/mappings.py:15-48). Unmapped/failed -> 'unknown'.
+LABELS = (
+    "content",
+    "heading",
+    "boilerplate-nav",
+    "boilerplate-header",
+    "boilerplate-footer",
+    "advert",
+    "table",
+    "caption",
+    "noise",
+    "unknown",
+)
+
+#: labels whose blocks contribute to the final extracted text
+CONTENT_LABELS = frozenset({"content", "heading"})
+
+#: tags whose subtree text is never emitted
+_SKIP_TAGS = frozenset(
+    {"script", "style", "noscript", "template", "head", "svg", "iframe",
+     "title", "option", "datalist"}
+)
+
+#: tags that open/close a block (flush the text accumulator)
+_BLOCK_TAGS = frozenset(
+    {"p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+     "td", "th", "tr", "table", "thead", "tbody", "pre", "blockquote",
+     "article", "section", "main", "aside", "nav", "header", "footer",
+     "figure", "figcaption", "dd", "dt", "dl", "form", "body", "html",
+     "br", "hr", "fieldset", "address", "details", "summary"}
+)
+
+#: ancestor tag -> forced label (checked nearest-ancestor-first)
+_ANCESTOR_LABELS = {
+    "nav": "boilerplate-nav",
+    "header": "boilerplate-header",
+    "footer": "boilerplate-footer",
+    "aside": "advert",
+    "form": "noise",
+}
+
+_HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+_TABLE_TAGS = frozenset({"table", "td", "th", "tr", "thead", "tbody"})
+
+#: char-class histogram buckets (fixed order, len 8)
+HIST_BUCKETS = (
+    "alpha", "digit", "space", "punct", "quote", "bracket", "other", "nonascii"
+)
+
+_PUNCT = frozenset(".,;:!?-")
+_QUOTE = frozenset("\"'`")
+_BRACKET = frozenset("()[]{}<>")
+
+
+@dataclass
+class Block:
+    """Stage-1 IR: one candidate text block (analog of a BaselineLine,
+    reference src/octopy/segment.py:104-114)."""
+
+    block_id: int
+    tag_path: str
+    depth: int
+    text: str          # whitespace-normalized visible text
+    n_chars: int
+    n_words: int
+    n_link_chars: int
+    link_density: float
+    text_density: float
+    char_hist: list    # list[int] of len 8, HIST_BUCKETS order
+    label: str = ""    # filled by stage 2
+
+
+@dataclass
+class Span:
+    """Stage-2/merge output: character span into the extracted text."""
+
+    block_id: int
+    start: int
+    end: int
+    label: str
+
+
+def _norm_ws(s: str) -> str:
+    """Collapse all unicode whitespace runs to single spaces and strip.
+
+    The single normalization point: every feature and the final text are
+    computed from this form (analog of the downscale->compute->rescale
+    discipline, reference src/octopy/plugins/kraken_polygonizer.py:50-62).
+    """
+    return " ".join(s.split())
+
+
+def decode_html(html: bytes | str | None) -> str:
+    """Deterministic html-bytes decode (errors='replace')."""
+    if html is None:
+        return ""
+    if isinstance(html, str):
+        return html
+    return html.decode("utf-8", errors="replace")
+
+
+def char_histogram(text: str) -> list:
+    """8-bucket char-class histogram (per-block shared feature, analog of
+    the per-page feature precompute, reference
+    src/octopy/plugins/kraken_polygonizer.py:64-70)."""
+    h = [0] * 8
+    for ch in text:
+        o = ord(ch)
+        if o > 127:
+            h[7] += 1
+        elif ch.isalpha():
+            h[0] += 1
+        elif ch.isdigit():
+            h[1] += 1
+        elif ch == " ":
+            h[2] += 1
+        elif ch in _PUNCT:
+            h[3] += 1
+        elif ch in _QUOTE:
+            h[4] += 1
+        elif ch in _BRACKET:
+            h[5] += 1
+        else:
+            h[6] += 1
+    return h
+
+
+class _BlockParser(HTMLParser):
+    """Stdlib-HTMLParser DOM walk that accumulates text into blocks.
+
+    Lenient on malformed nesting by design (FIXTURES.md §C case 4): stray
+    end tags pop to the nearest matching open tag; unclosed tags simply
+    leave stack residue (depth is a feature, not a correctness anchor).
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.stack: list = []
+        self.skip_depth = 0
+        self.link_depth = 0
+        self.pieces: list = []       # (raw_text, is_link) for current block
+        self.block_stack_snapshot: list = []
+        self.blocks: list = []
+
+    # -- block lifecycle ---------------------------------------------------
+    def _flush(self) -> None:
+        if not self.pieces:
+            return
+        raw = "".join(p for p, _ in self.pieces)
+        text = _norm_ws(raw)
+        if not text:
+            self.pieces = []
+            return
+        n_chars = len(text)
+        n_words = len(text.split())
+        n_link_chars = sum(len(_norm_ws(p)) for p, is_link in self.pieces if is_link)
+        n_link_chars = min(n_link_chars, n_chars)
+        link_density = n_link_chars / n_chars
+        # words-per-wrapped-line proxy at 80 cols (Boilerpipe-style density)
+        lines = max(1, math.ceil(n_chars / 80))
+        text_density = n_words / lines
+        path = self.block_stack_snapshot
+        self.blocks.append(
+            Block(
+                block_id=len(self.blocks),
+                tag_path="/".join(path),
+                depth=len(path),
+                text=text,
+                n_chars=n_chars,
+                n_words=n_words,
+                n_link_chars=n_link_chars,
+                link_density=link_density,
+                text_density=text_density,
+                char_hist=char_histogram(text),
+            )
+        )
+        self.pieces = []
+
+    # -- parser callbacks ----------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            self.skip_depth += 1
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        if tag == "a":
+            self.link_depth += 1
+        if tag not in ("br", "hr"):  # void elements don't nest
+            self.stack.append(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            if self.skip_depth > 0:
+                self.skip_depth -= 1
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        if tag == "a" and self.link_depth > 0:
+            self.link_depth -= 1
+        # pop to nearest matching open tag (lenient recovery)
+        if tag in self.stack:
+            while self.stack and self.stack[-1] != tag:
+                self.stack.pop()
+            if self.stack:
+                self.stack.pop()
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag in ("br", "hr"):
+            self.pieces.append((" ", self.link_depth > 0))
+
+    def handle_data(self, data: str) -> None:
+        if self.skip_depth > 0 or not data:
+            return
+        if not self.pieces:
+            self.block_stack_snapshot = list(self.stack)
+        self.pieces.append((data, self.link_depth > 0))
+
+
+def segment_blocks(html: bytes | str | None) -> list:
+    """Stage 1: html -> ordered list[Block] in DOM order.
+
+    Pure function of the input bytes; DOM order is preserved (reading
+    order, analog of reference src/octopy/segment.py:149-156).
+    """
+    text = decode_html(html)
+    parser = _BlockParser()
+    try:
+        parser.feed(text)
+        parser.close()
+    except Exception:
+        # parser blow-up: salvage whatever blocks were produced
+        pass
+    parser._flush()
+    return parser.blocks
+
+
+# --- stage 2: classification ----------------------------------------------
+
+# Boilerpipe NumWordsRulesClassifier thresholds (public knowledge:
+# boilerpipe's NumWordsRulesClassifier; also SNIPPETS.md). All comparisons
+# are on exact float64 values derived identically in the Spark-expression
+# variant (octospark.pipeline.classify), so both paths agree bit-for-bit.
+_LINK_DENSITY_MAX = 0.333333
+_PREV_LINK_DENSITY_HIGH = 0.555555
+
+
+def classify_block(
+    curr: Block, prev: Block | None, next_: Block | None
+) -> str:
+    """Label one block from its features and its neighbors' features.
+
+    Deterministic rule cascade:
+    1. forced ancestor labels (nav/header/footer/aside/form) — the analog
+       of the fixed region-class mapping (reference
+       src/octopy/mappings.py:15-48);
+    2. heading / table / caption tags;
+    3. Boilerpipe-style (prev, curr, next) word-count + link-density rules.
+    """
+    path_tags = curr.tag_path.split("/") if curr.tag_path else []
+    for tag in reversed(path_tags):  # nearest ancestor wins
+        if tag in _ANCESTOR_LABELS:
+            return _ANCESTOR_LABELS[tag]
+    last = path_tags[-1] if path_tags else ""
+    if last in _HEADING_TAGS:
+        return "heading"
+    if last == "figcaption":
+        return "caption"
+    if last in _TABLE_TAGS or any(t in _TABLE_TAGS for t in path_tags):
+        return "table"
+    if curr.link_density > _LINK_DENSITY_MAX:
+        return "boilerplate-nav"
+    prev_words = prev.n_words if prev is not None else 0
+    prev_ld = prev.link_density if prev is not None else 0.0
+    next_words = next_.n_words if next_ is not None else 0
+    if prev_ld > _PREV_LINK_DENSITY_HIGH:
+        if curr.n_words > 40 or next_words > 17:
+            return "content"
+        return "noise"
+    if curr.n_words > 16 or next_words > 15 or prev_words > 4:
+        return "content"
+    return "noise"
+
+
+def classify_blocks(blocks: list) -> list:
+    """Stage 2 over the whole page, with the never-drop fallback: a block
+    whose classification raises gets label 'unknown' instead of being
+    dropped (analog of ``_calculate_fallback``, reference
+    src/octopy/plugins/kraken_polygonizer.py:28-35,109-122)."""
+    out = []
+    n = len(blocks)
+    for i, b in enumerate(blocks):
+        prev = blocks[i - 1] if i > 0 else None
+        next_ = blocks[i + 1] if i + 1 < n else None
+        try:
+            b.label = classify_block(b, prev, next_)
+        except Exception:
+            b.label = "unknown"
+        out.append(b)
+    return out
+
+
+# --- merge ------------------------------------------------------------------
+
+def merge_spans(blocks: list) -> tuple:
+    """Concatenate content-label block texts (DOM order) into the final
+    extracted text; return (text, list[Span]) with exact offsets.
+
+    Invariants (FIXTURES.md §D): spans are monotonic, non-overlapping,
+    within [0, len(text)]; ``"\\n".join`` slices reproduce text exactly.
+    Offsets are clamped >= 0 (analog of the output coordinate clamp,
+    reference src/octopy/segment.py:83-84).
+    """
+    parts: list = []
+    spans: list = []
+    pos = 0
+    for b in blocks:
+        if b.label not in CONTENT_LABELS:
+            continue
+        if parts:
+            pos += 1  # the '\n' joiner
+        start = max(0, pos)
+        end = start + len(b.text)
+        parts.append(b.text)
+        spans.append(Span(block_id=b.block_id, start=start, end=end, label=b.label))
+        pos = end
+    return "\n".join(parts), spans
+
+
+def extract(html: bytes | str | None) -> dict:
+    """Fused per-page pipeline: html -> {text, spans, n_blocks, error}.
+
+    Never raises — any failure yields text='' with the error recorded
+    (row-level error tolerance, analog of the per-document try/except in
+    reference src/octopy/cli/segment.py:137-145). Every input page yields
+    exactly one output row (never-drop law)."""
+    try:
+        blocks = classify_blocks(segment_blocks(html))
+        text, spans = merge_spans(blocks)
+        return {
+            "text": text,
+            "spans": [
+                {"block_id": s.block_id, "start": s.start, "end": s.end,
+                 "label": s.label}
+                for s in spans
+            ],
+            "n_blocks": len(blocks),
+            "error": None,
+        }
+    except Exception as exc:  # pragma: no cover — defensive outer guard
+        return {"text": "", "spans": [], "n_blocks": 0,
+                "error": f"{type(exc).__name__}: {exc}"}

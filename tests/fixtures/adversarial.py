@@ -1,0 +1,37 @@
+"""Handwritten adversarial pages (FIXTURES.md §C cases 1-20).
+
+Each case: (name, html bytes). Expected extractions are FROZEN in
+golden.json (generated once by scripts/freeze_fixtures.py) so any
+semantic drift in the extractor fails the regression test — the
+fixture-pinning analog of the reference's regression-oriented plugin
+philosophy (/root/reference/README.md:8-9).
+"""
+
+from __future__ import annotations
+
+_HUGE_BLOCK = ("word " * 200_000).encode()  # ~1 MB single block
+
+CASES: list = [
+    ("minimal", b"<html><body><p>Hello world this is the only paragraph on this page and it has plenty of words to count as content.</p></body></html>"),
+    ("empty_main", b"<html><body><nav><a href='/'>Home</a></nav><main></main><footer>c</footer></body></html>"),
+    ("boilerplate_only", b"<html><body><nav><ul><li><a href='/a'>A</a></li><li><a href='/b'>B</a></li></ul></nav><footer><p>Copyright 2026 <a href='/p'>Privacy</a></p></footer></body></html>"),
+    ("malformed_unclosed", b"<html><body><p>First paragraph with enough words to be considered real page content by the classifier rules here<div>Second chunk also has plenty of words to pass the word count threshold for content easily<p>Third"),
+    ("stray_end_tags", b"</div></p><html><body><p>Content paragraph with sufficiently many words to exceed the sixteen word threshold used by the classifier rules in this engine.</p></span></body></html>"),
+    ("deeply_nested", b"<html><body>" + b"<div>" * 40 + b"<p>Deep paragraph that still has more than sixteen words inside it so that it is classified as content.</p>" + b"</div>" * 40 + b"</body></html>"),
+    ("link_farm", b"<html><body><div><a href='/1'>one link</a> <a href='/2'>two link</a> <a href='/3'>three link</a> <a href='/4'>four link</a></div><p>A real content paragraph follows the link farm and it carries definitely more than sixteen words of text.</p></body></html>"),
+    ("unicode_zh_emoji", "<html><body><p>中文段落 \U0001f600 emoji nbsp and zero-width​ chars mixed with enough english words to cross the sixteen word threshold for content blocks.</p></body></html>".encode()),
+    ("script_style_excluded", b"<html><head><style>p{color:red}</style></head><body><script>var not_content = 'should never appear';</script><p>Visible paragraph content with more than sixteen words so the shallow classifier keeps it in the extracted output text.</p></body></html>"),
+    ("huge_single_block", b"<html><body><p>" + _HUGE_BLOCK + b"</p></body></html>"),
+    ("table_heavy", b"<html><body><table><tr><th>H1</th><th>H2</th></tr><tr><td>a</td><td>b</td></tr></table><p>Paragraph outside the table containing definitely more than sixteen separate words so that it is treated as page content.</p></body></html>"),
+    ("headings_interleaved", b"<html><body><h1>Top Heading</h1><p>First section body text that contains comfortably more than sixteen words to satisfy the content classification rule set.</p><h2>Second Heading</h2><p>Second section body text also containing comfortably more than sixteen words to satisfy the content classification rule set.</p></body></html>"),
+    ("comments_after_content", b"<html><body><p>Article body text with enough words to be extracted as the main content of this particular page example.</p><section class='comments'><h4>Comments</h4><div>short one</div><div>me too</div></section></body></html>"),
+    ("whitespace_pathological", b"<html><body><pre>\n\t  spaced\t\tout\n\n\twords   in a   pre block padded with many\n\t tabs and newlines to exceed sixteen words total here \n</pre><p>Normal\nparagraph\twith  collapsed   whitespace and certainly more than sixteen words of actual readable text content inside it.</p></body></html>"),
+    ("empty_html", b""),
+    ("non_utf8_bytes", b"<html><body><p>Latin-1 caf\xe9 bytes \xff\xfe mixed with enough ascii words to pass the sixteen word threshold for content extraction here.</p></body></html>"),
+    ("attribute_noise", b"<html><body><p style='color:red;font-size:12px' onclick='javascript:void(0)' data-x='<fake>'>Paragraph whose attributes are noisy but whose body holds more than sixteen words of plain readable content text.</p></body></html>"),
+    ("sibling_div_split", b"<html><body><div>First half of the article text lives in this div and it has more than sixteen words inside.</div><div>Second half of the article text lives in this sibling div and it also has more than sixteen words.</div></body></html>"),
+    ("nav_longer_than_content", b"<html><body><nav><a href='/a'>very long navigation label one</a> <a href='/b'>very long navigation label two</a> <a href='/c'>very long navigation label three</a> <a href='/d'>very long navigation label four</a></nav><p>Short real content here but it still has just barely more than sixteen words inside of it okay.</p></body></html>"),
+    ("html_none_analog", b"<html><body>just bare text directly in body with more than sixteen words so that it is treated as content text</body></html>"),
+]
+
+NAMES = [c[0] for c in CASES]

@@ -1,0 +1,126 @@
+"""Pure-Python extractor tests: frozen goldens + invariant laws
+(FIXTURES.md §D) + generated-corpus quality. No Spark here."""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+import duckdb
+import pytest
+
+from octospark.extractor import (
+    CONTENT_LABELS,
+    LABELS,
+    classify_blocks,
+    extract,
+    merge_spans,
+    segment_blocks,
+)
+from octospark.htmlgen import build_html, build_page
+from tests.fixtures.adversarial import CASES
+
+GOLDEN = json.loads(
+    (pathlib.Path(__file__).parent / "fixtures/golden.json").read_text()
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(limit=None):
+    q = f"SELECT doc_id, text, lang, source FROM '{SF_DIR}/documents.parquet' ORDER BY doc_id"
+    if limit:
+        q += f" LIMIT {limit}"
+    return duckdb.sql(q).fetchall()
+
+
+# --- frozen golden regression ----------------------------------------------
+
+@pytest.mark.parametrize("name,html", CASES, ids=[c[0] for c in CASES])
+def test_golden_frozen(name, html):
+    r = extract(html)
+    g = GOLDEN[name]
+    assert r["text"] == g["text"]
+    assert r["spans"] == g["spans"]
+    assert r["n_blocks"] == g["n_blocks"]
+
+
+# --- invariant laws -----------------------------------------------------------
+
+@pytest.mark.parametrize("name,html", CASES, ids=[c[0] for c in CASES])
+def test_span_laws(name, html):
+    r = extract(html)
+    text, spans = r["text"], r["spans"]
+    prev_end = -1
+    for s in spans:
+        assert 0 <= s["start"] <= s["end"] <= len(text)
+        assert s["start"] > prev_end  # monotonic, non-overlapping
+        prev_end = s["end"]
+        assert s["label"] in CONTENT_LABELS
+    # concatenating span slices reproduces text exactly
+    assert "\n".join(text[s["start"]:s["end"]] for s in spans) == text
+
+
+@pytest.mark.parametrize("name,html", CASES, ids=[c[0] for c in CASES])
+def test_never_raises_and_deterministic(name, html):
+    a, b = extract(html), extract(html)
+    assert a == b
+
+
+def test_labels_in_vocabulary():
+    for _, html in CASES:
+        for blk in classify_blocks(segment_blocks(html)):
+            assert blk.label in LABELS
+
+
+def test_script_style_never_leak():
+    r = extract(CASES[8][1])  # script_style_excluded
+    assert "not_content" not in r["text"]
+    assert "color:red" not in r["text"]
+
+
+def test_none_and_empty_input():
+    assert extract(None)["text"] == ""
+    assert extract(b"")["text"] == ""
+    assert extract(b"")["error"] is None  # still a valid (empty) row
+
+
+# --- merge offset math (direct) -----------------------------------------------
+
+def test_merge_offsets_exact():
+    blocks = classify_blocks(segment_blocks(CASES[11][1]))  # headings_interleaved
+    text, spans = merge_spans(blocks)
+    assert len(spans) == 4
+    assert spans[0].start == 0
+    for a, b in zip(spans, spans[1:]):
+        assert b.start == a.end + 1  # exactly one '\n' between spans
+        assert text[a.end] == "\n"
+
+
+# --- generated corpus quality (real classifier assertion, not tautology) -----
+
+def test_generated_corpus_quality():
+    rows = _docs()
+    assert len(rows) == 500
+    recalls = []
+    boiler_hits = 0
+    for doc_id, dtext, lang, source in rows:
+        page = build_page(doc_id, dtext, lang, source)
+        got_words = set(page["text"].split())
+        orig_words = set(dtext.split())
+        recalls.append(len(orig_words & got_words) / max(1, len(orig_words)))
+        # boilerplate phrases must not leak into extracted text
+        for phrase in ("Copyright 2026", "Sign up", "Shop now", "Privacy",
+                       "Related story", "Nice post"):
+            if phrase in page["text"]:
+                boiler_hits += 1
+    assert sum(recalls) / len(recalls) > 0.75
+    assert boiler_hits == 0
+
+
+def test_htmlgen_deterministic():
+    d = _docs(limit=5)
+    for doc_id, text, lang, source in d:
+        assert build_html(doc_id, text, source) == build_html(doc_id, text, source)
+        p1, p2 = (build_page(doc_id, text, lang, source) for _ in range(2))
+        assert p1 == p2
