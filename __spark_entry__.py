@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction at sf0.001;
+``queries()``/``oracle_sql()`` expose the operator surface from
+SURVEY.md §2.2 plus the training-data-pipeline extras (dedup,
+similarity, text analysis), each checked against a DuckDB oracle
+where SQL-expressible.
 """
 
 from __future__ import annotations
@@ -15,24 +15,33 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize pages from sf0.001 documents, run the fused
+    two-stage extraction, return extracted(url, warc_ts, text, spans,
+    lang, n_blocks, error)."""
+    from octospark.pipeline import extract_pages
+    from octospark.sources import build_pages
+
+    pages = build_pages(spark, "/root/testdata/sf0.001")
+    return extract_pages(pages, salted=True, num_partitions=8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator (SURVEY.md §2.2 + extras)."""
+    import octospark.relational as rel
+    import octospark.textops as textops
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(rel.QUERIES)
+    out.update(textops.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per query key (omitted => rows-only)."""
+    import octospark.relational as rel
+    import octospark.textops as textops
+
+    out: dict[str, str] = {}
+    out.update(rel.ORACLE)
+    out.update(textops.ORACLE)
+    return out

@@ -1,0 +1,745 @@
+"""Relational operator surface (SURVEY.md §2.2) — one named query per
+operator, each with a DuckDB oracle.
+
+Design rules for cross-engine value-hash parity (the driver compares
+row-count + schema + order-insensitive value-hash at sf0.01):
+
+- every computed column is aliased identically in Spark and SQL;
+- double SUM/AVG go through exact DECIMAL accumulation then a single
+  cast to double (float summation order is nondeterministic under
+  shuffles and differs between engines; decimal addition is exact);
+- per-row double arithmetic (multiply/divide/sqrt/abs) is IEEE-754
+  identical in both engines, so it is used freely;
+- timestamps are returned as formatted strings or extracted ints,
+  never as raw timestamp columns;
+- ordering ties are always broken by a unique key so top-k results
+  are engine-independent.
+
+Each ``pipeline role`` comment ties the operator back to the extraction
+pipeline and the reference behavior it re-expresses (SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from octospark.sources import load_table
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def register(name: str, sql: str | None = None):
+    """Register a query callable and (optionally) its DuckDB oracle."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _dec_sum(col, prec="decimal(28,6)", alias=None):
+    """Exact decimal sum -> double (engine-independent)."""
+    e = F.sum(col.cast(prec)).cast("double")
+    return e.alias(alias) if alias else e
+
+
+# --------------------------------------------------------------------------
+# scans / filters / projections  (pipeline role: R1 pages scan, R2 guards)
+# --------------------------------------------------------------------------
+
+@register(
+    "scan_parquet",
+    "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part",
+)
+def scan_parquet(spark, sf):
+    return load_table(spark, sf, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"
+    )
+
+
+@register(
+    "scan_projection_pushdown",
+    "SELECT l_orderkey, l_quantity FROM lineitem",
+)
+def scan_projection_pushdown(spark, sf):
+    # ReadSchema must contain only these two columns (checked in tests)
+    return load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+
+
+@register(
+    "filter_predicate",
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+    "WHERE l_quantity > 45 AND l_discount IS NOT NULL",
+)
+def filter_predicate(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 45) & F.col("l_discount").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@register(
+    "filter_string_like",
+    "SELECT p_partkey, p_type FROM part WHERE p_type LIKE '%EDIU%'",
+)
+def filter_string_like(spark, sf):
+    return (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_type").like("%EDIU%"))
+        .select("p_partkey", "p_type")
+    )
+
+
+@register(
+    "project_expressions",
+    "SELECT l_orderkey, l_linenumber, "
+    "l_extendedprice * (1 - l_discount) AS disc_price, "
+    "l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge, "
+    "concat(l_returnflag, '|', l_linestatus) AS flag_status FROM lineitem",
+)
+def project_expressions(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc.alias("disc_price"),
+        (disc * (1 + F.col("l_tax"))).alias("charge"),
+        F.concat_ws("|", "l_returnflag", "l_linestatus").alias("flag_status"),
+    )
+
+
+# --------------------------------------------------------------------------
+# joins  (pipeline roles: R9/R10 dim join, R11 fact-fact, R24 resume)
+# --------------------------------------------------------------------------
+
+@register(
+    "join_broadcast_inner",
+    "SELECT n.n_nationkey, n.n_name, r.r_name FROM nation n "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey",
+)
+def join_broadcast_inner(spark, sf):
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    return n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey, "inner"
+    ).select("n_nationkey", "n_name", "r_name")
+
+
+@register(
+    "join_sortmerge_inner",
+    "SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, l.l_quantity "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey",
+)
+def join_sortmerge_inner(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").hint("merge")  # force sort-merge
+    return li.join(o, li.l_orderkey == o.o_orderkey, "inner").select(
+        "l_orderkey", "l_linenumber", "o_custkey", "l_quantity"
+    )
+
+
+@register(
+    "join_left_outer",
+    "SELECT c.c_custkey, o.o_orderkey FROM customer c "
+    "LEFT JOIN orders o ON c.c_custkey = o.o_custkey",
+)
+def join_left_outer(spark, sf):
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@register(
+    "join_left_semi",
+    "SELECT o_orderkey, o_custkey FROM orders o WHERE EXISTS ("
+    "SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey "
+    "AND c.c_acctbal > 5000)",
+)
+def join_left_semi(spark, sf):
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer").filter(F.col("c_acctbal") > 5000)
+    return o.join(c, o.o_custkey == c.c_custkey, "left_semi").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+@register(
+    "join_left_anti",
+    "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS ("
+    "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def join_left_anti(spark, sf):
+    # pipeline role: resume — process only partitions missing from the
+    # manifest (reference analog: train.py:89-97 checkpoint resume)
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_range_theta",
+    "SELECT l.l_orderkey, l.l_linenumber FROM lineitem l JOIN orders o "
+    "ON l.l_orderkey = o.o_orderkey AND l.l_shipdate >= o.o_orderdate "
+    "AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY",
+)
+def join_range_theta(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= F.expr("o_orderdate + INTERVAL 90 DAYS"))
+    )
+    return li.join(o, cond, "inner").select("l_orderkey", "l_linenumber")
+
+
+@register(
+    "join_asof_latest",
+    "SELECT user_id, event_id, event_type FROM ("
+    "SELECT user_id, event_id, event_type, ROW_NUMBER() OVER ("
+    "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+    "FROM events) WHERE rn = 1",
+)
+def join_asof_latest(spark, sf):
+    # pipeline role: latest-crawl-wins dedup per url (duplicate warc_ts)
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# aggregation  (pipeline role: R27 label stats, lineage counts)
+# --------------------------------------------------------------------------
+
+@register(
+    "agg_hash_groupby",
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sum_disc_price, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_qty, "
+    "COUNT(*) AS count_order "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+)
+def agg_hash_groupby(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    disc = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dec_sum(F.col("l_quantity"), alias="sum_qty"),
+        _dec_sum(F.col("l_extendedprice"), alias="sum_base_price"),
+        F.sum(disc).cast("double").alias("sum_disc_price"),
+        (
+            F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_custs, "
+    "COUNT(*) AS n_orders FROM orders GROUP BY o_orderstatus",
+)
+def agg_count_distinct(spark, sf):
+    o = load_table(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register("agg_approx_count_distinct")  # no exact oracle — rows-only check
+def agg_approx_count_distinct(spark, sf):
+    o = load_table(spark, sf, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey").alias("approx_custs")
+    )
+
+
+@register(
+    "agg_rollup",
+    "SELECT r_name, n_name, COUNT(*) AS n FROM nation "
+    "JOIN region ON n_regionkey = r_regionkey GROUP BY ROLLUP (r_name, n_name)",
+)
+def agg_rollup(spark, sf):
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return j.rollup("r_name", "n_name").agg(F.count("*").alias("n"))
+
+
+@register(
+    "agg_cube",
+    "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price "
+    "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)",
+)
+def agg_cube(spark, sf):
+    o = load_table(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        _dec_sum(F.col("o_totalprice"), alias="sum_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# windows  (pipeline roles: R12 reading order, R11 hierarchical ids,
+# Boilerpipe prev/next context)
+# --------------------------------------------------------------------------
+
+@register(
+    "window_row_number",
+    "SELECT o_custkey, o_orderkey, rn FROM (SELECT o_custkey, o_orderkey, "
+    "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, "
+    "o_orderkey) AS rn FROM orders) WHERE rn <= 3",
+)
+def window_row_number(spark, sf):
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+@register(
+    "window_rank_dense",
+    "SELECT s_suppkey, s_nationkey, "
+    "RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rnk, "
+    "DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS drnk "
+    "FROM supplier",
+)
+def window_rank_dense(spark, sf):
+    s = load_table(spark, sf, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    "SELECT event_id, user_id, value - LAG(value, 1) OVER w AS dv, "
+    "LEAD(event_type, 1) OVER w AS next_type FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)",
+)
+def window_lag_lead(spark, sf):
+    # pipeline role: span-gap detection between adjacent blocks
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value", 1).over(w)).alias("dv"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+    )
+
+
+@register(
+    "window_frame_rows",
+    # (l_orderkey, l_linenumber) is NOT unique in this data — the full
+    # ordering below makes the frame deterministic up to identical rows
+    "SELECT l_orderkey, l_linenumber, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) OVER (PARTITION BY l_orderkey "
+    "ORDER BY l_linenumber, l_quantity, l_extendedprice, l_partkey, l_suppkey "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) "
+    "AS rolling_qty FROM lineitem",
+)
+def window_frame_rows(spark, sf):
+    # pipeline role: rolling block text-density smoothing (prev/next ctx)
+    li = load_table(spark, sf, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy(
+            "l_linenumber", "l_quantity", "l_extendedprice", "l_partkey",
+            "l_suppkey",
+        )
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sort / limit / set ops / distinct
+# --------------------------------------------------------------------------
+
+@register(
+    "sort_orderby",
+    "SELECT c_custkey, c_name, c_acctbal FROM customer "
+    "ORDER BY c_acctbal DESC NULLS LAST, c_custkey",
+)
+def sort_orderby(spark, sf):
+    c = load_table(spark, sf, "customer")
+    return c.orderBy(
+        F.col("c_acctbal").desc_nulls_last(), F.col("c_custkey")
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
+    "limit_topk",
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+)
+def limit_topk(spark, sf):
+    o = load_table(spark, sf, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "set_union_all",
+    "SELECT c_custkey AS key, 'customer' AS src FROM customer "
+    "UNION ALL SELECT s_suppkey AS key, 'supplier' AS src FROM supplier",
+)
+def set_union_all(spark, sf):
+    c = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("key"), F.lit("customer").alias("src")
+    )
+    s = load_table(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("key"), F.lit("supplier").alias("src")
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "set_intersect",
+    "SELECT n_regionkey AS key FROM nation "
+    "INTERSECT SELECT r_regionkey AS key FROM region",
+)
+def set_intersect(spark, sf):
+    n = load_table(spark, sf, "nation").select(F.col("n_regionkey").alias("key"))
+    r = load_table(spark, sf, "region").select(F.col("r_regionkey").alias("key"))
+    return n.intersect(r)
+
+
+@register(
+    "set_except",
+    "SELECT o_custkey AS key FROM orders "
+    "EXCEPT ALL SELECT c_custkey AS key FROM customer",
+)
+def set_except(spark, sf):
+    # pipeline role: regression diff (new extraction vs golden)
+    o = load_table(spark, sf, "orders").select(F.col("o_custkey").alias("key"))
+    c = load_table(spark, sf, "customer").select(F.col("c_custkey").alias("key"))
+    return o.exceptAll(c)
+
+
+@register(
+    "distinct_dedup",
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def distinct_dedup(spark, sf):
+    return (
+        load_table(spark, sf, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .dropDuplicates()
+    )
+
+
+# --------------------------------------------------------------------------
+# scalar function families  (pipeline roles: R5 normalization, R13 clamps,
+# R22 checksums, warc_ts bucketing, props parsing)
+# --------------------------------------------------------------------------
+
+@register(
+    "scalar_string_funcs",
+    "SELECT p_partkey, length(p_name) AS n_len, upper(p_name) AS uname, "
+    "trim(p_name) AS tname, substring(p_name, 1, 5) AS pre5, "
+    "regexp_extract(p_name, '([a-z]+)', 1) AS first_word, "
+    "regexp_replace(p_name, ' ', '_') AS underscored FROM part",
+)
+def scalar_string_funcs(spark, sf):
+    p = load_table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.length("p_name").alias("n_len"),
+        F.upper("p_name").alias("uname"),
+        F.trim("p_name").alias("tname"),
+        F.substring("p_name", 1, 5).alias("pre5"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", " ", "_").alias("underscored"),
+    )
+
+
+@register(
+    "scalar_hash_funcs",
+    "SELECT p_partkey, sha256(p_name) AS sha, md5(p_name) AS md5h FROM part",
+)
+def scalar_hash_funcs(spark, sf):
+    # pipeline role: url-hash partition keys + lineage byte checksums
+    p = load_table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.sha2("p_name", 256).alias("sha"),
+        F.md5("p_name").alias("md5h"),
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    "SELECT event_id, year(ts) AS y, month(ts) AS m, day(ts) AS d, "
+    "strftime(ts, '%Y-%m-%d') AS day_str, "
+    "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_str, "
+    "datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since "
+    "FROM events",
+)
+def scalar_date_funcs(spark, sf):
+    e = load_table(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_str"
+        ),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "days_since"
+        ),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    "SELECT l_orderkey, l_linenumber, abs(l_discount - 0.05) AS adis, "
+    "sqrt(l_quantity) AS sq, greatest(l_tax, l_discount) AS g, "
+    "least(l_tax, l_discount) AS l, round(l_extendedprice / 7.0, 2) AS r "
+    "FROM lineitem",
+)
+def scalar_math_funcs(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("adis"),
+        F.sqrt("l_quantity").alias("sq"),
+        F.greatest("l_tax", "l_discount").alias("g"),
+        F.least("l_tax", "l_discount").alias("l"),
+        F.round(F.col("l_extendedprice") / 7.0, 2).alias("r"),
+    )
+
+
+@register(
+    "scalar_array_funcs",
+    "SELECT vec_id, len(embedding) AS n_dims, "
+    "CAST(embedding[1] AS DOUBLE) AS first_dim, "
+    "len(embedding[1:8]) AS n_slice FROM embeddings",
+)
+def scalar_array_funcs(spark, sf):
+    em = load_table(spark, sf, "embeddings")
+    return em.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.element_at("embedding", 1).cast("double").alias("first_dim"),
+        F.size(F.slice("embedding", 1, 8)).alias("n_slice"),
+    )
+
+
+@register(
+    "scalar_map_json_funcs",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+    "FROM events",
+)
+def scalar_map_json_funcs(spark, sf):
+    e = load_table(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+@register(
+    "explode_spans",
+    "SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word, "
+    "unnest(range(1, len(string_split(p_name, ' ')) + 1)) AS ord FROM part",
+)
+def explode_spans(spark, sf):
+    # pipeline role: flatten extracted spans array -> spans table
+    p = load_table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split("p_name", " ")).alias("pos", "word"),
+    ).select("p_partkey", "word", (F.col("pos") + 1).alias("ord"))
+
+
+# --------------------------------------------------------------------------
+# streaming windows (batch-equivalent; see octospark.streamops for the
+# Structured Streaming wrappers)
+# --------------------------------------------------------------------------
+
+@register(
+    "stream_tumbling_window",
+    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start, "
+    "event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value "
+    "FROM events GROUP BY 1, 2",
+)
+def stream_tumbling_window(spark, sf):
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            _dec_sum(F.col("value"), alias="sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register("stream_sliding_window")  # rows-only (overlapping windows)
+def stream_sliding_window(spark, sf):
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "n",
+        )
+    )
+
+
+@register("stream_session_window")  # rows-only (gap semantics)
+def stream_session_window(spark, sf):
+    # pipeline role: crawl-session grouping per host
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select("user_id", "n")
+    )
+
+
+# --------------------------------------------------------------------------
+# UDF families  (pipeline roles: R3 segmenter, R6/R7 features, stage-2)
+# --------------------------------------------------------------------------
+
+@register(
+    "udf_pandas_scalar",
+    "SELECT doc_id, "
+    "CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) "
+    "AS chars_per_token FROM documents",
+)
+def udf_pandas_scalar(spark, sf):
+    # vectorized feature calc (analog of per-unit geometry resolve,
+    # reference src/octopy/plugins/kraken_polygonizer.py:76-108)
+    from pyspark.sql.functions import pandas_udf
+
+    def _chars_per_token(text):
+        return text.str.len().astype("float64") / text.str.split(" ").str.len()
+
+    chars_per_token = pandas_udf(_chars_per_token, "double")
+
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id", chars_per_token("text").alias("chars_per_token")
+    )
+
+
+@register("udf_map_in_pandas")  # rows-only: DOM walk is not SQL-expressible
+def udf_map_in_pandas(spark, sf):
+    # THE core stage-1 segmenter (reference analog:
+    # SegmentationTaskModel.predict, src/octopy/segment.py:179)
+    from octospark.pipeline import segment
+    from octospark.sources import build_pages
+
+    pages = build_pages(spark, sf)
+    blocks = segment(pages)
+    return blocks.groupBy("url").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "udf_grouped_apply",
+    "SELECT source, COUNT(*) AS n_docs, "
+    "CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars FROM documents "
+    "GROUP BY source",
+)
+def udf_grouped_apply(spark, sf):
+    # grouped-map analog of the per-group stage-2 scorer
+    import pandas as pd
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        total = int(pdf["n_chars"].sum())  # exact int sum, order-free
+        return pd.DataFrame(
+            {"source": [pdf["source"].iloc[0]], "n_docs": [n],
+             "avg_chars": [total / n]}
+        )
+
+    d = load_table(spark, sf, "documents")
+    return d.groupBy("source").applyInPandas(
+        stats, "source string, n_docs long, avg_chars double"
+    )
+
+
+@register(
+    "repartition_salted",
+    "SELECT COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_distinct FROM documents",
+)
+def repartition_salted(spark, sf):
+    # north_rule: salted skew mitigation preserves every row exactly once
+    from octospark.pipeline import salted_repartition
+
+    d = load_table(spark, sf, "documents").withColumn(
+        "url", F.concat(F.lit("https://"), "source", F.lit(".example.org/doc/"),
+                        F.col("doc_id"))
+    )
+    salted = salted_repartition(
+        d, num_partitions=16, skewed_hosts=["src0.example.org"], salt_buckets=4
+    )
+    return salted.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("doc_id").alias("n_distinct"),
+    )

@@ -1,0 +1,599 @@
+"""Training-data pipeline operators: deduplication, similarity search,
+text analysis, multimodal plumbing — the operations a 100 TB
+web-text corpus pipeline needs beyond relational queries.
+
+All hot paths are JVM built-ins (higher-order array functions, hash
+functions, window aggregates); Python appears only in the multimodal
+``mapInPandas`` plumbing demo. Oracle parity rules are the same as
+:mod:`octospark.relational` (exact int arithmetic, sequential
+double folds via aggregate/list_reduce on both engines, unique-key
+tie-breaks).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from octospark.sources import load_table
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+def _words(col):
+    return F.split(col, " ")
+
+
+def _shingles3(words_col):
+    """Distinct word 3-gram shingles (empty when < 3 words)."""
+    n = F.size(words_col)
+    sh = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words_col, i),
+            F.element_at(words_col, i + 1),
+            F.element_at(words_col, i + 2),
+        ),
+    )
+    return F.array_distinct(F.when(n >= 3, sh).otherwise(F.array()))
+
+
+_SHINGLE_SQL = (
+    "list_distinct(CASE WHEN len(w) >= 3 THEN "
+    "[array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] "
+    "ELSE [] END)"
+)
+
+
+# --------------------------------------------------------------------------
+# deduplication
+# --------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    "SELECT sha256(text) AS sha, min(doc_id) AS keep_id, "
+    "COUNT(*) AS n_dups FROM documents GROUP BY sha256(text)",
+)
+def dedup_exact(spark, sf):
+    """Exact dedup: hash-groupBy on content hash, keep lowest doc_id.
+    At 100 TB this is one shuffle on a 32-byte key; partial aggregation
+    (map-side min/count) applies automatically."""
+    d = load_table(spark, sf, "documents")
+    return d.groupBy(F.sha2("text", 256).alias("sha")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_SHINGLE_SQL} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE doc_id < 100)
+    ),
+    s AS (SELECT doc_id, unnest(sh) AS shingle FROM base),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+      FROM s a JOIN s b USING (shingle) WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id1, id2,
+           CAST(n_inter AS DOUBLE) / (s1.n + s2.n - n_inter) AS jaccard
+    FROM inter JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+    ORDER BY jaccard DESC, id1, id2 LIMIT 20
+    """,
+)
+def dedup_ngram_jaccard(spark, sf):
+    """Near-dup by word-3-gram Jaccard over a bounded id range: explode
+    shingles, equi-join on shingle (the scalable pattern — never an
+    all-pairs cross join), jaccard = |∩| / (|A|+|B|-|∩|)."""
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", _shingles3(_words(F.col("text"))).alias("sh"))
+    )
+    s = d.select("doc_id", F.explode("sh").alias("shingle"))
+    sz = d.select("doc_id", F.size("sh").alias("n"))
+    a, b = s.alias("a"), s.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    s1 = sz.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1"))
+    s2 = sz.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2"))
+    return (
+        inter.join(s1, "id1").join(s2, "id2")
+        .select(
+            "id1",
+            "id2",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "id1", "id2")
+        .limit(20)
+    )
+
+
+_MINHASH_SEEDS = 16
+_MINHASH_BANDS = 8  # 2 rows per band
+
+
+@register("dedup_minhash_lsh")  # rows-only: xxhash64 has no DuckDB analog
+def dedup_minhash_lsh(spark, sf):
+    """MinHash + LSH near-dup candidates, fully JVM-side.
+
+    shingle -> 16 minhash signatures (xxhash64 w/ seed) -> 8 bands of 2
+    -> band-bucket equi-join -> candidate pairs. Injected duplicates
+    (doc_id+100000 copies of doc_id<50) guarantee known positives; at
+    100 TB this is the standard banding trade-off (P[candidate] =
+    1-(1-j^2)^8 for jaccard j)."""
+    d0 = load_table(spark, sf, "documents").select("doc_id", "text")
+    dup = d0.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    d = d0.unionByName(dup).select(
+        "doc_id", _shingles3(_words(F.col("text"))).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+    mh = [
+        F.array_min(
+            F.transform(F.col("sh"), lambda x, s=s: F.xxhash64(x, F.lit(s)))
+        ).alias(f"mh{s}")
+        for s in range(_MINHASH_SEEDS)
+    ]
+    sig = d.select("doc_id", *mh)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")
+                        ).alias("bucket"),
+                    )
+                    for b in range(_MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id1"), F.col("y.doc_id").alias("id2")
+        )
+        .distinct()
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+@register("dedup_simhash")  # rows-only: bit-level xxhash64 manipulation
+def dedup_simhash(spark, sf):
+    """Per-document 16-bit SimHash from token hashes, via a zip_with
+    fold — all JVM expressions, no Python."""
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", _words(F.lower(F.col("text"))).alias("toks")
+    )
+    zeros = F.array(*[F.lit(0)] * _SIMHASH_BITS)
+
+    def contrib(t):
+        # shiftright takes a literal shift amount -> unroll over bits
+        return F.array(
+            *[
+                (
+                    F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) * 2 - 1
+                ).cast("int")
+                for b in range(_SIMHASH_BITS)
+            ]
+        )
+
+    counts = F.aggregate(
+        "toks", zeros, lambda acc, t: F.zip_with(acc, contrib(t), lambda a, c: a + c)
+    )
+    d = d.withColumn("counts", counts)
+    simhash = F.lit(0)
+    for b in range(_SIMHASH_BITS):
+        simhash = simhash + F.when(
+            F.element_at("counts", b + 1) > 0, F.lit(1 << b)
+        ).otherwise(0)
+    return d.select("doc_id", simhash.alias("simhash"))
+
+
+@register("dedup_embedding_cosine")  # rows-only: float fold, no SQL analog
+def dedup_embedding_cosine(spark, sf):
+    """Embedding near-dup: exact-cosine > 0.999 pairs among vec_id<100
+    plus injected copies (vec_id+10000) — the verification tier of
+    embedding dedup (the candidate tier is sim_ann_lsh_bucketed)."""
+    e0 = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    dup = e0.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    e = (
+        e0.filter(F.col("vec_id") < 100)
+        .unionByName(dup)
+        .select("vec_id", _as_double_arr("embedding").alias("v"))
+        .withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("id1"),
+        F.col("b.vec_id").alias("id2"),
+        (
+            _dot(F.col("a.v"), F.col("b.v"))
+            / (F.col("a.norm") * F.col("b.norm"))
+        ).alias("cos"),
+    )
+    return pairs.filter(F.col("cos") > 0.999).select("id1", "id2")
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+def _as_double_arr(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    # sequential left fold — same order as DuckDB list_reduce
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+
+
+@register(
+    "sim_ann_topk",
+    """
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ),
+    s AS (
+      SELECT vec_id,
+             list_reduce(list_transform(range(1, len(v) + 1),
+                         i -> v[i] * qv[i]), (a, b) -> a + b) AS dot,
+             list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS n2,
+             list_reduce(list_transform(qv, x -> x * x), (a, b) -> a + b) AS q2
+      FROM (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings), q
+    )
+    SELECT rank, vec_id, sim FROM (
+      SELECT vec_id, round(dot / sqrt(n2 * q2), 6) AS sim,
+             ROW_NUMBER() OVER (ORDER BY dot / sqrt(n2 * q2) DESC, vec_id)
+             AS rank
+      FROM s
+    ) WHERE rank <= 10
+    """,
+)
+def sim_ann_topk(spark, sf):
+    """Brute-force cosine top-k — the exact baseline every ANN variant
+    is judged against. Query vector broadcast; one pass, no shuffle
+    until the final top-k (which AQE executes as TakeOrdered)."""
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", _as_double_arr("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    j = e.crossJoin(F.broadcast(q))
+    scored = j.select(
+        "vec_id",
+        (
+            _dot(F.col("v"), F.col("qv"))
+            / F.sqrt(
+                _dot(F.col("v"), F.col("v")) * _dot(F.col("qv"), F.col("qv"))
+            )
+        ).alias("raw_sim"),
+    )
+    w = Window.orderBy(F.col("raw_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "vec_id", F.round("raw_sim", 6).alias("sim"))
+    )
+
+
+_LSH_PLANES = 8
+
+
+def _hyperplanes(dim: int = 64) -> list:
+    """Deterministic pseudo-random ±1 hyperplanes from sha256 bits (no
+    RNG; same on driver and executors)."""
+    planes = []
+    for i in range(_LSH_PLANES):
+        h = hashlib.sha256(f"octospark-lsh-{i}".encode()).digest()
+        h = (h * ((dim // len(h)) + 1))[:dim]
+        planes.append([1.0 if byte & 1 else -1.0 for byte in h])
+    return planes
+
+
+@register("sim_ann_lsh_bucketed")  # rows-only: hyperplane constants
+def sim_ann_lsh_bucketed(spark, sf):
+    """Scale-path ANN: random-hyperplane LSH bucketing, then exact
+    cosine only within the query's bucket. At 10^12 vectors the bucket
+    join replaces the full scan; brute-force (sim_ann_topk) is the
+    small-scale baseline."""
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", _as_double_arr("embedding").alias("v")
+    )
+    planes = _hyperplanes()
+    bucket = None
+    for i, p in enumerate(planes):
+        parr = F.array(*[F.lit(x) for x in p])
+        bit = F.when(_dot(F.col("v"), parr) > 0, F.lit(1 << i)).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    eb = e.withColumn("bucket", bucket)
+    qb = eb.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qbucket"), F.col("v").alias("qv")
+    )
+    cand = eb.join(
+        F.broadcast(qb), F.col("bucket") == F.col("qbucket")
+    )
+    scored = cand.select(
+        "vec_id",
+        (
+            _dot(F.col("v"), F.col("qv"))
+            / F.sqrt(
+                _dot(F.col("v"), F.col("v")) * _dot(F.col("qv"), F.col("qv"))
+            )
+        ).alias("raw_sim"),
+    )
+    w = Window.orderBy(F.col("raw_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("rank", "vec_id", F.round("raw_sim", 6).alias("sim"))
+    )
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a"),
+    "fr": ("le", "la", "les", "de", "et"),
+    "es": ("el", "los", "las", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+_CJK_PATTERN = "[\\x{4e00}-\\x{9fff}]"
+
+
+def _lang_scores_spark(toks):
+    cols = {}
+    for lang, words in _STOPWORDS.items():
+        cols[f"s_{lang}"] = F.size(
+            F.filter(toks, lambda t: t.isin(*words))
+        )
+    return cols
+
+
+def _lang_scores_sql() -> str:
+    parts = []
+    for lang, words in _STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        parts.append(
+            f"len(list_filter(string_split(lower(text), ' '), "
+            f"t -> t IN ({lst}))) AS s_{lang}"
+        )
+    return ", ".join(parts)
+
+
+@register(
+    "text_langid",
+    f"""
+    SELECT doc_id, s_en, s_fr, s_es, s_de, s_zh,
+      CASE
+        WHEN s_zh > 0 THEN 'zh'
+        WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+        WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+        WHEN s_es >= s_de THEN 'es'
+        ELSE 'de' END AS langid
+    FROM (
+      SELECT doc_id, {_lang_scores_sql()},
+             len(regexp_extract_all(text, '{_CJK_PATTERN}')) AS s_zh
+      FROM documents
+    )
+    """,
+)
+def text_langid(spark, sf):
+    """n-gram-heuristic language ID: stopword-marker counts per language
+    + CJK codepoint count; deterministic argmax with fixed tie-break."""
+    d = load_table(spark, sf, "documents")
+    toks = _words(F.lower(F.col("text")))
+    sc = _lang_scores_spark(toks)
+    s_zh = F.regexp_count(F.col("text"), F.lit(_CJK_PATTERN)).alias("s_zh")
+    base = d.select(
+        "doc_id", *[c.alias(n) for n, c in sc.items()], s_zh
+    )
+    langid = (
+        F.when(F.col("s_zh") > 0, "zh")
+        .when(
+            (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de")),
+            "en",
+        )
+        .when(
+            (F.col("s_fr") >= F.col("s_es"))
+            & (F.col("s_fr") >= F.col("s_de")),
+            "fr",
+        )
+        .when(F.col("s_es") >= F.col("s_de"), "es")
+        .otherwise("de")
+    )
+    return base.withColumn("langid", langid)
+
+
+@register(
+    "text_quality_score",
+    "SELECT doc_id, length(text) AS n_chars_m, "
+    "len(string_split(text, ' ')) AS n_tokens, "
+    "CAST(length(replace(text, ' ', '')) AS DOUBLE) "
+    "/ len(string_split(text, ' ')) AS mean_token_len, "
+    "CAST(len(list_filter(string_split(lower(text), ' '), "
+    "t -> t IN ('the', 'and', 'of', 'to', 'a'))) AS DOUBLE) "
+    "/ len(string_split(text, ' ')) AS stopword_ratio "
+    "FROM documents",
+)
+def text_quality_score(spark, sf):
+    """Shallow quality features: length, token count, mean token length,
+    stopword ratio — the block-feature vocabulary of the extractor,
+    applied corpus-wide."""
+    d = load_table(spark, sf, "documents")
+    toks = _words(F.col("text"))
+    ltoks = _words(F.lower(F.col("text")))
+    n_tokens = F.size(toks)
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        (
+            F.length(F.regexp_replace("text", " ", "")).cast("double")
+            / n_tokens
+        ).alias("mean_token_len"),
+        (
+            F.size(
+                F.filter(ltoks, lambda t: t.isin(*_STOPWORDS["en"]))
+            ).cast("double")
+            / n_tokens
+        ).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "text_token_count",
+    "SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens, "
+    "len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_re_tokens "
+    "FROM documents",
+)
+def text_token_count(spark, sf):
+    """Token counting: whitespace tokens + BPE-ish regex tokens."""
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_words(F.col("text"))).alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+")).alias(
+            "n_re_tokens"
+        ),
+    )
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id, SUM(ord * (length(word) * 31 + ascii(word)))
+           % 1000000007 AS fp
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+      FROM documents
+    ) GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark, sf):
+    """Order-sensitive document fingerprint: position-weighted token
+    hash, exact 64-bit integer arithmetic (engine-independent — integer
+    sums are order-free)."""
+    d = load_table(spark, sf, "documents")
+    ex = d.select(
+        "doc_id", F.posexplode(_words(F.col("text"))).alias("pos", "word")
+    )
+    return ex.groupBy("doc_id").agg(
+        (
+            F.sum(
+                (F.col("pos") + 1)
+                * (F.length("word") * 31 + F.ascii("word"))
+            )
+            % 1000000007
+        ).alias("fp")
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing (decode stubbed — image/audio libs absent here; the
+# Spark-side schema/partitioning/batching is real)
+# --------------------------------------------------------------------------
+
+def _decode_image_real(data: bytes):  # pragma: no cover
+    """Real decode would use PIL/libvips — NOT available in this
+    container. Gated import keeps the plumbing testable."""
+    try:
+        from PIL import Image  # type: ignore
+        import io
+
+        return Image.open(io.BytesIO(data)).size
+    except ImportError as exc:
+        raise NotImplementedError("image decode backend not installed") from exc
+
+
+@register(
+    "multimodal_meta",
+    "SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes, "
+    "lower(hex(CAST(substring(text, 1, 4) AS BLOB))) AS header_hex "
+    "FROM documents",
+)
+def multimodal_meta(spark, sf):
+    """Multimodal column plumbing: opaque binary 'media' column processed
+    in Arrow batches via mapInPandas — schema, batching, and typed
+    metadata extraction are real; decode falls back to a deterministic
+    header fingerprint when no codec backend exists."""
+    import pandas as pd
+
+    def meta(batches):
+        for pdf in batches:
+            metas = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(blob)
+                try:
+                    _decode_image_real(b)  # stub: raises NotImplementedError
+                except NotImplementedError:
+                    pass
+                metas.append(
+                    (int(doc_id), len(b), b[:4].hex())
+                )
+            yield pd.DataFrame(
+                metas, columns=["doc_id", "n_bytes", "header_hex"]
+            )
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("media")
+    )
+    return d.mapInPandas(
+        meta, "doc_id long, n_bytes long, header_hex string"
+    )

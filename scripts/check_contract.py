@@ -1,0 +1,126 @@
+"""Local replica of the driver's correctness check: run every
+``queries()`` entry on Spark at sf0.01 and its ``oracle_sql()`` on DuckDB
+over the same parquet, then compare row-count + order-insensitive values
+(exact equality after column-name sort + row sort).
+
+Usage: python scripts/check_contract.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def duck_con(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = np.round(s.astype("float64"), 9)
+        elif s.dtype == object:
+            df[c] = s.astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str | None:
+    if len(spark_pdf) != len(duck_pdf):
+        return f"row count {len(spark_pdf)} != {len(duck_pdf)}"
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        return f"columns {sorted(spark_pdf.columns)} != {sorted(duck_pdf.columns)}"
+    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c].values, b[c].values
+        if pd.api.types.is_float_dtype(a[c]):
+            ok = np.all(
+                (np.isnan(av.astype(float)) & np.isnan(bv.astype(float)))
+                | (av == bv)
+            )
+        else:
+            an = pd.isna(a[c]).values
+            bn = pd.isna(b[c]).values
+            ok = np.array_equal(an, bn) and np.all(
+                av[~an] == bv[~bn]
+            )
+        if not ok:
+            mism = [
+                (x, y)
+                for x, y in zip(av.tolist(), bv.tolist())
+                if x != y and not (pd.isna(x) and pd.isna(y))
+            ][:3]
+            return f"column {c!r} differs, first mismatches: {mism}"
+    return None
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from octospark.session import get_spark
+
+    spark = get_spark(app_name="check-contract", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    con = duck_con(sf_dir)
+
+    n_pass = n_fail = n_rowsonly = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:
+            print(f"FAIL {name}: spark raised {type(exc).__name__}: {exc}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS {name}: {len(sdf)} rows (no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            n_rowsonly += 1
+            continue
+        try:
+            ddf = con.sql(oracles[name]).df()
+        except Exception as exc:
+            print(f"FAIL {name}: duckdb raised {type(exc).__name__}: {exc}")
+            n_fail += 1
+            continue
+        err = compare(sdf, ddf)
+        if err:
+            print(f"FAIL {name}: {err}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
