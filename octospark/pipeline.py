@@ -104,23 +104,45 @@ def split_size_guard(pages: DataFrame, max_bytes: int = MAX_HTML_BYTES):
 # fused fast path
 # --------------------------------------------------------------------------
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from octospark.extractor import extract  # lazy import in worker
+def _make_extract_batches(max_bytes: int):
+    def _extract_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        from octospark.extractor import extract  # lazy import in worker
 
-    for pdf in batches:
-        results = [extract(h) for h in pdf["html"]]
-        out = pd.DataFrame(
-            {
-                "url": pdf["url"].values,
-                "warc_ts": pdf["warc_ts"].values,
-                "text": [r["text"] for r in results],
-                "spans": [r["spans"] for r in results],
-                "lang": pdf["lang"].values,
-                "n_blocks": [r["n_blocks"] for r in results],
-                "error": [r["error"] for r in results],
-            }
-        )
-        yield out
+        guard_row = ("", [], 0, "size_guard")
+
+        def one(h):
+            # inline size guard: oversized/null html is never parsed but
+            # still yields a row (never-drop; reference analog
+            # MAX_IMAGE_PIXELS, src/octopy/__init__.py:25)
+            if h is None or len(h) > max_bytes:
+                return guard_row
+            r = extract(h)
+            # spans as tuples: ~2x cheaper than dicts through Arrow
+            return (
+                r["text"],
+                [(s["block_id"], s["start"], s["end"], s["label"])
+                 for s in r["spans"]],
+                r["n_blocks"],
+                r["error"],
+            )
+
+        for pdf in batches:
+            results = [one(h) for h in pdf["html"]]
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"].values,
+                    "warc_ts": pdf["warc_ts"].values,
+                    "text": [r[0] for r in results],
+                    "spans": [r[1] for r in results],
+                    "lang": pdf["lang"].values,
+                    "n_blocks": [r[2] for r in results],
+                    "error": [r[3] for r in results],
+                }
+            )
+
+    return _extract_batches
 
 
 def extract_pages(
@@ -128,17 +150,34 @@ def extract_pages(
     max_bytes: int = MAX_HTML_BYTES,
     salted: bool = False,
     num_partitions: int | None = None,
+    guard_mode: str = "inline",
 ) -> DataFrame:
     """pages -> extracted(url, warc_ts, text, spans, lang, n_blocks, error).
 
     One output row per input row, always (never-drop). Pure per-row UDF
-    ⇒ result is invariant under any partitioning."""
-    ok, oversized = split_size_guard(pages, max_bytes)
-    ok = ok.select("url", "warc_ts", "html", "lang")  # prune golden text
+    ⇒ result is invariant under any partitioning.
+
+    ``guard_mode``:
+    - ``'inline'`` (default): size guard enforced inside the UDF — ONE
+      scan of the pages table (an oversized blob still crosses Arrow
+      once, but is never parsed). Right when no scan-level pruning of
+      html length is available (plain parquet).
+    - ``'split'``: two-branch plan where oversized rows never reach
+      Python at all — right when the source can prune cheaply (e.g. an
+      Iceberg table with a length metadata column).
+    """
+    src = pages.select("url", "warc_ts", "html", "lang")  # prune golden text
+    if guard_mode == "split":
+        ok, oversized = split_size_guard(src, max_bytes)
+        if salted:
+            ok = salted_repartition(ok, num_partitions=num_partitions)
+        extracted = ok.mapInPandas(
+            _make_extract_batches(max_bytes), EXTRACTED_SCHEMA
+        )
+        return extracted.unionByName(oversized)
     if salted:
-        ok = salted_repartition(ok, num_partitions=num_partitions)
-    extracted = ok.mapInPandas(_extract_batches, EXTRACTED_SCHEMA)
-    return extracted.unionByName(oversized)
+        src = salted_repartition(src, num_partitions=num_partitions)
+    return src.mapInPandas(_make_extract_batches(max_bytes), EXTRACTED_SCHEMA)
 
 
 # --------------------------------------------------------------------------

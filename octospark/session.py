@@ -12,7 +12,8 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
-ARROW_MAX_RECORDS_PER_BATCH = 1024  # SURVEY.md §7.3: sane batches at tiny SF
+ARROW_MAX_RECORDS_PER_BATCH = 8192  # ~10 MB of html per batch; big enough
+# to amortize Arrow round-trips, small enough to spill-proof executors
 
 
 def get_spark(

@@ -1,0 +1,114 @@
+"""Resume/lineage tests (FIXTURES.md §D, SURVEY.md §5.2.4): commit k of
+n buckets, rerun, assert only missing buckets recompute and the final
+table equals the uninterrupted run."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from octospark.lineage import (
+    committed_buckets,
+    inspect,
+    lineage_table,
+    read_extracted,
+    read_manifest,
+    run_extract,
+)
+
+N_BUCKETS = 16
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    return str(tmp_path / "extracted")
+
+
+def _texts(df):
+    return {r["url"]: r["text"] for r in df.select("url", "text").collect()}
+
+
+def test_full_run_commits_all_buckets(spark, pages, out_dir):
+    m = run_extract(spark, pages, out_dir, n_buckets=N_BUCKETS)
+    assert len(m["buckets"]) == N_BUCKETS
+    got = read_extracted(spark, out_dir)
+    assert got.count() == pages.count()
+    ins = inspect(out_dir)
+    assert ins["input_count"] == ins["output_count"] == pages.count()
+    assert ins["error_count"] == 0
+
+
+def test_resume_after_partial_commit(spark, pages, out_dir):
+    # uninterrupted reference run
+    ref_dir = out_dir + "_ref"
+    run_extract(spark, pages, ref_dir, n_buckets=N_BUCKETS, run_id="ref")
+    ref = _texts(read_extracted(spark, ref_dir))
+
+    # crash after committing only 5 buckets
+    run_extract(
+        spark, pages, out_dir, n_buckets=N_BUCKETS, run_id="crashed",
+        fail_after_buckets=5,
+    )
+    assert len(committed_buckets(out_dir)) == 5
+    partial = read_extracted(spark, out_dir)
+    assert 0 < partial.count() < pages.count()
+
+    # resume: second run commits ONLY the missing 11 buckets
+    m2 = run_extract(spark, pages, out_dir, n_buckets=N_BUCKETS,
+                     run_id="resumed")
+    assert len(m2["buckets"]) == N_BUCKETS
+    resumed_buckets = [
+        k for k, v in m2["buckets"].items() if v["run_id"] == "resumed"
+    ]
+    assert len(resumed_buckets) == N_BUCKETS - 5
+
+    # final table equals the uninterrupted run, byte-for-byte
+    got = _texts(read_extracted(spark, out_dir))
+    assert got == ref
+
+    # lineage checksums per bucket match the reference run exactly
+    ref_m = read_manifest(ref_dir)
+    for k, v in m2["buckets"].items():
+        assert v["checksum"] == ref_m["buckets"][k]["checksum"], k
+        assert v["output_count"] == ref_m["buckets"][k]["output_count"], k
+
+
+def test_rerun_of_complete_output_is_noop(spark, pages, out_dir):
+    run_extract(spark, pages, out_dir, n_buckets=N_BUCKETS, run_id="first")
+    m = run_extract(spark, pages, out_dir, n_buckets=N_BUCKETS, run_id="again")
+    assert all(v["run_id"] == "first" for v in m["buckets"].values())
+    # no duplicate rows appended
+    assert read_extracted(spark, out_dir).count() == pages.count()
+
+
+def test_buckets_stable_across_parallelism(spark, pages, out_dir):
+    # commit half at one parallelism, resume at another: still exactly-once
+    run_extract(spark, pages.repartition(2), out_dir, n_buckets=N_BUCKETS,
+                run_id="p2", fail_after_buckets=8)
+    run_extract(spark, pages.repartition(13), out_dir, n_buckets=N_BUCKETS,
+                run_id="p13")
+    got = read_extracted(spark, out_dir)
+    assert got.count() == pages.count()
+    assert got.groupBy("url").count().filter("count != 1").count() == 0
+
+
+def test_lineage_table_and_inspect(spark, pages, out_dir):
+    run_extract(spark, pages, out_dir, n_buckets=N_BUCKETS, run_id="r1")
+    lt = lineage_table(spark, out_dir)
+    assert lt.count() == N_BUCKETS
+    agg = lt.agg(
+        F.sum("input_count").alias("i"), F.sum("output_count").alias("o")
+    ).collect()[0]
+    assert agg["i"] == agg["o"] == pages.count()
+    ins = inspect(out_dir)
+    assert ins["n_committed_buckets"] == N_BUCKETS
+    assert ins["n_runs"] == 1
+
+
+def test_manifest_commit_is_atomic(spark, pages, out_dir):
+    run_extract(spark, pages, out_dir, n_buckets=N_BUCKETS)
+    # no stray tmp files left behind
+    leftovers = [f for f in os.listdir(out_dir) if ".tmp." in f]
+    assert leftovers == []

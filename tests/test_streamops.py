@@ -1,0 +1,86 @@
+"""Structured Streaming smoke tests: file-source extraction stream with
+availableNow drain; rate-source windowed agg. Batch-equivalents of the
+window semantics are oracle-checked in octospark.relational."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def pages_dir(spark, pages, tmp_path):
+    p = str(tmp_path / "pages_in")
+    pages.limit(100).write.parquet(p)
+    return p
+
+
+def test_stream_extract_matches_batch(spark, pages, pages_dir, tmp_path):
+    from octospark.streamops import run_stream_to_parquet
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_stream_to_parquet(spark, pages_dir, out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    n = got.count()
+    assert n == 100
+    # byte-identity also holds on the streaming path (same UDF)
+    j = (
+        spark.read.parquet(pages_dir)
+        .select("url", F.col("text").alias("golden"))
+        .join(got.select("url", "text"), "url")
+    )
+    assert j.filter(F.col("golden") != F.col("text")).count() == 0
+
+
+def test_stream_resume_processes_only_new_files(spark, pages, pages_dir,
+                                                tmp_path):
+    from octospark.streamops import run_stream_to_parquet
+
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    run_stream_to_parquet(spark, pages_dir, out, ckpt).awaitTermination(120)
+    # land a new file; restart from the checkpoint
+    pages.orderBy("url").limit(150).exceptAll(
+        spark.read.parquet(pages_dir)
+    ).write.mode("append").parquet(pages_dir)
+    run_stream_to_parquet(spark, pages_dir, out, ckpt).awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 150
+    assert got.groupBy("url").count().filter("count != 1").count() == 0
+
+
+def test_rate_source_windowed_agg(spark):
+    from octospark.streamops import throughput_metrics
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .load()
+        .select(
+            F.concat(F.lit("https://h/"), "value").alias("url"),
+            F.col("timestamp").alias("warc_ts"),
+            F.lit("x").alias("text"),
+            F.lit("en").alias("lang"),
+        )
+    )
+    agg = throughput_metrics(rate, window="10 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rate_agg")
+        .outputMode("update")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 60
+    rows = 0
+    while time.time() < deadline:
+        rows = spark.sql("SELECT count(*) c FROM rate_agg").collect()[0]["c"]
+        if rows > 0:
+            break
+        time.sleep(1)
+    q.stop()
+    assert rows > 0
