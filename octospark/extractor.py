@@ -173,8 +173,9 @@ class _BlockParser(HTMLParser):
     leave stack residue (depth is a feature, not a correctness anchor).
     """
 
-    def __init__(self) -> None:
+    def __init__(self, with_hist: bool = True) -> None:
         super().__init__(convert_charrefs=True)
+        self.with_hist = with_hist
         self.stack: list = []
         self.skip_depth = 0
         self.link_depth = 0
@@ -211,7 +212,7 @@ class _BlockParser(HTMLParser):
                 n_link_chars=n_link_chars,
                 link_density=link_density,
                 text_density=text_density,
-                char_hist=char_histogram(text),
+                char_hist=char_histogram(text) if self.with_hist else [],
             )
         )
         self.pieces = []
@@ -256,14 +257,17 @@ class _BlockParser(HTMLParser):
         self.pieces.append((data, self.link_depth > 0))
 
 
-def segment_blocks(html: bytes | str | None) -> list:
+def segment_blocks(html: bytes | str | None, with_hist: bool = True) -> list:
     """Stage 1: html -> ordered list[Block] in DOM order.
 
     Pure function of the input bytes; DOM order is preserved (reading
     order, analog of reference src/octopy/segment.py:149-156).
+    ``with_hist=False`` skips the char-class histogram (~20% of parse
+    cost) — used by the fused extraction path, where the classifier
+    never reads it.
     """
     text = decode_html(html)
-    parser = _BlockParser()
+    parser = _BlockParser(with_hist=with_hist)
     try:
         parser.feed(text)
         parser.close()
@@ -374,7 +378,7 @@ def extract(html: bytes | str | None) -> dict:
     reference src/octopy/cli/segment.py:137-145). Every input page yields
     exactly one output row (never-drop law)."""
     try:
-        blocks = classify_blocks(segment_blocks(html))
+        blocks = classify_blocks(segment_blocks(html, with_hist=False))
         text, spans = merge_spans(blocks)
         return {
             "text": text,

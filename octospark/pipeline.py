@@ -356,6 +356,26 @@ def merge(labeled_blocks: DataFrame, pages: DataFrame | None = None) -> DataFram
 
 
 # --------------------------------------------------------------------------
+# latest-crawl-wins dedup (duplicate url at two warc_ts — FIXTURES.md §C
+# case 10; the as-of/DISTINCT ON pattern, oracle-checked as
+# join_asof_latest in octospark.relational)
+# --------------------------------------------------------------------------
+
+def dedup_latest(pages: DataFrame) -> DataFrame:
+    """Keep the newest crawl per url (ties broken by larger html so the
+    choice is total and deterministic)."""
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc_nulls_last(),
+        F.length("html").desc_nulls_last(),
+    )
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# --------------------------------------------------------------------------
 # skew mitigation (north_rule: explicit salt-based handling of giant hosts)
 # --------------------------------------------------------------------------
 

@@ -1,0 +1,101 @@
+"""Physical-plan quality gates (SURVEY.md §4): the optimizations the
+north rule cares about must be visible in `.explain` output —
+projection pruning at the scan, predicate pushdown, broadcast vs
+sort-merge join selection, exactly one scan in the fused pipeline,
+partial aggregation."""
+
+from __future__ import annotations
+
+import pytest
+
+from octospark.relational import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_projection_pruning_reaches_scan(spark):
+    df = QUERIES["scan_projection_pushdown"](spark, SF)
+    plan = plan_of(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = QUERIES["filter_predicate"](spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity,45.0)" in plan
+
+
+def test_broadcast_join_is_broadcast(spark):
+    plan = plan_of(QUERIES["join_broadcast_inner"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sortmerge_join_is_sortmerge(spark):
+    plan = plan_of(QUERIES["join_sortmerge_inner"](spark, SF))
+    assert "SortMergeJoin" in plan
+
+
+def test_groupby_has_partial_aggregation(spark):
+    plan = plan_of(QUERIES["agg_hash_groupby"](spark, SF))
+    # map-side combine: a partial HashAggregate below the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_fused_extraction_single_scan_and_pruned(spark, tmp_path):
+    from octospark.pipeline import extract_pages
+    from octospark.sources import build_pages
+
+    p = str(tmp_path / "pages")
+    build_pages(spark, SF).write.parquet(p)
+    pages = spark.read.parquet(p)
+    ext = extract_pages(pages, salted=True, num_partitions=4)
+    plan = plan_of(ext)
+    # inline guard mode: exactly ONE parquet scan feeds the UDF
+    assert plan.count("Scan parquet") == 1
+    # golden text column pruned before the UDF (html needed, text not)
+    assert "text" not in plan.split("ReadSchema:")[-1].split("\n")[0]
+
+
+def test_segment_blocks_scan_prunes_golden_text(spark, tmp_path):
+    from octospark.pipeline import segment
+
+    from octospark.sources import build_pages
+
+    p = str(tmp_path / "pages2")
+    build_pages(spark, SF).write.parquet(p)
+    pages = spark.read.parquet(p)
+    plan = plan_of(segment(pages))
+    read_schema = plan.split("ReadSchema:")[-1].split("\n")[0]
+    assert "html" in read_schema
+    assert "text" not in read_schema and "lang" not in read_schema
+
+
+def test_classify_is_jvm_expressions(spark, pages):
+    from octospark.pipeline import classify, segment
+
+    labeled = classify(segment(pages.limit(50)))
+    plan = plan_of(labeled)
+    # stage-2 classification must be JVM Project/Window expressions —
+    # the ONLY Python node in the plan is the stage-1 segmenter
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert plan.count("MapInPandas") == 2  # pages gen + segmenter only
+    head = plan.split("MapInPandas")[0]
+    assert "Project" in head and "Window" in head
+    assert "CASE WHEN" in head  # the classifier cascade, codegen-able
+
+
+def test_semi_anti_joins_plan_shapes(spark):
+    semi = plan_of(QUERIES["join_left_semi"](spark, SF))
+    anti = plan_of(QUERIES["join_left_anti"](spark, SF))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 @pytest.fixture()
 def pages_dir(spark, pages, tmp_path):
     p = str(tmp_path / "pages_in")
-    pages.limit(100).write.parquet(p)
+    pages.orderBy("url").limit(100).write.parquet(p)
     return p
 
 
