@@ -41,10 +41,19 @@ def test_stream_resume_processes_only_new_files(spark, pages, pages_dir,
     out = str(tmp_path / "out2")
     ckpt = str(tmp_path / "ckpt2")
     run_stream_to_parquet(spark, pages_dir, out, ckpt).awaitTermination(120)
-    # land a new file; restart from the checkpoint
-    pages.orderBy("url").limit(150).exceptAll(
-        spark.read.parquet(pages_dir)
-    ).write.mode("append").parquet(pages_dir)
+    # land new files (write elsewhere first: writing a frame derived from
+    # pages_dir back into pages_dir would re-read it mid-write), then
+    # restart from the checkpoint
+    import glob
+    import shutil
+
+    staging = str(tmp_path / "staging")
+    existing = spark.read.parquet(pages_dir).select("url")
+    pages.orderBy("url").limit(150).join(
+        existing, "url", "left_anti"
+    ).write.parquet(staging)
+    for i, f in enumerate(glob.glob(f"{staging}/part-*.parquet")):
+        shutil.copy(f, f"{pages_dir}/landed-{i}.parquet")
     run_stream_to_parquet(spark, pages_dir, out, ckpt).awaitTermination(120)
     got = spark.read.parquet(out)
     assert got.count() == 150
