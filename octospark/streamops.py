@@ -74,12 +74,13 @@ def run_stream_to_parquet(
     out_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    watermark: str = "10 minutes",
 ):
     """End-to-end streaming job: ingest -> extract -> parquet sink with
     exactly-once file-sink semantics (Spark's transactional file sink +
     checkpointed offsets — the streaming twin of octospark.lineage)."""
     pages = read_pages_stream(spark, input_dir)
-    extracted = extract_stream(pages)
+    extracted = extract_stream(pages, watermark=watermark)
     writer = (
         extracted.writeStream.format("parquet")
         .option("path", out_dir)

@@ -40,7 +40,8 @@ def test_stream_resume_processes_only_new_files(spark, pages, pages_dir,
 
     out = str(tmp_path / "out2")
     ckpt = str(tmp_path / "ckpt2")
-    run_stream_to_parquet(spark, pages_dir, out, ckpt).awaitTermination(120)
+    run_stream_to_parquet(spark, pages_dir, out, ckpt,
+                          watermark="3650 days").awaitTermination(120)
     # land new files (write elsewhere first: writing a frame derived from
     # pages_dir back into pages_dir would re-read it mid-write), then
     # restart from the checkpoint
@@ -54,7 +55,11 @@ def test_stream_resume_processes_only_new_files(spark, pages, pages_dir,
     ).write.parquet(staging)
     for i, f in enumerate(glob.glob(f"{staging}/part-*.parquet")):
         shutil.copy(f, f"{pages_dir}/landed-{i}.parquet")
-    run_stream_to_parquet(spark, pages_dir, out, ckpt).awaitTermination(120)
+    # huge watermark delay: landed rows have older warc_ts than the first
+    # batch, and a realistic 10-minute watermark would (correctly) drop
+    # them as late — this test is about file-offset resume, not lateness
+    run_stream_to_parquet(spark, pages_dir, out, ckpt,
+                          watermark="3650 days").awaitTermination(120)
     got = spark.read.parquet(out)
     assert got.count() == 150
     assert got.groupBy("url").count().filter("count != 1").count() == 0
