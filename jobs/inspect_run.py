@@ -2,7 +2,7 @@
 JSON (analog of `octopy inspect`,
 /root/reference/src/octopy/cli/inspect.py:38-69).
 
-    python jobs/inspect.py OUT_DIR [--lineage]
+    python jobs/inspect_run.py OUT_DIR [--lineage]
 """
 
 from __future__ import annotations
