@@ -193,11 +193,11 @@ def headline_queries(spark) -> dict:
         "text_fingerprint", "stream_tumbling_window",
     ]
     out = {}
-    for name in picks:
-        t0 = time.time()
+    for name in picks:  # warmup pass, untimed (JIT + codegen cache)
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
-        if dt < 5:  # cheap query: re-time warm, keep the min (VM noise)
+    for name in picks:  # steady state: min of 2 (VM noise)
+        dt = float("inf")
+        for _ in range(2):
             t0 = time.time()
             qs[name](spark, SF_DIR).write.format("noop").mode(
                 "overwrite").save()

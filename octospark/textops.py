@@ -149,26 +149,50 @@ _MINHASH_BANDS = 8  # 2 rows per band
 def dedup_minhash_lsh(spark, sf):
     """MinHash + LSH near-dup candidates, fully JVM-side.
 
-    shingle -> 16 minhash signatures (xxhash64 w/ seed) -> 8 bands of 2
-    -> band-bucket equi-join -> candidate pairs. Injected duplicates
-    (doc_id+100000 copies of doc_id<50) guarantee known positives; at
-    100 TB this is the standard banding trade-off (P[candidate] =
-    1-(1-j^2)^8 for jaccard j)."""
+    shingle -> 16 minhash signatures -> 8 bands of 2 -> band-bucket
+    equi-join -> candidate pairs. Injected duplicates (doc_id+100000
+    copies of doc_id<50) guarantee known positives; at 100 TB this is
+    the standard banding trade-off (P[candidate] = 1-(1-j^2)^8 for
+    jaccard j).
+
+    Plan shape (scale-critical): rows, not arrays. posexplode the
+    word split (a cheap generator — NEVER explode or filter on an
+    expensive higher-order-function array: Catalyst inlines the array
+    expression into Generate/Filter and re-evaluates it interpreted,
+    ~20x slower), then form each 3-shingle's hash from the word row
+    and its two lead() neighbors, then one groupBy(doc_id) with 16
+    codegen'd min(xxhash64(h, seed)) aggregates. No distinct is needed:
+    duplicate shingles cannot change a min. The up-front
+    repartition(doc_id) spreads work across all cores (a single small
+    parquet file would otherwise scan as 1-2 partitions) and its
+    hash-partitioning is reused by both the window and the aggregation,
+    so the whole signature stage costs exactly one shuffle."""
     d0 = load_table(spark, sf, "documents").select("doc_id", "text")
     dup = d0.filter(F.col("doc_id") < 50).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
-    d = d0.unionByName(dup).select(
-        "doc_id", _shingles3(_words(F.col("text"))).alias("sh")
-    ).filter(F.size("sh") > 0)
-
-    mh = [
-        F.array_min(
-            F.transform(F.col("sh"), lambda x, s=s: F.xxhash64(x, F.lit(s)))
-        ).alias(f"mh{s}")
-        for s in range(_MINHASH_SEEDS)
-    ]
-    sig = d.select("doc_id", *mh)
+    par = spark.sparkContext.defaultParallelism
+    words = (
+        d0.unionByName(dup)
+        .repartition(par, "doc_id")
+        .select(
+            "doc_id",
+            F.posexplode(_words(F.col("text"))).alias("pos", "w"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    hashed = words.select(
+        "doc_id",
+        F.xxhash64("w", F.lead("w", 1).over(win), F.lead("w", 2).over(win))
+        .alias("h"),
+        F.lead("w", 2).over(win).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64("h", F.lit(s))).alias(f"mh{s}")
+            for s in range(_MINHASH_SEEDS)
+        ]
+    )
     bands = sig.select(
         "doc_id",
         F.explode(
