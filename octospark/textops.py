@@ -42,21 +42,6 @@ def _words(col):
     return F.split(col, " ")
 
 
-def _shingles3(words_col):
-    """Distinct word 3-gram shingles (empty when < 3 words)."""
-    n = F.size(words_col)
-    sh = F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(words_col, i),
-            F.element_at(words_col, i + 1),
-            F.element_at(words_col, i + 2),
-        ),
-    )
-    return F.array_distinct(F.when(n >= 3, sh).otherwise(F.array()))
-
-
 _SHINGLE_SQL = (
     "list_distinct(CASE WHEN len(w) >= 3 THEN "
     "[array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] "
@@ -105,16 +90,42 @@ def dedup_exact(spark, sf):
     """,
 )
 def dedup_ngram_jaccard(spark, sf):
-    """Near-dup by word-3-gram Jaccard over a bounded id range: explode
-    shingles, equi-join on shingle (the scalable pattern — never an
-    all-pairs cross join), jaccard = |∩| / (|A|+|B|-|∩|)."""
-    d = (
+    """Near-dup by word-3-gram Jaccard over a bounded id range: shingle
+    rows, equi-join on shingle (the scalable pattern — never an
+    all-pairs cross join), jaccard = |∩| / (|A|+|B|-|∩|).
+
+    Plan shape: rows, not arrays (same lesson as dedup_minhash_lsh —
+    exploding a higher-order-function array makes Catalyst re-evaluate
+    the array expression interpreted inside Generate, ~20x slower, and
+    the self-join would compute it twice). posexplode the word split,
+    form each 3-shingle from the word row plus its two lead()
+    neighbors, distinct() = the oracle's list_distinct."""
+    par = spark.sparkContext.defaultParallelism
+    words = (
         load_table(spark, sf, "documents")
         .filter(F.col("doc_id") < 100)
-        .select("doc_id", _shingles3(_words(F.col("text"))).alias("sh"))
+        .repartition(par, "doc_id")
+        .select(
+            "doc_id", F.posexplode(_words(F.col("text"))).alias("pos", "w")
+        )
     )
-    s = d.select("doc_id", F.explode("sh").alias("shingle"))
-    sz = d.select("doc_id", F.size("sh").alias("n"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    s = (
+        words.select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                "w",
+                F.lead("w", 1).over(win),
+                F.lead("w", 2).over(win),
+            ).alias("shingle"),
+            F.lead("w", 2).over(win).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+    sz = s.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = s.alias("a"), s.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -405,6 +416,68 @@ def sim_ann_lsh_bucketed(spark, sf):
     )
 
 
+_IVF_CELLS = 8
+_IVF_PROBES = 2
+
+
+@register("sim_ann_ivf")  # rows-only: centroid constants, no SQL analog
+def sim_ann_ivf(spark, sf):
+    """Scale-path ANN #2: IVF (inverted-file) — assign every vector to
+    its nearest coarse centroid (JVM-only dot products against K
+    broadcast centroid literals), probe the query's top-2 cells, exact
+    cosine only inside them. At 10^12 vectors the probed cells replace
+    the full scan; centroid fit is a driver-side metadata step (here:
+    K fixed seed vectors, deterministic — a k-means job would slot in
+    without changing the plan shape)."""
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", _as_double_arr("embedding").alias("v")
+    )
+    seed_rows = (
+        e.filter(F.col("vec_id").isin(list(range(1, _IVF_CELLS + 1))))
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents = [list(r["v"]) for r in seed_rows]
+
+    def cell_expr(vcol):
+        # greatest over (score, k) structs = argmax with k tie-break
+        return F.greatest(
+            *[
+                F.struct(
+                    _dot(vcol, F.array(*[F.lit(x) for x in c])).alias("s"),
+                    F.lit(k).alias("k"),
+                )
+                for k, c in enumerate(cents)
+            ]
+        )["k"]
+
+    qv = list(e.filter(F.col("vec_id") == 0).collect()[0]["v"])
+
+    def npdot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    probe = sorted(
+        range(len(cents)), key=lambda k: (-npdot(qv, cents[k]), k)
+    )[:_IVF_PROBES]
+    qarr = F.array(*[F.lit(x) for x in qv])
+    cand = e.withColumn("cell", cell_expr(F.col("v"))).filter(
+        F.col("cell").isin(probe)
+    )
+    scored = cand.select(
+        "vec_id",
+        (
+            _dot(F.col("v"), qarr)
+            / F.sqrt(_dot(F.col("v"), F.col("v")) * F.lit(npdot(qv, qv)))
+        ).alias("raw_sim"),
+    )
+    w = Window.orderBy(F.col("raw_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("rank", "vec_id", F.round("raw_sim", 6).alias("sim"))
+    )
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
@@ -570,9 +643,58 @@ def text_fingerprint(spark, sf):
 
 
 # --------------------------------------------------------------------------
-# multimodal plumbing (decode stubbed — image/audio libs absent here; the
-# Spark-side schema/partitioning/batching is real)
+# multimodal plumbing (real codecs absent in this container — decode uses a
+# documented deterministic fake format so correctness is oracle-checkable;
+# the Spark-side schema, partitioning, Arrow batching, and numpy pixel work
+# are real and identical to what a PIL/libvips/ffmpeg backend would need)
+#
+# Fake formats (deterministic from doc_id; encoder + decoder below):
+#   image: b"OIMG" | width:uint16be | height:uint16be | channels:uint8(=1)
+#          | width*height pixel bytes, constant fill (doc_id % 256)
+#          width = 1 + doc_id % 64, height = 1 + (doc_id * 7) % 48
+#   video: b"OVID" | n_frames:uint16be | n_frames * 16-byte frame blobs
+#          n_frames = 1 + doc_id % 30
 # --------------------------------------------------------------------------
+
+_IMG_MAGIC = b"OIMG"
+_VID_MAGIC = b"OVID"
+
+
+def _fake_image_bytes(doc_id: int) -> bytes:
+    w = 1 + doc_id % 64
+    h = 1 + (doc_id * 7) % 48
+    return (
+        _IMG_MAGIC
+        + w.to_bytes(2, "big")
+        + h.to_bytes(2, "big")
+        + bytes([1])
+        + bytes([doc_id % 256]) * (w * h)
+    )
+
+
+def _fake_video_bytes(doc_id: int) -> bytes:
+    n = 1 + doc_id % 30
+    frames = b"".join(
+        bytes([(doc_id + i) % 256]) * 16 for i in range(n)
+    )
+    return _VID_MAGIC + n.to_bytes(2, "big") + frames
+
+
+def _decode_fake_image(b: bytes):
+    """Parse the fake header + numpy pixel stats — the same shape of
+    work (header parse, buffer view, vectorized reduction) a real
+    decoder does. Raises ValueError on bad magic (never-drop: callers
+    emit an error row instead of failing the task, the
+    kraken_polygonizer.py:109-122 fallback analog)."""
+    import numpy as np
+
+    if b[:4] != _IMG_MAGIC:
+        raise ValueError("bad image magic")
+    w = int.from_bytes(b[4:6], "big")
+    h = int.from_bytes(b[6:8], "big")
+    px = np.frombuffer(b[9 : 9 + w * h], dtype=np.uint8)
+    return w, h, float(px.mean())
+
 
 def _decode_image_real(data: bytes):  # pragma: no cover
     """Real decode would use PIL/libvips — NOT available in this
@@ -620,4 +742,152 @@ def multimodal_meta(spark, sf):
     )
     return d.mapInPandas(
         meta, "doc_id long, n_bytes long, header_hex string"
+    )
+
+
+def _fake_media(spark, sf, kind: str) -> DataFrame:
+    """Stage an opaque binary media column (the encode half of the
+    plumbing) — one mapInPandas producing bytes rows, exactly how a
+    real pipeline would carry fetched image/video blobs."""
+    import pandas as pd
+
+    enc = _fake_image_bytes if kind == "image" else _fake_video_bytes
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media": [enc(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    return d.mapInPandas(gen, "doc_id long, media binary")
+
+
+_DECODE_SCHEMA = (
+    "doc_id long, width long, height long, mean_px double, error string"
+)
+
+
+def decode_image_batches(batches):
+    """mapInPandas body for image decode (module-level so tests can run
+    it on adversarial frames). Row-level try/except: malformed blobs
+    yield an error row, never a task failure."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+            b = bytes(blob)
+            try:
+                try:
+                    w, h = _decode_image_real(b)
+                    mean = None
+                except NotImplementedError:
+                    w, h, mean = _decode_fake_image(b)
+                rows.append((int(doc_id), w, h, mean, None))
+            except Exception as exc:  # never-drop fallback (R8)
+                rows.append((int(doc_id), None, None, None, str(exc)))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "width", "height", "mean_px", "error"],
+        )
+
+
+@register(
+    "multimodal_decode",
+    "SELECT doc_id, 1 + doc_id % 64 AS width, "
+    "1 + (doc_id * 7) % 48 AS height, "
+    "CAST(doc_id % 256 AS DOUBLE) AS mean_px, "
+    "CAST(NULL AS VARCHAR) AS error FROM documents",
+)
+def multimodal_decode(spark, sf):
+    """Image decode plumbing: binary media column -> typed metadata +
+    pixel stats via mapInPandas (real codec gated; deterministic fake
+    format decoded with numpy)."""
+    return _fake_media(spark, sf, "image").mapInPandas(
+        decode_image_batches, _DECODE_SCHEMA
+    )
+
+
+@register(
+    "multimodal_resize",
+    # numpy [::2] keeps ceil(n/2) elements -> thumb dim = (dim + 1) // 2
+    "SELECT doc_id, 1 + doc_id % 64 AS width, 1 + (doc_id * 7) % 48 "
+    "AS height, (2 + doc_id % 64) // 2 AS thumb_w, "
+    "(2 + (doc_id * 7) % 48) // 2 AS thumb_h, "
+    "((2 + doc_id % 64) // 2) * ((2 + (doc_id * 7) % 48) // 2) "
+    "AS thumb_bytes FROM documents",
+)
+def multimodal_resize(spark, sf):
+    """Thumbnail resize plumbing: decode -> 2x2 numpy stride downsample
+    -> re-emit binary thumbnail + dims. The array slicing is the real
+    resize kernel shape; only the codec is fake."""
+    import numpy as np
+    import pandas as pd
+
+    def resize(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(blob)
+                w, h, _ = _decode_fake_image(b)
+                px = np.frombuffer(b[9 : 9 + w * h], dtype=np.uint8)
+                thumb = px.reshape(h, w)[:: 2, :: 2]  # stride downsample
+                rows.append(
+                    (
+                        int(doc_id), w, h,
+                        thumb.shape[1], thumb.shape[0],
+                        len(thumb.tobytes()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "thumb_w", "thumb_h",
+                    "thumb_bytes",
+                ],
+            )
+
+    return _fake_media(spark, sf, "image").mapInPandas(
+        resize,
+        "doc_id long, width long, height long, thumb_w long, "
+        "thumb_h long, thumb_bytes long",
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    "SELECT doc_id, 1 + doc_id % 30 AS n_frames, "
+    "(1 + doc_id % 30 + 4) // 5 AS n_sampled FROM documents",
+)
+def multimodal_frame_sample(spark, sf):
+    """Video frame-sample plumbing: binary stream -> every-5th-frame
+    sample via numpy reshape/stride — the decode is the fake OVID
+    container; the batching, frame indexing, and output schema are what
+    an ffmpeg-backed sampler needs."""
+    import numpy as np
+    import pandas as pd
+
+    def sample(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(blob)
+                if b[:4] != _VID_MAGIC:
+                    raise ValueError("bad video magic")
+                n = int.from_bytes(b[4:6], "big")
+                frames = np.frombuffer(
+                    b[6 : 6 + n * 16], dtype=np.uint8
+                ).reshape(n, 16)
+                sampled = frames[::5]
+                rows.append((int(doc_id), n, sampled.shape[0]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "n_sampled"]
+            )
+
+    return _fake_media(spark, sf, "video").mapInPandas(
+        sample, "doc_id long, n_frames long, n_sampled long"
     )

@@ -76,6 +76,75 @@ def test_sim_ann_topk_rank1_is_query_vector(spark, sf_dir):
     assert sims == sorted(sims, reverse=True)
 
 
+def test_sim_ann_ivf_rank1_is_query_vector(spark, sf_dir):
+    rows = T.QUERIES["sim_ann_ivf"](spark, sf_dir).collect()
+    by_rank = {r.rank: r for r in rows}
+    # the query vector's own cell is always probed -> rank 1 = itself
+    assert by_rank[1].vec_id == 0
+    assert abs(by_rank[1].sim - 1.0) < 1e-6
+    assert len(rows) == 5
+
+
+def test_sim_ann_ivf_subset_of_probed_cells_only(spark, sf_dir):
+    """IVF must scan strictly fewer vectors than brute force: its
+    results are consistent with exact cosine on the probed subset
+    (every returned sim also appears in the brute-force full ranking
+    with the same value)."""
+    exact = {
+        r.vec_id: r.sim
+        for r in T.QUERIES["sim_ann_topk"](spark, sf_dir).collect()
+    }
+    for r in T.QUERIES["sim_ann_ivf"](spark, sf_dir).collect():
+        if r.vec_id in exact:
+            assert abs(r.sim - exact[r.vec_id]) < 1e-6
+
+
+def test_multimodal_decode_roundtrip(spark, sf_dir):
+    """Decode inverts the fake encoder exactly; constant-fill pixels
+    make mean_px == doc_id % 256; no error rows on well-formed media."""
+    rows = T.QUERIES["multimodal_decode"](spark, sf_dir).collect()
+    assert rows and all(r.error is None for r in rows)
+    for r in rows:
+        assert r.width == 1 + r.doc_id % 64
+        assert r.height == 1 + (r.doc_id * 7) % 48
+        assert abs(r.mean_px - (r.doc_id % 256)) < 1e-9
+
+
+def test_multimodal_decode_malformed_never_drops(spark, sf_dir):
+    """A corrupt blob yields an error row, not a task failure (R8)."""
+    import pandas as pd
+
+    mixed = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [7, 8],
+                "media": [b"JUNKxxxx", T._fake_image_bytes(8)],
+            }
+        )
+    )
+    rows = {
+        r.doc_id: r
+        for r in mixed.mapInPandas(
+            T.decode_image_batches, T._DECODE_SCHEMA
+        ).collect()
+    }
+    assert rows[7].error is not None and rows[7].width is None
+    assert rows[8].error is None and rows[8].width == 1 + 8 % 64
+
+
+def test_multimodal_resize_dims(spark, sf_dir):
+    for r in T.QUERIES["multimodal_resize"](spark, sf_dir).collect():
+        assert r.thumb_w == (r.width + 1) // 2
+        assert r.thumb_h == (r.height + 1) // 2
+        assert r.thumb_bytes == r.thumb_w * r.thumb_h
+
+
+def test_multimodal_frame_sample_every_fifth(spark, sf_dir):
+    for r in T.QUERIES["multimodal_frame_sample"](spark, sf_dir).collect():
+        assert r.n_sampled == (r.n_frames + 4) // 5
+        assert 1 <= r.n_frames <= 30
+
+
 def test_simhash_deterministic(spark, sf_dir):
     a = {tuple(r) for r in T.QUERIES["dedup_simhash"](spark, sf_dir).collect()}
     b = {tuple(r) for r in T.QUERIES["dedup_simhash"](spark, sf_dir).collect()}
