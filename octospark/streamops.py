@@ -68,6 +68,95 @@ def throughput_metrics(extracted: DataFrame, window: str = "1 hour") -> DataFram
     )
 
 
+SESSION_SCHEMA = (
+    "host string, session_start timestamp, session_end timestamp, "
+    "n_pages long"
+)
+_SESSION_STATE_SCHEMA = "start long, last long, n long"  # epoch micros
+
+
+def sessionize_stream(
+    pages: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful operator: per-host crawl sessions via
+    ``applyInPandasWithState`` — the arbitrary-state API that
+    ``session_window`` (octospark.relational stream_session_window)
+    cannot replace when per-group logic goes beyond a gap split (here:
+    exact page counts per session and event-time-timeout flushes).
+
+    Semantics: pages for one host belong to one session while
+    consecutive warc_ts gaps stay below ``gap``; a session is emitted
+    when a larger gap splits it in-batch, or when the event-time
+    watermark passes ``last_ts + gap`` (timeout flush). State per host
+    is three longs — at 10^12 pages the state store holds one row per
+    *active* host, not per page."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+
+    def fn(key, pdfs, state: GroupState):
+        host = key[0]
+
+        def session_row(start_us: int, last_us: int, n: int):
+            return pd.DataFrame(
+                {
+                    "host": [host],
+                    "session_start": [pd.to_datetime(start_us, unit="us")],
+                    "session_end": [pd.to_datetime(last_us, unit="us")],
+                    "n_pages": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield session_row(start, last, n)
+            return
+
+        ts: list[int] = []
+        for pdf in pdfs:
+            ts.extend(
+                pdf["warc_ts"].astype("datetime64[us]").astype("int64")
+            )
+        ts.sort()
+        start, last, n = state.get if state.exists else (None, None, 0)
+        out = []
+        for t in ts:
+            if last is not None and t - last > gap_us:
+                out.append(session_row(start, last, n))
+                start, n = t, 0
+            if start is None:
+                start = t
+            last = t
+            n += 1
+        state.update((start, last, n))
+        # event-time timeout must stay ahead of the current watermark
+        timeout_ms = max(
+            (last + gap_us) // 1000, state.getCurrentWatermarkMs() + 1
+        )
+        state.setTimeoutTimestamp(timeout_ms)
+        for df in out:
+            yield df
+
+    host = F.regexp_extract("url", r"https?://([^/]+)", 1).alias("host")
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .select(host, "warc_ts")
+        .groupBy("host")
+        .applyInPandasWithState(
+            fn,
+            SESSION_SCHEMA,
+            _SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_stream_to_parquet(
     spark: SparkSession,
     input_dir: str,

@@ -65,6 +65,91 @@ def test_stream_resume_processes_only_new_files(spark, pages, pages_dir,
     assert got.groupBy("url").count().filter("count != 1").count() == 0
 
 
+def test_stateful_sessionize_gap_split_and_timeout_flush(spark, tmp_path):
+    """applyInPandasWithState sessionizer: an in-batch gap closes a
+    session immediately; an open session is flushed when a later
+    micro-batch advances the watermark past last_ts + gap.
+
+    Batch plan (gap 30 min, watermark delay 10 min; one file per
+    micro-batch, ordered by mtime):
+      A: h1 @ 10:00, 10:05, 11:00  -> closes [10:00,10:05] in-batch
+         h2 @ 10:00
+         (watermark after A = 10:50)
+      B: h3 @ 20:00               -> h2 times out (10:30 < 10:50);
+         (watermark after B = 19:50)    h1's 11:30 deadline not yet due
+      C: h4 @ 30:00               -> h1 [11:00] times out (11:30<19:50)
+    After C, Spark's trailing no-data micro-batch advances the
+    watermark to 29:50 and flushes h3 (deadline 20:30); h4's 30:30
+    deadline stays ahead of it, so h4 alone remains open."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from octospark.streamops import sessionize_stream
+    from octospark.sources import PAGES_SCHEMA
+
+    d = pd.Timestamp("2024-03-01")
+
+    def page(host, hh, mm):
+        return (
+            f"https://{host}/p{hh}{mm}",
+            d + pd.Timedelta(hours=hh, minutes=mm),
+            b"<html></html>",
+            "",
+            "en",
+        )
+
+    in_dir = tmp_path / "sess_in"
+    in_dir.mkdir()
+    batches = [
+        [page("h1", 10, 0), page("h1", 10, 5), page("h1", 11, 0),
+         page("h2", 10, 0)],
+        [page("h3", 20, 0)],
+        [page("h4", 30, 0)],
+    ]
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            rows, columns=["url", "warc_ts", "html", "text", "lang"]
+        )
+        f = str(tmp_path / f"stage_{i}")
+        spark.createDataFrame(pdf, PAGES_SCHEMA).coalesce(1).write.parquet(f)
+        import glob
+        import shutil
+
+        src = glob.glob(f"{f}/part-*.parquet")[0]
+        dst = str(in_dir / f"b{i}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (_time.time() + i, _time.time() + i))
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    sessions = sessionize_stream(stream, gap="30 minutes",
+                                 watermark="10 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.host, r.session_start.strftime("%H:%M"),
+         r.session_end.strftime("%H:%M"), r.n_pages)
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    assert got == {
+        ("h1", "10:00", "10:05", 2),   # closed by in-batch gap
+        ("h2", "10:00", "10:00", 1),   # timeout flush in batch B
+        ("h1", "11:00", "11:00", 1),   # timeout flush in batch C
+        ("h3", "20:00", "20:00", 1),   # flushed by final no-data batch
+    }, got
+
+
 def test_rate_source_windowed_agg(spark):
     from octospark.streamops import throughput_metrics
 
