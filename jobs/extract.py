@@ -3,13 +3,17 @@
     spark-submit --py-files octospark.zip jobs/extract.py \
         --input /path/to/pages_parquet --out /path/to/extracted \
         [--sf-dir /root/testdata/sf0.001]  (synthesize pages instead)
-        [--n-buckets 64] [--salt-buckets 16] [--max-bytes N] [--resume]
+        [--n-buckets 64] [--max-bytes N] [--salted [--salt-partitions P]]
+        [--mode full|text-only|spans-only]
 
 Reads a pages table (or synthesizes one from a testdata sf dir), runs
 the fused extraction with per-bucket lineage, commits a manifest
-snapshot, prints the inspect JSON. Rerunning with --resume (or at all —
-commits are idempotent) processes only missing buckets (reference
-analog: --resume, /root/reference/src/octopy/cli/train.py:140-162).
+snapshot, prints the inspect JSON. Rerunning is always a resume:
+commits are idempotent and only missing buckets are processed
+(reference analog: --resume, /root/reference/src/octopy/cli/train.py:
+140-162). --mode projects the committed output on read-back (the
+lines-only / regions-only analog, reference src/octopy/segment.py:
+94-115,128-130) — lineage always commits the full rows.
 """
 
 from __future__ import annotations
@@ -29,13 +33,28 @@ def main() -> None:
     ap.add_argument("--out", required=True, help="output dir (data + manifest)")
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--max-bytes", type=int, default=None)
+    ap.add_argument("--salted", action="store_true",
+                    help="salted url-hash repartition before the UDF")
+    ap.add_argument("--salt-partitions", type=int, default=None)
+    ap.add_argument(
+        "--mode", choices=("full", "text-only", "spans-only"),
+        default="full",
+        help="projection of the read-back preview (R14/R15 analog)",
+    )
+    ap.add_argument(
+        "--export-format", choices=("parquet", "jsonl"), default=None,
+        help="also export the committed snapshot (R28 analog)",
+    )
+    ap.add_argument("--export-dest", default=None)
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
     if not args.input and not args.sf_dir:
         ap.error("one of --input / --sf-dir is required")
 
-    from octospark.lineage import inspect, run_extract
+    from octospark.lineage import (
+        export_extracted, inspect, read_extracted, run_extract,
+    )
     from octospark.session import get_spark
     from octospark.sources import build_pages
 
@@ -46,9 +65,27 @@ def main() -> None:
     else:
         pages = build_pages(spark, args.sf_dir)
     run_extract(
-        spark, pages, args.out, n_buckets=args.n_buckets, run_id=args.run_id
+        spark, pages, args.out, n_buckets=args.n_buckets,
+        run_id=args.run_id, max_bytes=args.max_bytes,
+        salted=args.salted, salt_partitions=args.salt_partitions,
     )
-    print(json.dumps(inspect(args.out), indent=1))
+    meta = inspect(args.out)
+    if args.export_format:
+        dest = args.export_dest or (args.out.rstrip("/") + "_export")
+        meta["exported_rows"] = export_extracted(
+            spark, args.out, dest, args.export_format
+        )
+        meta["export"] = {"format": args.export_format, "dest": dest}
+    if args.mode != "full":
+        cols = (
+            ["url", "text"] if args.mode == "text-only"
+            else ["url", "spans"]
+        )
+        meta["preview_mode"] = args.mode
+        meta["preview_rows"] = read_extracted(spark, args.out).select(
+            *cols
+        ).count()
+    print(json.dumps(meta, indent=1))
     spark.stop()
 
 

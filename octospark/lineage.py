@@ -102,6 +102,9 @@ def run_extract(
     n_buckets: int = DEFAULT_BUCKETS,
     run_id: str | None = None,
     fail_after_buckets: int | None = None,
+    max_bytes: int | None = None,
+    salted: bool = False,
+    salt_partitions: int | None = None,
 ) -> dict:
     """Extract with per-bucket lineage + idempotent commit.
 
@@ -112,8 +115,11 @@ def run_extract(
 
     Returns the updated manifest dict.
     """
+    from octospark import MAX_HTML_BYTES
     from octospark.pipeline import extract_pages
 
+    if max_bytes is None:
+        max_bytes = MAX_HTML_BYTES
     run_id = run_id or uuid.uuid4().hex[:12]
     os.makedirs(out_dir, exist_ok=True)
     manifest = read_manifest(out_dir)
@@ -130,7 +136,12 @@ def run_extract(
         for r in todo.groupBy("part_key").agg(F.count("*").alias("n")).collect()
     }
 
-    extracted = extract_pages(todo.drop("part_key"))
+    extracted = extract_pages(
+        todo.drop("part_key"),
+        max_bytes=max_bytes,
+        salted=salted,
+        num_partitions=salt_partitions,
+    )
     extracted = with_part_key(extracted, n_buckets).persist()
     try:
         lineage_rows = {
@@ -185,6 +196,28 @@ def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
     done = committed_buckets(out_dir)
     df = spark.read.parquet(os.path.join(out_dir, "data"))
     return df.filter(F.col("part_key").isin([int(k) for k in done]))
+
+
+EXPORT_FORMATS = ("parquet", "jsonl")
+
+
+def export_extracted(
+    spark: SparkSession, out_dir: str, dest: str, fmt: str = "parquet"
+) -> int:
+    """Final-artifact export (R28 analog: safetensors/coreml conversion,
+    reference src/octopy/train.py:171-183): rewrite the committed
+    snapshot as plain Parquet or JSONL. Spans serialize natively in both
+    (JSONL via Spark's json sink). Returns the exported row count."""
+    if fmt not in EXPORT_FORMATS:
+        raise ValueError(f"fmt must be one of {EXPORT_FORMATS}")
+    df = read_extracted(spark, out_dir).drop("part_key", "run_id")
+    if fmt == "jsonl":
+        df.write.mode("overwrite").json(dest)
+    else:
+        df.write.mode("overwrite").parquet(dest)
+    return spark.read.format(
+        "json" if fmt == "jsonl" else "parquet"
+    ).load(dest).count()
 
 
 def lineage_table(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -112,3 +112,37 @@ def test_manifest_commit_is_atomic(spark, pages, out_dir):
     # no stray tmp files left behind
     leftovers = [f for f in os.listdir(out_dir) if ".tmp." in f]
     assert leftovers == []
+
+
+def test_export_jsonl_and_parquet_roundtrip(spark, pages, out_dir):
+    from octospark.lineage import export_extracted
+
+    run_extract(spark, pages, out_dir, n_buckets=N_BUCKETS, run_id="rx")
+    n = pages.count()
+    dest_j = out_dir + "_jsonl"
+    dest_p = out_dir + "_pq"
+    assert export_extracted(spark, out_dir, dest_j, "jsonl") == n
+    assert export_extracted(spark, out_dir, dest_p, "parquet") == n
+    # text survives both sinks byte-identically
+    golden = _texts(read_extracted(spark, out_dir))
+    assert _texts(spark.read.json(dest_j)) == golden
+    assert _texts(spark.read.parquet(dest_p)) == golden
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        export_extracted(spark, out_dir, out_dir + "_bad", "csv")
+
+
+def test_run_extract_salted_and_max_bytes(spark, pages, out_dir):
+    """The wired-through knobs: salted repartition preserves the
+    byte-identical result; max_bytes guards rows into error outputs."""
+    run_extract(spark, pages, out_dir, n_buckets=N_BUCKETS, run_id="rs",
+                salted=True, salt_partitions=8)
+    got = read_extracted(spark, out_dir)
+    assert got.count() == pages.count()
+    tiny = out_dir + "_tiny"
+    run_extract(spark, pages, tiny, n_buckets=N_BUCKETS, run_id="rt",
+                max_bytes=10)  # everything oversized
+    g2 = read_extracted(spark, tiny)
+    assert g2.filter("error = 'size_guard'").count() == pages.count()
+    assert g2.filter("text != ''").count() == 0
