@@ -145,8 +145,18 @@ _HW_HTMLS: list = []
 
 
 def _hw_init(sf_dir: str) -> None:
+    """Load 1000 pages for the probe — from the SAME staged bench table
+    when it exists, so the hardware ceiling is measured on identical
+    per-page work (a probe on different pages is not a ceiling)."""
     import duckdb
 
+    staged = staged_pages_path()
+    if os.path.exists(os.path.join(staged, "_SUCCESS")):
+        rows = duckdb.sql(
+            f"SELECT html FROM '{staged}/*.parquet' LIMIT 1000"
+        ).fetchall()
+        _HW_HTMLS.extend(bytes(r[0]) for r in rows)
+        return
     from octospark.htmlgen import build_html
 
     rows = duckdb.sql(

@@ -33,7 +33,9 @@ Determinism rules (SURVEY.md §7.3):
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass
+from html import unescape as _unescape  # same fn HTMLParser uses
 from html.parser import HTMLParser
 
 # --- vocabulary -----------------------------------------------------------
@@ -257,20 +259,224 @@ class _BlockParser(HTMLParser):
         self.pieces.append((data, self.link_depth > 0))
 
 
-def segment_blocks(html: bytes | str | None, with_hist: bool = True) -> list:
+# --- fast tokenizer --------------------------------------------------------
+# Drives the SAME _BlockParser handler methods as the stdlib HTMLParser
+# but with a single lean scan (~2-3x faster: the stdlib machinery —
+# attribute materialization, updatepos, charref splitting — dominates
+# the profile and none of it feeds our features). Tag-boundary decisions
+# reuse html.parser's OWN compiled tolerant regexes, so the tokenization
+# is behavior-identical by construction; equivalence with the stdlib
+# walk is additionally enforced block-for-block in
+# tests/test_extractor.py over every fixture, every sf0.001 page, and
+# thousands of byte-level mutations.
+
+try:  # CPython html.parser module-level regexes (3.8-3.12 stable names)
+    from html.parser import attrfind_tolerant as _ATTRFIND
+    from html.parser import endtagfind as _ENDTAGFIND
+    from html.parser import locatestarttagend_tolerant as _LOCATE_START
+    from html.parser import tagfind_tolerant as _TAGFIND
+
+    _HAVE_TOLERANT = True
+except ImportError:  # pragma: no cover — fall back to stdlib engine
+    _HAVE_TOLERANT = False
+
+_CDATA_STRICT = {
+    "script": re.compile(r"</\s*script\s*>", re.IGNORECASE),
+    "style": re.compile(r"</\s*style\s*>", re.IGNORECASE),
+}
+# Conservative well-formed start tag (the hot path): simple name, simple
+# attrs (no '<'/'>'/stray quotes inside), optional '/>' suffix. By
+# construction every match is tokenized identically by the stdlib
+# tolerant machinery (incl. the self-closing rule: a bare value eats a
+# trailing '/', so only a detached '/' marks '/>'); anything else falls
+# back to the tolerant path below.
+_SIMPLE_START = re.compile(
+    r"<([a-zA-Z][-a-zA-Z0-9:_.]*)"
+    r"((?:\s+[^\s/>=\"'<]+"
+    r"(?:\s*=\s*(?:\"[^\"<>]*\"|'[^'<>]*'|[^\s>\"'`=<]+))?)*)"
+    r"\s*(/?)>"
+)
+_MARKED_CLOSE = re.compile(r"]\s*]\s*>")
+_MARKED_KNOWN = frozenset(
+    {"temp", "cdata", "ignore", "include", "rcdata", "if", "else", "endif"}
+)
+# check_for_whole_start_tag's incomplete-at-boundary character class
+_INCOMPLETE_NEXT = frozenset(
+    "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+)
+
+
+def _recover(text: str, p: _BlockParser, lt: int) -> int:
+    """stdlib goahead() end-of-input recovery for an incomplete
+    construct at ``lt``: emit through the next '>' (inclusive) or up to
+    the next '<', unescaped, else just '<'; return the resume index."""
+    j = text.find(">", lt + 1)
+    if j >= 0:
+        chunk = text[lt : j + 1]
+    else:
+        j2 = text.find("<", lt + 1)
+        if j2 >= 0:
+            chunk = text[lt:j2]
+            j = j2 - 1
+        else:
+            p.handle_data("<")
+            return lt + 1
+    p.handle_data(_unescape(chunk) if "&" in chunk else chunk)
+    return j + 1
+
+
+def _fast_walk(text: str, p: _BlockParser) -> None:
+    """Tokenize ``text`` and drive the handler callbacks of ``p``,
+    mirroring stdlib HTMLParser(convert_charrefs=True) semantics for
+    everything our handler observes: charrefs decoded in data; CDATA
+    content mode for script/style (tags inside are NOT parsed, and only
+    a strict ``</script>`` leaves the mode); '/>'-suffixed tags routed
+    to handle_startendtag; broken start tags emitted raw; bogus end
+    tags consumed as comments; incomplete constructs recovered via
+    :func:`_recover`; stray '<' emitted as data."""
+    i, n = 0, len(text)
+    find = text.find
+    while i < n:
+        lt = find("<", i)
+        if lt < 0:
+            chunk = text[i:]
+            p.handle_data(_unescape(chunk) if "&" in chunk else chunk)
+            break
+        if lt > i:
+            chunk = text[i:lt]
+            p.handle_data(_unescape(chunk) if "&" in chunk else chunk)
+        nxt = text[lt + 1] if lt + 1 < n else ""
+        if nxt == "/":
+            gt = find(">", lt + 1)
+            if gt < 0:  # no '>' anywhere: incomplete endtag
+                i = _recover(text, p, lt)
+                continue
+            m = _ENDTAGFIND.match(text, lt)  # strict '</ name >'
+            if m:
+                p.handle_endtag(m.group(1).lower())
+                i = m.end()
+                continue
+            nm = _TAGFIND.match(text, lt + 2)  # tolerant name at i+2
+            if nm:
+                p.handle_endtag(nm.group(1).lower())
+                i = find(">", nm.end()) + 1  # exists: gt >= name end
+                continue
+            if text.startswith("</>", lt):
+                i = lt + 3
+                continue
+            i = gt + 1  # bogus comment: silent consume to '>'
+            continue
+        elif "a" <= nxt <= "z" or "A" <= nxt <= "Z":
+            ms = _SIMPLE_START.match(text, lt)
+            if ms:
+                tag = ms.group(1).lower()
+                selfclose = ms.group(3) == "/"
+                endpos = ms.end()
+            else:  # weird tag: stdlib tolerant machinery, verbatim
+                m = _LOCATE_START.match(text, lt)
+                j = m.end()
+                nc = text[j : j + 1]
+                if nc == ">":
+                    endpos = j + 1
+                elif nc == "/" and text.startswith("/>", j):
+                    endpos = j + 2
+                elif nc == "" or nc in _INCOMPLETE_NEXT:
+                    i = _recover(text, p, lt)  # incomplete at input end
+                    continue
+                else:  # broken start tag: raw data through attr region
+                    p.handle_data(text[lt:j])
+                    i = j
+                    continue
+                # faithful parse_starttag: walk attrs, then classify the
+                # tail — '>' start, '/>' startend, else raw data
+                nm = _TAGFIND.match(text, lt + 1)
+                tag = nm.group(1).lower()
+                k = nm.end()
+                while k < endpos:
+                    am = _ATTRFIND.match(text, k)
+                    if not am:
+                        break
+                    k = am.end()
+                tail = text[k:endpos].strip()
+                if tail == ">":
+                    selfclose = False
+                elif tail == "/>":
+                    selfclose = True
+                else:
+                    p.handle_data(text[lt:endpos])
+                    i = endpos
+                    continue
+            i = endpos
+            if selfclose:
+                p.handle_startendtag(tag, None)
+                continue
+            p.handle_starttag(tag, None)
+            cd = _CDATA_STRICT.get(tag)
+            if cd is not None:  # content mode: no tag parsing inside
+                mc = cd.search(text, i)
+                if mc is None:
+                    break  # never strictly closed: rest is raw data
+                i = mc.start()  # strict close: _ENDTAGFIND consumes it
+            continue
+        elif nxt == "!":
+            if text.startswith("<!--", lt):
+                j = find("-->", lt + 4)
+                if j >= 0:
+                    i = j + 3
+                    continue
+                i = _recover(text, p, lt)
+                continue
+            if text.startswith("<![", lt):
+                sect = re.match(r"[^\s\[]+", text[lt + 3 : lt + 20])
+                if sect is None or sect.group(0).lower() not in _MARKED_KNOWN:
+                    raise ValueError("unknown marked section")  # = stdlib
+                mc = _MARKED_CLOSE.search(text, lt + 3)
+                if mc is None:
+                    i = _recover(text, p, lt)
+                    continue
+                i = mc.end()
+                continue
+            j = find(">", lt + 2)
+            if j >= 0:  # doctype / bogus comment: silent
+                i = j + 1
+                continue
+            i = _recover(text, p, lt)
+            continue
+        elif nxt == "?":
+            j = find(">", lt + 2)
+            if j >= 0:
+                i = j + 1
+                continue
+            i = _recover(text, p, lt)
+            continue
+        # lone/stray '<': data (tolerant mode)
+        p.handle_data("<")
+        i = lt + 1
+
+
+def segment_blocks(
+    html: bytes | str | None, with_hist: bool = True, engine: str | None = None
+) -> list:
     """Stage 1: html -> ordered list[Block] in DOM order.
 
     Pure function of the input bytes; DOM order is preserved (reading
     order, analog of reference src/octopy/segment.py:149-156).
     ``with_hist=False`` skips the char-class histogram (~20% of parse
     cost) — used by the fused extraction path, where the classifier
-    never reads it.
+    never reads it. ``engine='fast'`` (default) uses the lean regex
+    tokenizer; ``'stdlib'`` uses html.parser.HTMLParser — both drive the
+    same handler and are tested block-identical.
     """
+    if engine is None:
+        engine = "fast" if _HAVE_TOLERANT else "stdlib"
     text = decode_html(html)
     parser = _BlockParser(with_hist=with_hist)
     try:
-        parser.feed(text)
-        parser.close()
+        if engine == "fast":
+            _fast_walk(text, parser)
+        else:
+            parser.feed(text)
+            parser.close()
     except Exception:
         # parser blow-up: salvage whatever blocks were produced
         pass

@@ -124,3 +124,56 @@ def test_htmlgen_deterministic():
         assert build_html(doc_id, text, source) == build_html(doc_id, text, source)
         p1, p2 = (build_page(doc_id, text, lang, source) for _ in range(2))
         assert p1 == p2
+
+
+# --- fast-tokenizer equivalence (engine='fast' vs stdlib HTMLParser) -------
+
+def _block_key(b):
+    return (b.block_id, b.tag_path, b.depth, b.text, b.n_chars, b.n_words,
+            b.n_link_chars, b.link_density, b.text_density,
+            tuple(b.char_hist))
+
+
+def _engines_agree(html) -> bool:
+    from octospark.extractor import segment_blocks
+
+    return [_block_key(b) for b in segment_blocks(html, engine="fast")] == [
+        _block_key(b) for b in segment_blocks(html, engine="stdlib")
+    ]
+
+
+@pytest.mark.parametrize("name,html", CASES, ids=[c[0] for c in CASES])
+def test_fast_engine_equivalent_on_fixtures(name, html):
+    assert _engines_agree(html)
+
+
+def test_fast_engine_equivalent_on_corpus_and_mutations():
+    """Block-identical fast vs stdlib tokenization over generated pages
+    plus byte-level mutations (truncations + adversarial injections at
+    several positions) — the contract that lets the fast engine be the
+    default."""
+    rows = duckdb.sql(
+        "SELECT doc_id, text, source FROM "
+        "'/root/testdata/sf0.001/documents.parquet' LIMIT 60"
+    ).fetchall()
+    pages = [build_html(*r) for r in rows]
+    for h in pages:
+        assert _engines_agree(h)
+    inject = [
+        b"<", b"<<>", b"</", b"<!--oops", b"<p junk='a>b'",
+        b"&amp;&bogus;&#65;", b"<br/>", b"<ScRiPt>x<div></sCrIpT>",
+        b"<style>p{}<", b"<?php echo ?>", b"<!DOCTYPE junk>", b"<a/>",
+        b"</ weird>", b"</>", b"<p a=\"x>y\"", b"<em x='unclosed",
+        b"<!--term-->", b"<div/><span>word</span>",
+        b"<![CDATA[hidden <p>x</p>]]>", b"<![BAD[z]]>", b"</script foo>",
+        b"<scriptx>y</scriptx>", b"<vector</p>", b"<p\x00weird>",
+        b"<P UPPER>x</P>", b"<a href=x/>", b"<hr />",
+        b"<input type='checkbox' checked/>",
+    ]
+    for h in pages[:12]:
+        n = len(h)
+        for cut in [3, 17, n // 7, n // 3, n // 2, n - 5, n - 1]:
+            assert _engines_agree(h[:cut]), ("trunc", cut)
+        for inj in inject:
+            for pos in [n // 4, n // 2, 3 * n // 4]:
+                assert _engines_agree(h[:pos] + inj + h[pos:]), (inj, pos)
