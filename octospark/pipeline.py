@@ -283,6 +283,45 @@ def classify(blocks: DataFrame) -> Column | DataFrame:
     return blocks.withColumn("label", F.coalesce(label, F.lit("unknown")))
 
 
+def classify_with(
+    blocks: DataFrame, strategy: str = "heuristic", model: dict | None = None
+) -> DataFrame:
+    """Strategy dispatch for stage 2 — the plugin-override analog
+    (reference src/octopy/segment.py:52-57 registers a polygonizer by
+    name and monkeypatches it in; here it is plain function dispatch
+    chosen by config, no monkeypatch).
+
+    - ``'heuristic'``: the rule cascade (:func:`classify`), pure JVM.
+    - ``'scored'``: the learned logistic scorer
+      (:func:`octospark.scorer.score_blocks`), also pure JVM at
+      inference; forced ancestor/tag labels still win (the scorer only
+      arbitrates content-vs-noise), so structural labels stay stable
+      across strategies.
+    """
+    if strategy == "heuristic":
+        return classify(blocks)
+    if strategy != "scored":
+        raise ValueError(f"unknown classify strategy: {strategy!r}")
+    if model is None:
+        raise ValueError("strategy 'scored' requires a fitted model dict")
+    from octospark.scorer import score_blocks
+
+    scored = score_blocks(blocks, model)
+    path_arr = F.split(F.col("tag_path"), "/")
+    last = F.element_at(path_arr, -1)
+    structural = F.coalesce(
+        _ancestor_label(path_arr),
+        F.when(last.isin(*_HEADINGS), F.lit("heading")),
+        F.when(last == "figcaption", F.lit("caption")),
+        F.when(F.exists(path_arr, lambda t: t.isin(*_TABLES)), F.lit("table")),
+    )
+    return scored.withColumn(
+        "label",
+        F.coalesce(structural, F.col("scored_label"), F.lit("unknown")),
+    ).drop("score", "scored_label", "prev_words", "next_words",
+           "prev_link_density")
+
+
 # --------------------------------------------------------------------------
 # staged path — merge: spans + text via built-ins only
 # --------------------------------------------------------------------------

@@ -71,3 +71,35 @@ def test_inference_is_jvm_only(spark, labeled):
     head = plan.split("MapInPandas")[0]  # everything above the segmenter
     assert "score" in head and "Project" in head
     assert scored.filter(F.col("scored_label").isNull()).count() == 0
+
+
+def test_classify_with_dispatch(spark, labeled):
+    """R4 strategy dispatch: heuristic == classify(); scored keeps
+    structural labels and emits content/noise from the model."""
+    from octospark.pipeline import classify_with
+    from octospark.scorer import fit_scorer
+
+    blocks = labeled.drop("label")
+    heur = classify_with(blocks, "heuristic")
+    model = fit_scorer(labeled, epochs=30, max_rows=5_000)
+    sc = classify_with(blocks, "scored", model)
+    assert set(sc.columns) == set(heur.columns)
+    labels = {r.label for r in sc.select("label").distinct().collect()}
+    assert labels <= {"content", "noise", "heading", "caption", "table",
+                      "boilerplate-nav", "boilerplate-header",
+                      "boilerplate-footer", "advert", "unknown"}
+    # structural labels identical across strategies
+    j = (heur.selectExpr("url", "block_id", "label AS lh")
+         .join(sc.selectExpr("url", "block_id", "label AS ls"),
+               ["url", "block_id"]))
+    # boilerplate-nav excluded: the heuristic also assigns it from
+    # link density, which the scored strategy intentionally arbitrates
+    structural = ("heading", "caption", "table",
+                  "boilerplate-header", "boilerplate-footer", "advert")
+    assert j.filter(
+        (F.col("lh").isin(*structural)) & (F.col("lh") != F.col("ls"))
+    ).count() == 0
+    with pytest.raises(ValueError):
+        classify_with(blocks, "bogus")
+    with pytest.raises(ValueError):
+        classify_with(blocks, "scored")
