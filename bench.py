@@ -223,6 +223,12 @@ def scaling_runs() -> dict:
     on the quiet-machine number as passes grow."""
     levels = sorted({n for pair in SCALING_PAIRS for n in pair})
     n_passes = int(os.environ.get("OCTOSPARK_SCALING_PASSES", "3"))
+    # scaling runs use 2x the pages: the ratio is what matters, and a
+    # longer run amortizes the ~2s fixed JVM/session overhead that
+    # otherwise biases the 4N side down
+    scaling_mult = int(
+        os.environ.get("OCTOSPARK_SCALING_MULT", str(PAGES_MULT * 2))
+    )
     res = {}
     hw_raw: dict = {}
     passes: list = []  # per-pass {level: sec} for paired efficiencies
@@ -230,7 +236,7 @@ def scaling_runs() -> dict:
         this_pass = {}
         for n in levels:
             env = dict(os.environ)
-            env["OCTOSPARK_PAGES_MULT"] = str(PAGES_MULT)
+            env["OCTOSPARK_PAGES_MULT"] = str(scaling_mult)
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--extract-only",
                  f"local[{n}]"],
