@@ -190,12 +190,13 @@ class _BlockParser(HTMLParser):
         if not self.pieces:
             return
         raw = "".join(p for p, _ in self.pieces)
-        text = _norm_ws(raw)
-        if not text:
+        words = raw.split()  # one pass: text = _norm_ws(raw), words, count
+        if not words:
             self.pieces = []
             return
+        text = " ".join(words)
         n_chars = len(text)
-        n_words = len(text.split())
+        n_words = len(words)
         n_link_chars = sum(len(_norm_ws(p)) for p, is_link in self.pieces if is_link)
         n_link_chars = min(n_link_chars, n_chars)
         link_density = n_link_chars / n_chars

@@ -743,3 +743,126 @@ def repartition_salted(spark, sf):
         F.count("*").alias("n"),
         F.countDistinct("doc_id").alias("n_distinct"),
     )
+
+
+@register(
+    "join_full_outer",
+    "SELECT c.c_custkey, c.c_name, o.o_orderkey FROM customer c "
+    "FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey",
+)
+def join_full_outer(spark, sf):
+    # pipeline role: reconcile two crawl snapshots (urls in either side)
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        "c_custkey", "c_name", "o_orderkey"
+    )
+
+
+@register(
+    "window_ntile_percent",
+    "SELECT o_orderkey, "
+    "NTILE(4) OVER w AS quartile, "
+    "PERCENT_RANK() OVER w AS prank, "
+    "CUME_DIST() OVER w AS cdist "
+    "FROM orders WINDOW w AS (ORDER BY o_totalprice, o_orderkey)",
+)
+def window_ntile_percent(spark, sf):
+    # pipeline role: quality-score quartiles for corpus filtering
+    o = load_table(spark, sf, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@register(
+    "agg_pivot",
+    "SELECT o_orderpriority, "
+    "COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F, "
+    "COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O, "
+    "COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P "
+    "FROM orders GROUP BY o_orderpriority",
+)
+def agg_pivot(spark, sf):
+    # pipeline role: label x host matrix for corpus composition reports
+    o = load_table(spark, sf, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    # pivot yields NULL for empty cells; FILTER-count yields 0
+    return piv.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("F", "O", "P")],
+    )
+
+
+@register(
+    "scalar_url_parse",
+    "SELECT doc_id, url, "
+    "regexp_extract(url, '^https?://([^/]+)', 1) AS host, "
+    "regexp_extract(url, '^https?://[^/]+(/.*)$', 1) AS path, "
+    "regexp_extract(url, '\\.([a-z]+)\\.example\\.org', 1) AS subdomain "
+    "FROM (SELECT doc_id, 'https://' || source || '.example.org/doc/' "
+    "|| doc_id AS url FROM documents)",
+)
+def scalar_url_parse(spark, sf):
+    # pipeline role: host extraction for salting/session grouping (the
+    # same expression family as pipeline.host_of)
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), "source", F.lit(".example.org/doc/"),
+            F.col("doc_id"),
+        ).alias("url"),
+    )
+    return d.select(
+        "doc_id",
+        "url",
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+        F.regexp_extract("url", r"^https?://[^/]+(/.*)$", 1).alias("path"),
+        F.regexp_extract("url", r"\.([a-z]+)\.example\.org", 1).alias(
+            "subdomain"
+        ),
+    )
+
+
+@register(
+    "unpivot_melt",
+    "SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, "
+    "l_quantity AS val FROM lineitem WHERE l_linenumber <= 2 "
+    "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount "
+    "FROM lineitem WHERE l_linenumber <= 2 "
+    "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax "
+    "FROM lineitem WHERE l_linenumber <= 2",
+)
+def unpivot_melt(spark, sf):
+    # pipeline role: wide metrics row -> long (metric, value) pairs for
+    # the lineage/metrics sink
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_linenumber") <= 2)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+
+
+@register(
+    "agg_median_percentile",
+    "SELECT o_orderstatus, median(o_totalprice) AS med, "
+    "quantile_cont(o_totalprice, 0.25) AS p25 "
+    "FROM orders GROUP BY o_orderstatus",
+)
+def agg_median_percentile(spark, sf):
+    # pipeline role: doc-length / quality-score distribution summaries
+    o = load_table(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.median("o_totalprice").alias("med"),
+        F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
+    )

@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(ARROW_MAX_RECORDS_PER_BATCH))
+        # NOTE: the driver test tables are single-row-group parquet, so
+        # lowering spark.sql.files.maxPartitionBytes cannot widen their
+        # scans (verified: splits of one row group yield empty tasks);
+        # compute-heavy stages repartition explicitly instead.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
