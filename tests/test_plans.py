@@ -99,3 +99,31 @@ def test_semi_anti_joins_plan_shapes(spark):
     anti = plan_of(QUERIES["join_left_anti"](spark, SF))
     assert "LeftSemi" in semi
     assert "LeftAnti" in anti
+
+
+def test_full_outer_join_plan(spark):
+    plan = plan_of(QUERIES["join_full_outer"](spark, SF))
+    assert "FullOuter" in plan
+    assert "SortMergeJoin" in plan  # full outer can't broadcast
+
+
+def test_pivot_has_partial_aggregation(spark):
+    plan = plan_of(QUERIES["agg_pivot"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_unpivot_is_expand_no_shuffle(spark):
+    """unpivot must lower to Expand (row generation inside the scan
+    stage), never a union of N scans or a shuffle."""
+    df = QUERIES["unpivot_melt"](spark, SF)
+    plan = plan_of(df)
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
+
+
+def test_url_parse_stays_in_codegen(spark):
+    plan = plan_of(QUERIES["scalar_url_parse"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "*(" in plan  # '*' prefix = whole-stage-codegen span
