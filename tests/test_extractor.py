@@ -177,3 +177,54 @@ def test_fast_engine_equivalent_on_corpus_and_mutations():
         for inj in inject:
             for pos in [n // 4, n // 2, 3 * n // 4]:
                 assert _engines_agree(h[:pos] + inj + h[pos:]), (inj, pos)
+
+
+# --- property-based fuzz (hypothesis) ---------------------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HTMLISH = st.text(
+        alphabet=st.sampled_from(
+            list("<>/!-='\"& abcdefghijklmnopqrstuvwxyzPBR&#;\n\t中\U0001f600")
+        ),
+        max_size=400,
+    )
+    _TAGS = st.sampled_from(
+        ["<p>", "</p>", "<div>", "</div>", "<a href='/x'>", "</a>",
+         "<script>", "</script>", "<br/>", "<nav>", "</nav>", "<!--",
+         "-->", "<![CDATA[", "]]>", "&amp;", "&#65;", "word "]
+    )
+    _PAGE = st.lists(st.one_of(_HTMLISH, _TAGS), max_size=30).map(
+        lambda parts: "".join(parts).encode("utf-8")
+    )
+
+    @given(_PAGE)
+    @settings(max_examples=300, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def test_fuzz_fast_engine_equivalent(html):
+        assert _engines_agree(html)
+
+    @given(st.binary(max_size=300))
+    @settings(max_examples=200, deadline=None)
+    def test_fuzz_extract_total_and_lawful(data):
+        """extract() is total on arbitrary bytes and its outputs obey
+        the span laws (FIXTURES.md §D)."""
+        from octospark.extractor import extract
+
+        r = extract(data)
+        assert isinstance(r["text"], str)
+        pos = 0
+        for s in r["spans"]:
+            assert 0 <= s["start"] <= s["end"] <= len(r["text"])
+            assert s["start"] >= pos or s["start"] == 0
+            pos = s["end"]
+        # concatenating span slices reproduces text exactly
+        joined = "\n".join(
+            r["text"][s["start"]:s["end"]] for s in r["spans"]
+        )
+        assert joined == r["text"]
+
+except ImportError:  # pragma: no cover — hypothesis absent
+    pass
