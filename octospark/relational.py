@@ -320,7 +320,7 @@ def window_row_number(spark, sf):
         F.col("o_orderdate").desc(), F.col("o_orderkey")
     )
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "rn")
     )
@@ -341,8 +341,8 @@ def window_rank_dense(spark, sf):
     return s.select(
         "s_suppkey",
         "s_nationkey",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
     )
 
 
@@ -491,7 +491,7 @@ def scalar_string_funcs(spark, sf):
     p = load_table(spark, sf, "part")
     return p.select(
         "p_partkey",
-        F.length("p_name").alias("n_len"),
+        F.length("p_name").cast("long").alias("n_len"),
         F.upper("p_name").alias("uname"),
         F.trim("p_name").alias("tname"),
         F.substring("p_name", 1, 5).alias("pre5"),
@@ -526,16 +526,16 @@ def scalar_date_funcs(spark, sf):
     e = load_table(spark, sf, "events")
     return e.select(
         "event_id",
-        F.year("ts").alias("y"),
-        F.month("ts").alias("m"),
-        F.dayofmonth("ts").alias("d"),
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
         F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
         F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
             "hour_str"
         ),
-        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
-            "days_since"
-        ),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
     )
 
 
@@ -569,9 +569,9 @@ def scalar_array_funcs(spark, sf):
     em = load_table(spark, sf, "embeddings")
     return em.select(
         "vec_id",
-        F.size("embedding").alias("n_dims"),
+        F.size("embedding").cast("long").alias("n_dims"),
         F.element_at("embedding", 1).cast("double").alias("first_dim"),
-        F.size(F.slice("embedding", 1, 8)).alias("n_slice"),
+        F.size(F.slice("embedding", 1, 8)).cast("long").alias("n_slice"),
     )
 
 
@@ -599,7 +599,7 @@ def explode_spans(spark, sf):
     return p.select(
         "p_partkey",
         F.posexplode(F.split("p_name", " ")).alias("pos", "word"),
-    ).select("p_partkey", "word", (F.col("pos") + 1).alias("ord"))
+    ).select("p_partkey", "word", (F.col("pos") + 1).cast("long").alias("ord"))
 
 
 # --------------------------------------------------------------------------
@@ -773,7 +773,7 @@ def window_ntile_percent(spark, sf):
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return o.select(
         "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.percent_rank().over(w).alias("prank"),
         F.cume_dist().over(w).alias("cdist"),
     )

@@ -359,7 +359,8 @@ def sim_ann_topk(spark, sf):
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
-        .select("rank", "vec_id", F.round("raw_sim", 6).alias("sim"))
+        .select(F.col("rank").cast("long").alias("rank"), "vec_id",
+                F.round("raw_sim", 6).alias("sim"))
     )
 
 
@@ -496,7 +497,7 @@ def _lang_scores_spark(toks):
     for lang, words in _STOPWORDS.items():
         cols[f"s_{lang}"] = F.size(
             F.filter(toks, lambda t: t.isin(*words))
-        )
+        ).cast("long")
     return cols
 
 
@@ -534,7 +535,8 @@ def text_langid(spark, sf):
     d = load_table(spark, sf, "documents")
     toks = _words(F.lower(F.col("text")))
     sc = _lang_scores_spark(toks)
-    s_zh = F.regexp_count(F.col("text"), F.lit(_CJK_PATTERN)).alias("s_zh")
+    s_zh = (F.regexp_count(F.col("text"), F.lit(_CJK_PATTERN))
+            .cast("long").alias("s_zh"))
     base = d.select(
         "doc_id", *[c.alias(n) for n, c in sc.items()], s_zh
     )
@@ -578,8 +580,8 @@ def text_quality_score(spark, sf):
     n_tokens = F.size(toks)
     return d.select(
         "doc_id",
-        F.length("text").alias("n_chars_m"),
-        n_tokens.alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_m"),
+        n_tokens.cast("long").alias("n_tokens"),
         (
             F.length(F.regexp_replace("text", " ", "")).cast("double")
             / n_tokens
@@ -604,10 +606,10 @@ def text_token_count(spark, sf):
     d = load_table(spark, sf, "documents")
     return d.select(
         "doc_id",
-        F.size(_words(F.col("text"))).alias("n_ws_tokens"),
-        F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+")).alias(
-            "n_re_tokens"
-        ),
+        F.size(_words(F.col("text"))).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+"))
+        .cast("long")
+        .alias("n_re_tokens"),
     )
 
 
