@@ -297,10 +297,10 @@ _SIMPLE_START = re.compile(
     r"(?:\s*=\s*(?:\"[^\"<>]*\"|'[^'<>]*'|[^\s>\"'`=<]+))?)*)"
     r"\s*(/?)>"
 )
-_MARKED_CLOSE = re.compile(r"]\s*]\s*>")
-_MARKED_KNOWN = frozenset(
-    {"temp", "cdata", "ignore", "include", "rcdata", "if", "else", "endif"}
-)
+_MARKED_CLOSE = re.compile(r"]\s*]\s*>")   # standard  ]]>
+_MS_MARKED_CLOSE = re.compile(r"]\s*>")    # MS Office ]>  (if/else/endif)
+_MARKED_STD = frozenset({"temp", "cdata", "ignore", "include", "rcdata"})
+_MARKED_MS = frozenset({"if", "else", "endif"})
 # check_for_whole_start_tag's incomplete-at-boundary character class
 _INCOMPLETE_NEXT = frozenset(
     "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
@@ -428,10 +428,16 @@ def _fast_walk(text: str, p: _BlockParser) -> None:
                 i = _recover(text, p, lt)
                 continue
             if text.startswith("<![", lt):
-                sect = re.match(r"[^\s\[]+", text[lt + 3 : lt + 20])
-                if sect is None or sect.group(0).lower() not in _MARKED_KNOWN:
+                # stdlib _scan_name's declname token
+                sect = re.match(r"[a-zA-Z][-_.a-zA-Z0-9]*",
+                                text[lt + 3 : lt + 20])
+                name = sect.group(0).lower() if sect else ""
+                if name in _MARKED_STD:
+                    mc = _MARKED_CLOSE.search(text, lt + 3)
+                elif name in _MARKED_MS:
+                    mc = _MS_MARKED_CLOSE.search(text, lt + 3)
+                else:
                     raise ValueError("unknown marked section")  # = stdlib
-                mc = _MARKED_CLOSE.search(text, lt + 3)
                 if mc is None:
                     i = _recover(text, p, lt)
                     continue

@@ -165,7 +165,8 @@ def test_fast_engine_equivalent_on_corpus_and_mutations():
         b"<style>p{}<", b"<?php echo ?>", b"<!DOCTYPE junk>", b"<a/>",
         b"</ weird>", b"</>", b"<p a=\"x>y\"", b"<em x='unclosed",
         b"<!--term-->", b"<div/><span>word</span>",
-        b"<![CDATA[hidden <p>x</p>]]>", b"<![BAD[z]]>", b"</script foo>",
+        b"<![CDATA[hidden <p>x</p>]]>", b"<![BAD[z]]>",
+        b"<![if !IE]>hidden<![endif]>", b"<![ ", b"</script foo>",
         b"<scriptx>y</scriptx>", b"<vector</p>", b"<p\x00weird>",
         b"<P UPPER>x</P>", b"<a href=x/>", b"<hr />",
         b"<input type='checkbox' checked/>",
