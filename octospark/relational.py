@@ -866,3 +866,107 @@ def agg_median_percentile(spark, sf):
         F.median("o_totalprice").alias("med"),
         F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
     )
+
+
+@register(
+    "agg_stats_moments",
+    # variance/stddev/corr via decimal-exact sums (engine-independent:
+    # Welford vs naive accumulation would differ in floats)
+    "SELECT o_orderstatus, "
+    "CAST((CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)) * "
+    "CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) "
+    "- CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) "
+    "* CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) "
+    "/ COUNT(*)) / (COUNT(*) - 1) AS DOUBLE) AS var_price, "
+    "sqrt((CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)) * "
+    "CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) "
+    "- CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) "
+    "* CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) "
+    "/ COUNT(*)) / (COUNT(*) - 1)) AS std_price "
+    "FROM orders GROUP BY o_orderstatus",
+)
+def agg_stats_moments(spark, sf):
+    # pipeline role: quality-score distribution moments per host
+    o = load_table(spark, sf, "orders")
+    dec = F.col("o_totalprice").cast("decimal(28,6)")
+    sum_sq = F.sum(dec * dec).cast("double")
+    sum_x = F.sum(dec).cast("double")
+    n = F.count("*")
+    var = (sum_sq - sum_x * sum_x / n) / (n - 1)
+    return o.groupBy("o_orderstatus").agg(
+        var.cast("double").alias("var_price"),
+        F.sqrt(var).alias("std_price"),
+    )
+
+
+@register(
+    "join_cross_bounded",
+    "SELECT n.n_name, r.r_name FROM nation n CROSS JOIN region r",
+)
+def join_cross_bounded(spark, sf):
+    # pipeline role: small config-grid expansion (template x host class);
+    # bounded sides only — never a fact-fact cross join
+    n = load_table(spark, sf, "nation").select("n_name")
+    r = load_table(spark, sf, "region").select("r_name")
+    return n.crossJoin(F.broadcast(r))
+
+
+@register(
+    "scalar_null_funcs",
+    "SELECT c_custkey, "
+    "coalesce(NULLIF(c_mktsegment, 'BUILDING'), 'suppressed') AS seg, "
+    "CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_nonneg, "
+    "c_acctbal IS NULL AS bal_is_null "
+    "FROM customer",
+)
+def scalar_null_funcs(spark, sf):
+    # pipeline role: null-discipline for optional metadata columns
+    c = load_table(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("suppressed")
+        ).alias("seg"),
+        F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(
+            F.col("c_acctbal")
+        ).alias("bal_nonneg"),
+        F.col("c_acctbal").isNull().alias("bal_is_null"),
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    "SELECT n_regionkey, list(n_name ORDER BY n_name) AS names "
+    "FROM nation GROUP BY n_regionkey",
+)
+def agg_collect_sorted(spark, sf):
+    # pipeline role: per-host sorted url samples in lineage reports
+    n = load_table(spark, sf, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_list("n_name")).alias("names")
+    )
+
+
+@register(
+    "window_first_last",
+    "SELECT o_orderkey, o_custkey, "
+    "FIRST_VALUE(o_orderkey) OVER w AS first_ok, "
+    "LAST_VALUE(o_orderkey) OVER "
+    "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok "
+    "FROM orders WINDOW w AS "
+    "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)",
+)
+def window_first_last(spark, sf):
+    # pipeline role: first/latest crawl per host in dedup reports
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(wfull).alias("last_ok"),
+    )
