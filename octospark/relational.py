@@ -970,3 +970,34 @@ def window_first_last(spark, sf):
         F.first("o_orderkey").over(w).alias("first_ok"),
         F.last("o_orderkey").over(wfull).alias("last_ok"),
     )
+
+
+@register(
+    "sql_end_to_end",
+    "SELECT n.n_name, o.o_orderpriority, COUNT(*) AS n_orders, "
+    "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "WHERE o.o_orderstatus <> 'F' "
+    "GROUP BY n.n_name, o.o_orderpriority "
+    "HAVING COUNT(*) > 5 "
+    "ORDER BY revenue DESC, n_name, o_orderpriority LIMIT 50",
+)
+def sql_end_to_end(spark, sf):
+    """The spark.sql surface: the same engine drives textual SQL —
+    views registered, one multi-clause statement (join + filter + group
+    + having + order + limit), byte-equal to the DuckDB oracle. Catalyst
+    plans it identically to the DataFrame composition."""
+    for t in ("customer", "orders", "nation"):
+        load_table(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(
+        "SELECT n.n_name, o.o_orderpriority, COUNT(*) AS n_orders, "
+        "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) "
+        "AS revenue "
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "WHERE o.o_orderstatus <> 'F' "
+        "GROUP BY n.n_name, o.o_orderpriority "
+        "HAVING COUNT(*) > 5 "
+        "ORDER BY revenue DESC, n_name, o_orderpriority LIMIT 50"
+    )
