@@ -633,7 +633,17 @@ def stream_tumbling_window(spark, sf):
     )
 
 
-@register("stream_sliding_window")  # rows-only (overlapping windows)
+@register(
+    "stream_sliding_window",
+    # Spark's window(ts, 1h, 15m) assigns each event to the 4 epoch-
+    # aligned 15-min slide starts s with s <= ts < s + 1h; replicate by
+    # unnesting k=0..3 and flooring epoch seconds to the slide grid.
+    "SELECT strftime(make_timestamp(CAST((CAST(floor(epoch(ts) / 900) AS "
+    "BIGINT) * 900 - k * 900) * 1000000 AS BIGINT)), '%Y-%m-%d %H:%M:%S') "
+    "AS win_start, COUNT(*) AS n "
+    "FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks "
+    "GROUP BY 1",
+)
 def stream_sliding_window(spark, sf):
     e = load_table(spark, sf, "events")
     return (
@@ -648,7 +658,18 @@ def stream_sliding_window(spark, sf):
     )
 
 
-@register("stream_session_window")  # rows-only (gap semantics)
+@register(
+    "stream_session_window",
+    # gaps-and-islands replica of Spark's session_window(ts, 30 min):
+    # a session's window is [first_ts, last_ts + gap), so an event at
+    # exactly prev_ts + gap starts a NEW session (>= boundary).
+    "WITH d AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR "
+    "ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+    "s AS (SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY "
+    "ts ROWS UNBOUNDED PRECEDING) AS sid FROM d) "
+    "SELECT user_id, COUNT(*) AS n FROM s GROUP BY user_id, sid",
+)
 def stream_session_window(spark, sf):
     # pipeline role: crawl-session grouping per host
     e = load_table(spark, sf, "events")

@@ -312,6 +312,22 @@ def _dot(a, b):
     )
 
 
+def _topk_ranked(scored: DataFrame, k: int, rank_type: str = "long") -> DataFrame:
+    """Distributed top-k over (vec_id, raw_sim): ``orderBy().limit(k)``
+    plans as TakeOrderedAndProject (per-partition local top-k, then a
+    single k-row merge on the driver side of the exchange) — no global
+    single-partition sort of the full scored set. The row_number window
+    that assigns ranks only ever sees the k surviving rows."""
+    top = scored.orderBy(
+        F.col("raw_sim").desc(), F.col("vec_id")
+    ).limit(k)
+    w = Window.orderBy(F.col("raw_sim").desc(), F.col("vec_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast(rank_type))
+        .select("rank", "vec_id", F.round("raw_sim", 6).alias("sim"))
+    )
+
+
 @register(
     "sim_ann_topk",
     """
@@ -355,13 +371,7 @@ def sim_ann_topk(spark, sf):
             )
         ).alias("raw_sim"),
     )
-    w = Window.orderBy(F.col("raw_sim").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select(F.col("rank").cast("long").alias("rank"), "vec_id",
-                F.round("raw_sim", 6).alias("sim"))
-    )
+    return _topk_ranked(scored, 10)
 
 
 _LSH_PLANES = 8
@@ -409,12 +419,7 @@ def sim_ann_lsh_bucketed(spark, sf):
             )
         ).alias("raw_sim"),
     )
-    w = Window.orderBy(F.col("raw_sim").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("rank", "vec_id", F.round("raw_sim", 6).alias("sim"))
-    )
+    return _topk_ranked(scored, 5, rank_type="int")
 
 
 _IVF_CELLS = 8
@@ -471,12 +476,7 @@ def sim_ann_ivf(spark, sf):
             / F.sqrt(_dot(F.col("v"), F.col("v")) * F.lit(npdot(qv, qv)))
         ).alias("raw_sim"),
     )
-    w = Window.orderBy(F.col("raw_sim").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("rank", "vec_id", F.round("raw_sim", 6).alias("sim"))
-    )
+    return _topk_ranked(scored, 5, rank_type="int")
 
 
 # --------------------------------------------------------------------------
@@ -860,24 +860,25 @@ def multimodal_resize(spark, sf):
     )
 
 
-@register(
-    "multimodal_frame_sample",
-    "SELECT doc_id, 1 + doc_id % 30 AS n_frames, "
-    "(1 + doc_id % 30 + 4) // 5 AS n_sampled FROM documents",
+_FRAME_SAMPLE_SCHEMA = (
+    "doc_id long, n_frames long, n_sampled long, error string"
 )
-def multimodal_frame_sample(spark, sf):
-    """Video frame-sample plumbing: binary stream -> every-5th-frame
-    sample via numpy reshape/stride — the decode is the fake OVID
-    container; the batching, frame indexing, and output schema are what
-    an ffmpeg-backed sampler needs."""
+
+
+def sample_video_batches(batches):
+    """mapInPandas body for video frame sampling (module-level so tests
+    can run it on adversarial frames). Row-level try/except: a malformed
+    blob yields an error row, never a task failure — same never-drop
+    contract as :func:`decode_image_batches` (reference analog:
+    _calculate_fallback, src/octopy/plugins/kraken_polygonizer.py:109-122)."""
     import numpy as np
     import pandas as pd
 
-    def sample(batches):
-        for pdf in batches:
-            rows = []
-            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
-                b = bytes(blob)
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+            b = bytes(blob)
+            try:
                 if b[:4] != _VID_MAGIC:
                     raise ValueError("bad video magic")
                 n = int.from_bytes(b[4:6], "big")
@@ -885,11 +886,25 @@ def multimodal_frame_sample(spark, sf):
                     b[6 : 6 + n * 16], dtype=np.uint8
                 ).reshape(n, 16)
                 sampled = frames[::5]
-                rows.append((int(doc_id), n, sampled.shape[0]))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "n_frames", "n_sampled"]
-            )
+                rows.append((int(doc_id), n, sampled.shape[0], None))
+            except Exception as exc:  # never-drop fallback (R8)
+                rows.append((int(doc_id), None, None, str(exc)))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "n_frames", "n_sampled", "error"]
+        )
 
+
+@register(
+    "multimodal_frame_sample",
+    "SELECT doc_id, 1 + doc_id % 30 AS n_frames, "
+    "(1 + doc_id % 30 + 4) // 5 AS n_sampled, "
+    "CAST(NULL AS VARCHAR) AS error FROM documents",
+)
+def multimodal_frame_sample(spark, sf):
+    """Video frame-sample plumbing: binary stream -> every-5th-frame
+    sample via numpy reshape/stride — the decode is the fake OVID
+    container; the batching, frame indexing, and output schema are what
+    an ffmpeg-backed sampler needs."""
     return _fake_media(spark, sf, "video").mapInPandas(
-        sample, "doc_id long, n_frames long, n_sampled long"
+        sample_video_batches, _FRAME_SAMPLE_SCHEMA
     )

@@ -127,3 +127,17 @@ def test_url_parse_stays_in_codegen(spark):
     plan = plan_of(QUERIES["scalar_url_parse"](spark, SF))
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert "*(" in plan  # '*' prefix = whole-stage-codegen span
+
+
+def test_ann_topk_is_take_ordered_not_global_window(spark):
+    """The final top-k must plan as TakeOrderedAndProject (distributed
+    per-partition top-k + k-row merge), never a partitionless window
+    sort of the full scored scan — the 10^12-row scale-killer."""
+    from octospark.textops import QUERIES as TQ
+
+    for key in ("sim_ann_topk", "sim_ann_lsh_bucketed", "sim_ann_ivf"):
+        plan = plan_of(TQ[key](spark, SF))
+        assert "TakeOrderedAndProject" in plan, key
+        # the only Window in the plan runs over the k-row limited input
+        # (rank assignment), downstream of TakeOrderedAndProject
+        assert plan.index("Window") < plan.index("TakeOrderedAndProject"), key

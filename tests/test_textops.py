@@ -141,8 +141,32 @@ def test_multimodal_resize_dims(spark, sf_dir):
 
 def test_multimodal_frame_sample_every_fifth(spark, sf_dir):
     for r in T.QUERIES["multimodal_frame_sample"](spark, sf_dir).collect():
+        assert r.error is None
         assert r.n_sampled == (r.n_frames + 4) // 5
         assert 1 <= r.n_frames <= 30
+
+
+def test_multimodal_frame_sample_malformed_never_drops(spark, sf_dir):
+    """A bad-magic video blob yields an error row, not a task failure
+    (R8) — same contract as decode_image_batches."""
+    import pandas as pd
+
+    mixed = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [3, 4],
+                "media": [b"NOPE\x00\x01junk", T._fake_video_bytes(4)],
+            }
+        )
+    )
+    rows = {
+        r.doc_id: r
+        for r in mixed.mapInPandas(
+            T.sample_video_batches, T._FRAME_SAMPLE_SCHEMA
+        ).collect()
+    }
+    assert rows[3].error is not None and rows[3].n_frames is None
+    assert rows[4].error is None and rows[4].n_frames == 1 + 4 % 30
 
 
 def test_simhash_deterministic(spark, sf_dir):
