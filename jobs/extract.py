@@ -48,6 +48,21 @@ def main() -> None:
     ap.add_argument("--export-dest", default=None)
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--iceberg-table", default=None,
+        help="append to this Iceberg table when a catalog is configured "
+        "(falls back to Parquet+manifest otherwise)",
+    )
+    ap.add_argument(
+        "--validate-every-k-buckets", type=int, default=None,
+        help="R25 cadence: re-check the frozen golden fixtures between "
+        "every k committed buckets; abort on drift",
+    )
+    ap.add_argument(
+        "--golden-fixtures", default=None,
+        help="path to the frozen golden.json (defaults to the repo's "
+        "tests/fixtures/golden.json when cadence is enabled)",
+    )
     args = ap.parse_args()
     if not args.input and not args.sf_dir:
         ap.error("one of --input / --sf-dir is required")
@@ -64,10 +79,23 @@ def main() -> None:
         pages = spark.read.parquet(args.input)
     else:
         pages = build_pages(spark, args.sf_dir)
+    validate_fn = None
+    if args.validate_every_k_buckets:
+        from octospark.validation import make_golden_validator
+        from tests.fixtures.adversarial import CASES
+
+        golden = args.golden_fixtures or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tests/fixtures/golden.json",
+        )
+        validate_fn = make_golden_validator(CASES, golden)
     run_extract(
         spark, pages, args.out, n_buckets=args.n_buckets,
         run_id=args.run_id, max_bytes=args.max_bytes,
         salted=args.salted, salt_partitions=args.salt_partitions,
+        iceberg_table=args.iceberg_table,
+        validate_every_k_buckets=args.validate_every_k_buckets,
+        validate_fn=validate_fn,
     )
     meta = inspect(args.out)
     if args.export_format:

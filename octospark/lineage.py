@@ -4,8 +4,11 @@ No Iceberg/Delta jar exists in this environment (SURVEY.md §7.0), so
 snapshot semantics are implemented over plain Parquet with an atomic
 JSON manifest commit log (write-tmp + os.replace = atomic rename),
 mirroring what an Iceberg table commit gives us. When a Spark catalog
-with Iceberg support is configured, :func:`have_iceberg` flips the
-writer to a real table append — same interface.
+with Iceberg support is configured AND the caller passes
+``iceberg_table=``, :func:`choose_writer` flips :func:`run_extract`'s
+data append to a real ``writeTo(table).append()`` — same interface
+(the branch is unit-tested against a mocked catalog conf; the jar
+itself is absent in this sandbox).
 
 Reference analogs:
 - per-partition checkpointing  <- ModelCheckpoint top-k
@@ -47,16 +50,54 @@ LINEAGE_COLS = (
 )
 
 
+class GoldenDriftError(RuntimeError):
+    """Raised by run_extract's validation cadence when the live extractor
+    no longer reproduces the frozen golden fixtures (R25 analog:
+    val_check_interval, reference src/octopy/train.py:71-74)."""
+
+
 def have_iceberg(spark: SparkSession) -> bool:
     """True when an Iceberg catalog is configured (jar present)."""
     try:
         return bool(
             spark.conf.get("spark.sql.catalog.spark_catalog", None)
-            and "Iceberg" in str(spark.conf.get(
-                "spark.sql.catalog.spark_catalog"))
+            and "iceberg" in str(spark.conf.get(
+                "spark.sql.catalog.spark_catalog")).lower()
         )
     except Exception:
         return False
+
+
+def choose_writer(spark: SparkSession, iceberg_table: str | None) -> str:
+    """Writer branch selection: 'iceberg' only when the caller named a
+    table AND an Iceberg catalog is actually configured; otherwise the
+    Parquet+manifest snapshot emulation. Factored out so the branch is
+    unit-testable without an Iceberg jar."""
+    return "iceberg" if (iceberg_table and have_iceberg(spark)) else "parquet"
+
+
+def _write_chunk(
+    extracted: DataFrame,
+    keys: list,
+    run_id: str,
+    out_dir: str,
+    writer: str,
+    iceberg_table: str | None,
+) -> None:
+    """Append one chunk of buckets to the sink. Iceberg appends are
+    snapshot-committed by the table itself; the Parquet path relies on
+    the JSON manifest committed by the caller afterwards."""
+    chunk = extracted.filter(F.col("part_key").isin(keys)).withColumn(
+        "run_id", F.lit(run_id)
+    )
+    if writer == "iceberg":  # pragma: no cover - no jar in this sandbox
+        chunk.writeTo(iceberg_table).append()
+    else:
+        (
+            chunk.write.partitionBy("part_key")
+            .mode("append")
+            .parquet(os.path.join(out_dir, "data"))
+        )
 
 
 def with_part_key(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
@@ -105,6 +146,9 @@ def run_extract(
     max_bytes: int | None = None,
     salted: bool = False,
     salt_partitions: int | None = None,
+    iceberg_table: str | None = None,
+    validate_every_k_buckets: int | None = None,
+    validate_fn=None,
 ) -> dict:
     """Extract with per-bucket lineage + idempotent commit.
 
@@ -112,6 +156,19 @@ def run_extract(
     done with a pushed-down NOT IN filter on the int bucket key, which
     Catalyst evaluates at the scan). ``fail_after_buckets`` simulates a
     crash after committing only k buckets (for resume tests).
+
+    ``iceberg_table``: when set AND an Iceberg catalog is configured
+    (:func:`have_iceberg`), data appends go to that table instead of the
+    Parquet emulation; lineage manifest semantics are unchanged.
+
+    ``validate_every_k_buckets`` + ``validate_fn`` (R25 validation
+    cadence, reference train.py:71-74): commits happen in chunks of k
+    buckets, and between chunk commits ``validate_fn()`` is called — it
+    returns a list of drift messages (empty = healthy). On drift the run
+    aborts with :class:`GoldenDriftError`; chunks committed before the
+    drift stay in the manifest, so a fixed engine resumes from there
+    instead of re-extracting 10^12 rows. ``validate_fn`` alone (cadence
+    None) means one final pre-commit validation.
 
     Returns the updated manifest dict.
     """
@@ -142,7 +199,9 @@ def run_extract(
         salted=salted,
         num_partitions=salt_partitions,
     )
+    writer = choose_writer(spark, iceberg_table)
     extracted = with_part_key(extracted, n_buckets).persist()
+    total_committed = 0
     try:
         lineage_rows = {
             int(r["part_key"]): r
@@ -161,41 +220,66 @@ def run_extract(
         commit_keys = sorted(input_counts)
         if fail_after_buckets is not None:
             commit_keys = commit_keys[:fail_after_buckets]
-        (
-            extracted.filter(F.col("part_key").isin(commit_keys))
-            .withColumn("run_id", F.lit(run_id))
-            .write.partitionBy("part_key")
-            .mode("append")
-            .parquet(os.path.join(out_dir, "data"))
-        )
+        chunk_size = validate_every_k_buckets or len(commit_keys) or 1
+        for i in range(0, len(commit_keys), chunk_size):
+            chunk_keys = commit_keys[i : i + chunk_size]
+            _write_chunk(
+                extracted, chunk_keys, run_id, out_dir, writer, iceberg_table
+            )
+            if validate_fn is not None:
+                drift = validate_fn()
+                if drift:
+                    raise GoldenDriftError(
+                        f"golden fixture drift after "
+                        f"{total_committed} committed buckets: "
+                        + "; ".join(str(d) for d in drift[:5])
+                    )
+            now = time.time()
+            for k in chunk_keys:
+                r = lineage_rows.get(k)
+                manifest["buckets"][str(k)] = {
+                    "run_id": run_id,
+                    "input_count": input_counts.get(k, 0),
+                    "output_count": int(r["output_count"]) if r else 0,
+                    "error_count": int(r["error_count"]) if r else 0,
+                    "checksum": int(r["checksum"]) if r else 0,
+                    "committed_at": now,
+                }
+            total_committed += len(chunk_keys)
+            manifest["run_ids"].append(
+                {"run_id": run_id, "committed_buckets": total_committed,
+                 "committed_at": now}
+            )
+            # collapse per-chunk entries of this run into one history row
+            manifest["run_ids"] = [
+                e for e in manifest["run_ids"]
+                if e["run_id"] != run_id
+            ] + [manifest["run_ids"][-1]]
+            commit_manifest(out_dir, manifest)
     finally:
         extracted.unpersist()
 
-    now = time.time()
-    for k in commit_keys:
-        r = lineage_rows.get(k)
-        manifest["buckets"][str(k)] = {
-            "run_id": run_id,
-            "input_count": input_counts.get(k, 0),
-            "output_count": int(r["output_count"]) if r else 0,
-            "error_count": int(r["error_count"]) if r else 0,
-            "checksum": int(r["checksum"]) if r else 0,
-            "committed_at": now,
-        }
-    manifest["run_ids"].append(
-        {"run_id": run_id, "committed_buckets": len(commit_keys),
-         "committed_at": now}
-    )
-    commit_manifest(out_dir, manifest)
     return manifest
 
 
 def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Read back only committed buckets (snapshot isolation: data files
-    from uncommitted buckets are filtered out via the manifest)."""
-    done = committed_buckets(out_dir)
+    """Read back only committed data (snapshot isolation). The filter is
+    on the manifest's (part_key, run_id) PAIRS, not part_key alone: an
+    aborted run (crash or validation drift after data write, before
+    manifest commit) leaves orphan files in a bucket dir, and that bucket
+    may later be committed by a resume run under a different run_id — the
+    orphans must stay invisible, exactly like data files absent from an
+    Iceberg manifest. part_key isin() additionally prunes bucket dirs at
+    the scan; the broadcast semi-join enforces the pair match."""
+    m = read_manifest(out_dir)
+    pairs = [(int(k), v["run_id"]) for k, v in m["buckets"].items()]
     df = spark.read.parquet(os.path.join(out_dir, "data"))
-    return df.filter(F.col("part_key").isin([int(k) for k in done]))
+    committed = spark.createDataFrame(
+        pairs, "part_key int, run_id string"
+    )
+    return df.filter(
+        F.col("part_key").isin([p for p, _ in pairs])
+    ).join(F.broadcast(committed), ["part_key", "run_id"], "left_semi")
 
 
 EXPORT_FORMATS = ("parquet", "jsonl")
@@ -211,13 +295,18 @@ def export_extracted(
     if fmt not in EXPORT_FORMATS:
         raise ValueError(f"fmt must be one of {EXPORT_FORMATS}")
     df = read_extracted(spark, out_dir).drop("part_key", "run_id")
-    if fmt == "jsonl":
-        df.write.mode("overwrite").json(dest)
-    else:
-        df.write.mode("overwrite").parquet(dest)
-    return spark.read.format(
-        "json" if fmt == "jsonl" else "parquet"
-    ).load(dest).count()
+    # count the frame we write, not the sink: re-reading an empty JSONL
+    # dataset raises (no data files to infer a schema from)
+    df = df.persist()
+    try:
+        n = df.count()
+        if fmt == "jsonl":
+            df.write.mode("overwrite").json(dest)
+        else:
+            df.write.mode("overwrite").parquet(dest)
+    finally:
+        df.unpersist()
+    return n
 
 
 def lineage_table(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -84,6 +84,10 @@ def fit_scorer(
     train_df, val_df = df.randomSplit([partition, 1 - partition], seed=SEED)
     tr = np.asarray(train_df.collect(), dtype="float64")
     va = np.asarray(val_df.collect(), dtype="float64")
+    if tr.ndim != 2 or len(tr) == 0:
+        raise ValueError(
+            "no training rows for scored strategy (empty/too-small input)"
+        )
     if len(va) == 0:
         va = tr
     Xt, yt = tr[:, :-1], tr[:, -1]

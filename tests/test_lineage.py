@@ -146,3 +146,90 @@ def test_run_extract_salted_and_max_bytes(spark, pages, out_dir):
     g2 = read_extracted(spark, tiny)
     assert g2.filter("error = 'size_guard'").count() == pages.count()
     assert g2.filter("text != ''").count() == 0
+
+
+def test_validation_cadence_kill_on_drift(spark, pages, out_dir):
+    """R25: drift detected between chunk commits aborts the run; chunks
+    committed before the drift survive in the manifest, and a healthy
+    rerun resumes from them (never re-extracting committed buckets)."""
+    from octospark.lineage import GoldenDriftError
+
+    calls = []
+
+    def drifting_validator():
+        calls.append(1)
+        return [] if len(calls) <= 2 else ["minimal: field 'text' drifted"]
+
+    with pytest.raises(GoldenDriftError, match="drift"):
+        run_extract(
+            spark, pages, out_dir, n_buckets=N_BUCKETS,
+            validate_every_k_buckets=4, validate_fn=drifting_validator,
+        )
+    # exactly the two healthy chunks (4 buckets each) were committed
+    assert len(committed_buckets(out_dir)) == 8
+    # "fixed engine" resumes: healthy validator, completes the rest
+    m = run_extract(
+        spark, pages, out_dir, n_buckets=N_BUCKETS,
+        validate_every_k_buckets=4, validate_fn=lambda: [],
+    )
+    assert len(m["buckets"]) == N_BUCKETS
+    assert read_extracted(spark, out_dir).count() == pages.count()
+
+
+def test_validation_cadence_healthy_golden(spark, pages, out_dir):
+    """The real golden validator passes against the frozen fixtures and
+    a full run with cadence enabled commits everything."""
+    import pathlib
+
+    from octospark.validation import make_golden_validator
+    from tests.fixtures.adversarial import CASES
+
+    golden = str(
+        pathlib.Path(__file__).resolve().parent / "fixtures/golden.json"
+    )
+    fn = make_golden_validator(CASES, golden)
+    assert fn() == []
+    m = run_extract(
+        spark, pages, out_dir, n_buckets=N_BUCKETS,
+        validate_every_k_buckets=8, validate_fn=fn,
+    )
+    assert len(m["buckets"]) == N_BUCKETS
+
+
+def test_golden_validator_detects_corruption():
+    """A tampered frozen expectation is reported as drift."""
+    import json
+    import pathlib
+
+    from octospark.validation import golden_drift
+    from tests.fixtures.adversarial import CASES
+
+    golden = json.loads(
+        (pathlib.Path(__file__).resolve().parent / "fixtures/golden.json")
+        .read_text()
+    )
+    golden["minimal"]["text"] = "tampered"
+    drift = golden_drift(CASES, golden)
+    assert drift and "minimal" in drift[0]
+
+
+def test_choose_writer_branch(spark):
+    """Iceberg append is selected only when a table is named AND an
+    Iceberg catalog is configured; this sandbox has no jar, so the
+    Parquet+manifest emulation must win even with a table name."""
+    from octospark.lineage import choose_writer, have_iceberg
+
+    assert have_iceberg(spark) is False
+    assert choose_writer(spark, "cat.db.extracted") == "parquet"
+    assert choose_writer(spark, None) == "parquet"
+
+    class _Conf:
+        def get(self, key, default=None):
+            return "org.apache.iceberg.spark.SparkCatalog"
+
+    class _FakeSpark:
+        conf = _Conf()
+
+    assert have_iceberg(_FakeSpark()) is True
+    assert choose_writer(_FakeSpark(), "cat.db.extracted") == "iceberg"
+    assert choose_writer(_FakeSpark(), None) == "parquet"

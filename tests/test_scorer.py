@@ -103,3 +103,10 @@ def test_classify_with_dispatch(spark, labeled):
         classify_with(blocks, "bogus")
     with pytest.raises(ValueError):
         classify_with(blocks, "scored")
+
+
+def test_fit_empty_training_frame_clear_error(spark, labeled):
+    """An empty (filtered-to-nothing) training frame raises a clear
+    ValueError, not a cryptic IndexError from 1-D slicing."""
+    with pytest.raises(ValueError, match="no training rows"):
+        fit_scorer(labeled.filter(F.lit(False)), epochs=5)
