@@ -706,7 +706,18 @@ def udf_pandas_scalar(spark, sf):
     )
 
 
-@register("udf_map_in_pandas")  # rows-only: DOM walk is not SQL-expressible
+@register(
+    "udf_map_in_pandas",
+    # The DOM walk itself is not SQL-expressible; the oracle is the
+    # FROZEN output of the pure-Python segmenter at sf0.01
+    # (scripts/freeze_block_counts.py — Spark-free, reviewed like
+    # golden.json). Valid only at sf0.01, which is the driver's
+    # correctness scale; check_contract downgrades it to rows-only at
+    # any other sf.
+    "SELECT url, n_blocks, total_chars FROM "
+    "read_parquet('/root/repo/tests/fixtures/"
+    "expected_blocks_sf001.parquet')",
+)
 def udf_map_in_pandas(spark, sf):
     # THE core stage-1 segmenter (reference analog:
     # SegmentationTaskModel.predict, src/octopy/segment.py:179)

@@ -32,6 +32,13 @@ CASES: list = [
     ("sibling_div_split", b"<html><body><div>First half of the article text lives in this div and it has more than sixteen words inside.</div><div>Second half of the article text lives in this sibling div and it also has more than sixteen words.</div></body></html>"),
     ("nav_longer_than_content", b"<html><body><nav><a href='/a'>very long navigation label one</a> <a href='/b'>very long navigation label two</a> <a href='/c'>very long navigation label three</a> <a href='/d'>very long navigation label four</a></nav><p>Short real content here but it still has just barely more than sixteen words inside of it okay.</p></body></html>"),
     ("html_none_analog", b"<html><body>just bare text directly in body with more than sixteen words so that it is treated as content text</body></html>"),
+    # cases 21-25: round-2 additions (VERDICT r1 #7) — deeper structural
+    # and encoding abuse beyond what the generator templates produce
+    ("nested_tables_100", b"<html><body>" + b"<table><tr><td>" * 100 + b"<p>Innermost cell paragraph that still carries comfortably more than sixteen words so it is classified as page content here.</p>" + b"</td></tr></table>" * 100 + b"</body></html>"),
+    ("rtl_bidi_mixed", "<html><body><p>هذه فقرة عربية طويلة بما يكفي لتجاوز حد الكلمات الستة عشر المستخدم في قواعد التصنيف هنا بالتأكيد تماما</p><p>עברית מימין לשמאל עם מספיק מילים כדי לעבור את סף שש עשרה המילים של חוקי הסיווג כאן בהחלט לגמרי</p><p>Mixed ‫RTL embedding‬ and ‏ marks with enough english words to pass the sixteen word content threshold easily here.</p></body></html>".encode()),
+    ("content_inside_nav", b"<html><body><nav><p>This long article paragraph is wrongly wrapped inside a nav element yet it contains far more than sixteen words of genuine readable prose content that a user would want extracted.</p></nav><footer><a href='/x'>x</a></footer></body></html>"),
+    ("malformed_utf8_truncated", b"<html><body><p>Paragraph containing a truncated multibyte sequence \xe2\x82 and a lone continuation byte \x85 plus enough ascii words to pass the sixteen word threshold for content.</p></body></html>"),
+    ("malformed_utf8_overlong", b"<html><body><p>Overlong slash \xc0\xaf and illegal \xf8\x88\x80\x80\x80 five byte form mixed with enough plain ascii words to exceed the sixteen word content threshold here.</p></body></html>"),
 ]
 
 NAMES = [c[0] for c in CASES]
