@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -258,6 +259,7 @@ def scaling_runs() -> dict:
         "levels": {
             f"local[{n}]": {
                 "sec": round(res[n]["sec"], 2),
+                "pages": res[n]["n"],
                 "pages_per_sec": round(res[n]["n"] / res[n]["sec"], 1),
             }
             for n in levels
@@ -282,15 +284,24 @@ def scaling_runs() -> dict:
         out["pairs"][f"{small}->{big}"] = {
             "efficiency": round(eff, 3),
             "efficiency_per_pass": per_pass,
+            "efficiency_median_pass": round(
+                min(statistics.median(per_pass), 1.0), 3
+            ) if per_pass else None,
             "efficiency_best_pass": max(per_pass) if per_pass else None,
             "hw_ceiling_efficiency": round(hw_eff, 3),
             "efficiency_vs_hw": round(min(eff / hw_eff, 1.0), 3)
             if hw_eff > 0 else None,
         }
     p = out["pairs"][f"{PRIMARY_PAIR[0]}->{PRIMARY_PAIR[1]}"]
-    # headline = best paired pass: the only ratio whose numerator and
-    # denominator saw the same machine state
-    out["efficiency"] = p["efficiency_best_pass"] or p["efficiency"]
+    # headline = MEDIAN paired pass, capped at 1.0: each pass's N and 4N
+    # runs are adjacent in time (same machine state), and the median is
+    # robust to one noisy pass in either direction; >1.0 is physically
+    # impossible, so anything above is noise and is clamped. Best pass
+    # is kept as supplementary context only.
+    med = p["efficiency_median_pass"]
+    out["efficiency"] = med if med is not None else round(
+        min(p["efficiency"], 1.0), 3
+    )
     out["primary_pair"] = f"local[{PRIMARY_PAIR[0]}] -> local[{PRIMARY_PAIR[1]}]"
     return out
 
@@ -317,17 +328,21 @@ def write_bench_md(result: dict) -> None:
             if e is not None:
                 best_eff = e if best_eff is None else max(best_eff, e)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    eff_now = (result.get("scaling") or {}).get("efficiency")
     lines = [
         "# BENCH — measured results\n",
-        f"\n## best across runs (sf={result['sf']}, BENCH/history.jsonl)\n\n",
-        f"- best extraction throughput at local[{CPUS}]: "
-        f"**{round(best_thr, 1)} pages/sec**\n",
-        f"- best primary-pair (N->4N) paired-pass scaling efficiency: "
-        f"**{best_eff}** (target >= 0.8)\n",
-        f"\n## latest run at sf={result['sf']} ({result['pages']} pages, "
-        f"local[{CPUS}])\n\n",
+        f"\n## headline (latest run, sf={result['sf']}, "
+        f"{result['pages']} pages, local[{CPUS}])\n\n",
         f"- extraction wall: {result['value']} s -> "
         f"**{result['pages_per_sec']} pages/sec**\n",
+        f"- primary-pair (N->4N) scaling efficiency: **{eff_now}** "
+        f"(median paired pass, capped at 1.0; target >= 0.8)\n",
+        f"\n## supplementary: best across runs (sf={result['sf']}, "
+        f"BENCH/history.jsonl)\n\n",
+        f"- best throughput: {round(best_thr, 1)} pages/sec; best single "
+        f"paired-pass efficiency: {best_eff} — max-statistics are "
+        f"upward-biased on this drifting VM; context only, not the "
+        f"headline\n",
     ]
     if "scaling" in result:
         s = result["scaling"]
@@ -351,14 +366,16 @@ def write_bench_md(result: dict) -> None:
             )
         lines.append(
             f"- primary pair {s['primary_pair']}: efficiency "
-            f"{s['efficiency']} (target >= 0.8; headline = best paired "
-            f"pass — the only ratio whose N and 4N runs saw the same "
-            f"machine state). This VM's throughput drifts up to 2x "
-            f"minute-to-minute (measured: identical back-to-back runs "
-            f"at 24.9s then 12.9s), so cross-window ratios are "
-            f"unreliable; the interleaved hw_ceiling probe (pure "
-            f"multiprocessing, zero Spark) quantifies what the machine "
-            f"itself granted during the same windows.\n"
+            f"{s['efficiency']} (target >= 0.8; headline = MEDIAN "
+            f"paired pass, capped at 1.0 — each pass's N and 4N runs "
+            f"are adjacent in time so their ratio sees the same machine "
+            f"state, and the median is robust to a single noisy pass). "
+            f"This VM's throughput drifts up to 2x minute-to-minute "
+            f"(measured: identical back-to-back runs at 24.9s then "
+            f"12.9s), so cross-window ratios are unreliable; the "
+            f"interleaved hw_ceiling probe (pure multiprocessing, zero "
+            f"Spark) quantifies what the machine itself granted during "
+            f"the same windows.\n"
         )
     lines.append("- headline queries (sec): "
                  + json.dumps(result["queries"]) + "\n")
@@ -403,6 +420,9 @@ def main() -> None:
         if lv and lv["pages_per_sec"] > result["pages_per_sec"]:
             result["value"] = lv["sec"]
             result["pages_per_sec"] = lv["pages_per_sec"]
+            # keep (pages, value, pages_per_sec) internally consistent:
+            # the scaling subprocess runs a different page count
+            result["pages"] = lv["pages"]
     write_bench_md(result)
     print(json.dumps(result))
 
