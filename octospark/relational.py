@@ -1033,3 +1033,51 @@ def sql_end_to_end(spark, sf):
         "HAVING COUNT(*) > 5 "
         "ORDER BY revenue DESC, n_name, o_orderpriority LIMIT 50"
     )
+
+
+@register(
+    "agg_grouping_sets",
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty "
+    "FROM lineitem GROUP BY GROUPING SETS "
+    "((l_returnflag, l_linestatus), (l_returnflag), ())",
+)
+def agg_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS (the general form of rollup/cube) — one
+    Expand + one aggregation, partial agg preserved; at 100x scale this
+    is one shuffle regardless of how many sets are requested."""
+    load_table(spark, sf, "lineitem").createOrReplaceTempView(
+        "lineitem_gsets"
+    )
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty "
+        "FROM lineitem_gsets GROUP BY GROUPING SETS "
+        "((l_returnflag, l_linestatus), (l_returnflag), ())"
+    )
+
+
+@register(
+    "scalar_regex_funcs",
+    # patterns restricted to the regex subset where Java and RE2
+    # semantics agree (literal classes, anchors, greedy quantifiers)
+    "SELECT p_partkey, "
+    "regexp_extract(p_name, '^([a-z]+)', 1) AS first_word, "
+    "regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled, "
+    "CAST(regexp_matches(p_name, 'o.*o') AS BOOLEAN) AS has_two_os, "
+    "len(regexp_extract_all(p_name, '[a-z]+')) AS n_words "
+    "FROM part",
+)
+def scalar_regex_funcs(spark, sf):
+    # pipeline role: boilerplate-pattern matching on extracted text
+    # (regex stays JVM-side / whole-stage-codegen — never a Python UDF)
+    p = load_table(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike("o.*o").alias("has_two_os"),
+        F.size(F.regexp_extract_all("p_name", F.lit("([a-z]+)"))).cast(
+            "long"
+        ).alias("n_words"),
+    )

@@ -908,3 +908,141 @@ def multimodal_frame_sample(spark, sf):
     return _fake_media(spark, sf, "video").mapInPandas(
         sample_video_batches, _FRAME_SAMPLE_SCHEMA
     )
+
+
+@register(
+    "dedup_url_canonicalize",
+    # raw variants synthesized identically in both engines: case noise,
+    # default port, utm tracking query, fragment, trailing slash — all
+    # mapped onto doc_id % 300 so canonical groups genuinely collide
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END)
+             || '.example.org'
+             || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+             || '/doc/' || (doc_id % 300)
+             || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 2 = 0
+                 THEN '?utm_source=feed&utm_campaign=' || (doc_id % 7)
+                 ELSE '' END)
+             || (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)
+             AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               lower(url),
+               '#.*$', ''),
+               '\\?utm_[^#]*', ''),
+               ':443', ''),
+               '/$', '') AS curl
+      FROM raw
+    )
+    SELECT curl, COUNT(*) AS n_dupes, MIN(doc_id) AS keep_doc_id
+    FROM canon GROUP BY curl
+    """,
+)
+def dedup_url_canonicalize(spark, sf):
+    """Web-pipeline URL dedup: canonicalize (lowercase, strip fragment,
+    tracking params, default port, trailing slash), then exact groupBy —
+    the step before any content dedup in a crawl pipeline. All JVM
+    string expressions; one shuffle on the canonical key (at 10^12 rows
+    the same plan holds — canonicalization is map-side, the groupBy is
+    the only exchange)."""
+    d = load_table(spark, sf, "documents")
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://"))
+            .otherwise(F.lit("https://")),
+            F.when(F.col("doc_id") % 5 == 0, F.upper("source"))
+            .otherwise(F.col("source")),
+            F.lit(".example.org"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(":443")).otherwise(
+                F.lit("")
+            ),
+            F.lit("/doc/"),
+            (F.col("doc_id") % 300).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit("?utm_source=feed&utm_campaign="),
+                    (F.col("doc_id") % 7).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("#section-2"))
+            .otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("url")), "#.*$", ""),
+                "\\?utm_[^#]*", "",
+            ),
+            ":443", "",
+        ),
+        "/$", "",
+    )
+    return (
+        raw.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.count("*").alias("n_dupes"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+@register(
+    "text_ngram_profile",
+    # word-bigram top-20: rows-style (unnest + lead), never an
+    # exploded HOF array (interpreted re-eval trap); deterministic
+    # tie-break on the bigram string
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+             unnest(range(1, len(string_split(lower(text), ' ')) + 1))
+             AS pos
+      FROM documents
+    ),
+    bi AS (
+      SELECT tok || ' ' || lead(tok) OVER
+             (PARTITION BY doc_id ORDER BY pos) AS bigram
+      FROM toks WHERE tok <> ''
+    )
+    SELECT bigram, COUNT(*) AS n FROM bi
+    WHERE bigram IS NOT NULL
+    GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def text_ngram_profile(spark, sf):
+    """Corpus word-bigram profile (language-model-ish n-gram stats over
+    the documents table): posexplode + lead window + one groupBy, final
+    top-20 via TakeOrdered. The lead() is computed where the explode
+    already partitioned by doc — no extra shuffle beyond the window and
+    the count."""
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = toks.select(
+        F.concat_ws(" ", F.col("tok"), F.lead("tok").over(w)).alias(
+            "bigram"
+        ),
+        F.lead("tok").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    return (
+        bi.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )

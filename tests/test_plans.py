@@ -141,3 +141,28 @@ def test_ann_topk_is_take_ordered_not_global_window(spark):
         # the only Window in the plan runs over the k-row limited input
         # (rank assignment), downstream of TakeOrderedAndProject
         assert plan.index("Window") < plan.index("TakeOrderedAndProject"), key
+
+
+def test_url_canonicalize_is_jvm_only(spark):
+    from octospark.textops import QUERIES as TQ
+
+    plan = plan_of(TQ["dedup_url_canonicalize"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    # canonicalization is map-side; the groupBy is the only exchange
+    assert plan.count("Exchange") == 1
+
+
+def test_ngram_profile_take_ordered(spark):
+    from octospark.textops import QUERIES as TQ
+
+    plan = plan_of(TQ["text_ngram_profile"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_grouping_sets_single_aggregation(spark):
+    plan = plan_of(QUERIES["agg_grouping_sets"](spark, SF))
+    # Expand feeds ONE aggregation pair (partial+final), not one agg
+    # per grouping set
+    assert "Expand" in plan
+    assert "partial_" in plan
