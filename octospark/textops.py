@@ -1046,3 +1046,173 @@ def text_ngram_profile(spark, sf):
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
     )
+
+
+@register(
+    "text_pii_mask",
+    # deterministic synthetic PII appended per row so the masking has
+    # real work to do in both engines; conservative regex subset where
+    # Java and RE2 agree
+    """
+    WITH w AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@mail.example.com or +1-555-01' || lpad(CAST(doc_id % 100
+             AS VARCHAR), 2, '0') || ' now' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           length(text) AS n_raw,
+           regexp_replace(regexp_replace(text,
+             '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+             '\\+[0-9][0-9-]{7,}', '<PHONE>', 'g') AS masked,
+           CAST(regexp_matches(text, '[a-z0-9._]+@[a-z0-9.-]+') AS
+             BOOLEAN) AS had_email
+    FROM w
+    """,
+)
+def text_pii_mask(spark, sf):
+    """PII scrubbing — the compliance pass every webtext training
+    pipeline runs before tokenization: mask emails and phone numbers
+    with JVM regexp_replace (whole-stage codegen; zero Python). The
+    synthetic PII injection makes the oracle check prove actual masking,
+    not a no-op."""
+    d = load_table(spark, sf, "documents")
+    w = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1-555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" now"),
+        ).alias("text"),
+    )
+    return w.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_raw"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("text"), "[a-z0-9._]+@[a-z0-9.-]+", "<EMAIL>"
+            ),
+            "\\+[0-9][0-9-]{7,}", "<PHONE>",
+        ).alias("masked"),
+        F.col("text").rlike("[a-z0-9._]+@[a-z0-9.-]+").alias("had_email"),
+    )
+
+
+@register(
+    "text_gopher_quality",
+    # Gopher repetition/quality rules (public: Rae et al. 2021,
+    # "Scaling Language Models", App. A1.1) adapted to the available
+    # shallow features — all per-row arithmetic, IEEE-identical
+    """
+    SELECT doc_id,
+           n_words,
+           CAST(n_alpha_chars AS DOUBLE) / n_words AS mean_word_len,
+           CAST(n_alpha_words AS DOUBLE) / n_words AS alpha_word_ratio,
+           (n_words >= 50 AND n_words <= 100000
+            AND CAST(n_alpha_chars AS DOUBLE) / n_words >= 3
+            AND CAST(n_alpha_chars AS DOUBLE) / n_words <= 10
+            AND CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8)
+           AS quality_pass
+    FROM (
+      SELECT doc_id,
+             len(string_split(lower(text), ' ')) AS n_words,
+             length(replace(lower(text), ' ', '')) AS n_alpha_chars,
+             len(list_filter(string_split(lower(text), ' '),
+                 w -> regexp_matches(w, '[a-z]'))) AS n_alpha_words
+      FROM documents
+    )
+    """,
+)
+def text_gopher_quality(spark, sf):
+    """Gopher-style document quality gate (word-count bounds, mean word
+    length bounds, alphabetic-word ratio — Rae et al. 2021 App. A1.1,
+    public). Pure JVM expressions; the single higher-order filter() is
+    evaluated once per row in a projection (never exploded/filtered on,
+    which would trigger Catalyst's interpreted re-evaluation trap)."""
+    d = load_table(spark, sf, "documents")
+    toks = F.split(F.lower("text"), " ")
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.length(F.replace(F.lower("text"), F.lit(" "), F.lit("")))
+        .cast("long").alias("n_alpha_chars"),
+        F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+        .cast("long").alias("n_alpha_words"),
+    )
+    mwl = F.col("n_alpha_chars").cast("double") / F.col("n_words")
+    awr = F.col("n_alpha_words").cast("double") / F.col("n_words")
+    return base.select(
+        "doc_id",
+        "n_words",
+        mwl.alias("mean_word_len"),
+        awr.alias("alpha_word_ratio"),
+        (
+            (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+            & (mwl >= 3) & (mwl <= 10) & (awr >= 0.8)
+        ).alias("quality_pass"),
+    )
+
+
+@register(
+    "sim_ann_topk_batch",
+    # the realistic ANN shape: MANY query vectors at once; per-query
+    # top-k via a PARTITIONED window (scales — never a global sort)
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+             AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 8),
+    s AS (
+      SELECT q.qid, v.vec_id,
+             list_reduce(list_transform(range(1, len(v.v) + 1),
+                         i -> v.v[i] * q.qv[i]), (a, b) -> a + b) /
+             sqrt(list_reduce(list_transform(v.v, x -> x * x),
+                              (a, b) -> a + b) *
+                  list_reduce(list_transform(q.qv, x -> x * x),
+                              (a, b) -> a + b)) AS sim
+      FROM v, q WHERE v.vec_id <> q.qid
+    )
+    SELECT qid, rank, vec_id, sim FROM (
+      SELECT qid, vec_id, round(sim, 6) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC,
+                                vec_id) AS rank
+      FROM s
+    ) WHERE rank <= 3
+    """,
+)
+def sim_ann_topk_batch(spark, sf):
+    """Batched similarity search: 8 query vectors broadcast against the
+    full collection in one pass, per-query top-3 via a window PARTITIONED
+    by query id — each query's candidates sort inside its own partition,
+    so the plan scales with collection size times queries, never a
+    single-partition global sort."""
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", _as_double_arr("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    j = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
+    scored = j.select(
+        "qid",
+        "vec_id",
+        (
+            _dot(F.col("v"), F.col("qv"))
+            / F.sqrt(
+                _dot(F.col("v"), F.col("v")) * _dot(F.col("qv"), F.col("qv"))
+            )
+        ).alias("raw_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("raw_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "rank", "vec_id", F.round("raw_sim", 6).alias("sim"))
+    )

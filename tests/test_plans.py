@@ -166,3 +166,20 @@ def test_grouping_sets_single_aggregation(spark):
     # per grouping set
     assert "Expand" in plan
     assert "partial_" in plan
+
+
+def test_pii_mask_stays_in_codegen(spark):
+    from octospark.textops import QUERIES as TQ
+
+    plan = plan_of(TQ["text_pii_mask"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "*(" in plan
+
+
+def test_topk_batch_window_is_partitioned(spark):
+    """Per-query top-k must hash-partition on qid — a partitionless
+    window here would serialize all queries into one sort."""
+    from octospark.textops import QUERIES as TQ
+
+    plan = plan_of(TQ["sim_ann_topk_batch"](spark, SF))
+    assert "hashpartitioning(qid" in plan
