@@ -1081,3 +1081,32 @@ def scalar_regex_funcs(spark, sf):
             "long"
         ).alias("n_words"),
     )
+
+
+@register(
+    "scan_csv_schema",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_csv_schema(spark, sf):
+    """CSV source with explicit schema (no inferSchema pass — at 100 TB
+    schema inference is a full extra scan). The staged CSV copy stands
+    in for files landed by an upstream system."""
+    from octospark.sources import read_csv_table
+
+    return read_csv_table(
+        spark, sf, "nation",
+        "n_nationkey long, n_name string, n_regionkey long",
+    ).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "scan_json_lines",
+    "SELECT r_regionkey, r_name FROM region",
+)
+def scan_json_lines(spark, sf):
+    """JSON-lines source with explicit schema."""
+    from octospark.sources import read_json_table
+
+    return read_json_table(
+        spark, sf, "region", "r_regionkey long, r_name string"
+    ).select("r_regionkey", "r_name")

@@ -68,3 +68,39 @@ def build_pages(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
         "doc_id", "text", "lang", "source"
     )
     return docs.mapInPandas(_gen_pages, PAGES_SCHEMA)
+
+
+def stage_format_copy(
+    spark: SparkSession, sf_dir: str, name: str, fmt: str
+) -> str:
+    """Materialize one table as CSV or JSON-lines under /tmp (once per
+    (sf, table, format) — idempotent via _SUCCESS marker) so the format
+    readers have real files to scan. Production analog: the engine
+    ingests whatever landed in the lake; here the landing step is
+    simulated from the parquet source of truth."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    dest = f"/tmp/octospark_src_{tag}_{name}.{fmt}"
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        df = load_table(spark, sf_dir, name).coalesce(1)
+        if fmt == "csv":
+            df.write.mode("overwrite").option("header", True).csv(dest)
+        else:
+            df.write.mode("overwrite").json(dest)
+    return dest
+
+
+def read_csv_table(
+    spark: SparkSession, sf_dir: str, name: str, schema: str
+) -> DataFrame:
+    """CSV source with an EXPLICIT schema — never inferSchema at scale
+    (inference is a full extra pass over 100 TB)."""
+    dest = stage_format_copy(spark, sf_dir, name, "csv")
+    return spark.read.schema(schema).option("header", True).csv(dest)
+
+
+def read_json_table(
+    spark: SparkSession, sf_dir: str, name: str, schema: str
+) -> DataFrame:
+    """JSON-lines source with an explicit schema (same rationale)."""
+    dest = stage_format_copy(spark, sf_dir, name, "json")
+    return spark.read.schema(schema).json(dest)
