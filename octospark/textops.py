@@ -220,16 +220,28 @@ def dedup_minhash_lsh(spark, sf):
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    x, y = bands.alias("x"), bands.alias("y")
+    # Pair generation WITHOUT a self-join: a self-join here broadcasts
+    # one side and recomputes the entire signature pipeline twice
+    # (verified: 4 scans / 2 windows / 0 ReusedExchange in the adaptive
+    # plan). Instead group each (band, bucket) once and expand i<j pairs
+    # from the collected id array — the Generate input is an aggregation
+    # attribute (never an inlined expression, so no interpreted re-eval).
+    # Bucket arrays are capped at 4096 ids — the standard LSH guardrail:
+    # a degenerate hot bucket would otherwise emit n^2 pairs and no
+    # candidate set that size is useful downstream anyway.
+    buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(F.slice(F.sort_array(F.collect_set("doc_id")), 1, 4096)
+             .alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    lhs = buckets.select(F.posexplode("ids").alias("i", "id1"), "ids")
     return (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("id1"), F.col("y.doc_id").alias("id2")
+        lhs.select(
+            "id1",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
+            ).alias("id2"),
         )
         .distinct()
     )

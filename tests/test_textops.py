@@ -32,17 +32,22 @@ def test_minhash_lsh_deterministic_across_partitioning(spark, sf_dir):
     assert a == b
 
 
-def test_minhash_signature_stage_single_shuffle(spark, sf_dir):
+def test_minhash_computes_signature_pipeline_once(spark, sf_dir):
+    """The expensive signature pipeline (scan -> explode -> window ->
+    16-way min agg) must run exactly ONCE. The former self-join shape
+    broadcast one side and recomputed the whole subtree twice (4 scans,
+    2 windows); the bucket-groupBy pair expansion halves the work."""
     df = T.QUERIES["dedup_minhash_lsh"](spark, sf_dir)
     df.count()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # Per join side: exactly one repartition exchange (doc_id), reused
-    # by window + aggregation; the band-bucket join must be broadcast.
-    # (AQE dedups the two identical sides into a ReusedExchange when
-    # stage timing allows — best-effort, so we assert <= 2, not 1.)
-    n_shuffle = plan.count("Exchange hashpartitioning")
-    assert n_shuffle <= 2, plan
-    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Window") == 1, plan
+    # 2 scans = base docs + injected-duplicate branch of the union,
+    # not a duplicated pipeline
+    assert plan.count("Scan parquet") == 2, plan
+    assert "Join" not in plan, plan  # pair expansion, not a self-join
+    # exchanges: repartition(doc_id) reused by window+signature agg,
+    # then the (band,bucket) agg, then the distinct — exactly 3
+    assert plan.count("Exchange hashpartitioning") == 3, plan
     # the signature stage must NOT add its own aggregate exchange on
     # top of the repartition (distribution reuse)
     assert "hashpartitioning(doc_id" in plan and "REPARTITION_BY_NUM" in plan
