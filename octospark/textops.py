@@ -96,10 +96,15 @@ def dedup_ngram_jaccard(spark, sf):
 
     Plan shape: rows, not arrays (same lesson as dedup_minhash_lsh —
     exploding a higher-order-function array makes Catalyst re-evaluate
-    the array expression interpreted inside Generate, ~20x slower, and
-    the self-join would compute it twice). posexplode the word split,
-    form each 3-shingle from the word row plus its two lead()
-    neighbors, distinct() = the oracle's list_distinct."""
+    the array expression interpreted inside Generate, ~20x slower).
+    posexplode the word split, form each 3-shingle from the word row
+    plus its two lead() neighbors, distinct() = the oracle's
+    list_distinct. The intersection is counted by expanding i<j pairs
+    from a per-shingle sorted doc-id array (one aggregation) instead of
+    a shingle self-join — a self-join broadcasts one side and
+    recomputes the whole shingle pipeline again (no exchange reuse);
+    with the pair expansion the distinct's exchange is the shared
+    subtree for both the sizes agg and the pair agg."""
     par = spark.sparkContext.defaultParallelism
     words = (
         load_table(spark, sf, "documents")
@@ -125,21 +130,41 @@ def dedup_ngram_jaccard(spark, sf):
         .select("doc_id", "shingle")
         .distinct()
     )
-    sz = s.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = s.alias("a"), s.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
-        )
-        .agg(F.count("*").alias("n_inter"))
+    # Each doc's shingle-set size rides along as a window count over the
+    # same doc_id partitioning (hashpartitioning(doc_id) satisfies the
+    # clustered distribution of both the distinct and this window, so
+    # neither adds an exchange), and the pair expansion carries
+    # (doc_id, size) structs — so |A| and |B| arrive WITH the pair and
+    # no size-lookup joins (which would recompute the pipeline) exist.
+    sized = s.withColumn(
+        "n", F.count("*").over(Window.partitionBy("doc_id"))
     )
-    s1 = sz.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1"))
-    s2 = sz.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2"))
-    return (
-        inter.join(s1, "id1").join(s2, "id2")
+    shingle_ids = (
+        sized.groupBy("shingle")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct("doc_id", "n"))
+            ).alias("ids")
+        )
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = (
+        shingle_ids.select(F.posexplode("ids").alias("i", "a"), "ids")
         .select(
+            "a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
+            ).alias("b"),
+        )
+    )
+    inter = pairs.groupBy(
+        F.col("a.doc_id").alias("id1"),
+        F.col("a.n").alias("n1"),
+        F.col("b.doc_id").alias("id2"),
+        F.col("b.n").alias("n2"),
+    ).agg(F.count("*").alias("n_inter"))
+    return (
+        inter.select(
             "id1",
             "id2",
             (
