@@ -1140,3 +1140,33 @@ def scan_json_lines(spark, sf):
     return read_json_table(
         spark, sf, "region", "r_regionkey long, r_name string"
     ).select("r_regionkey", "r_name")
+
+
+@register(
+    "window_frame_range",
+    # RANGE frame over event-time: per user, rolling 1-hour sum/count.
+    # RANGE includes ts-peers in both engines, so ties are frame-stable.
+    "SELECT user_id, event_id, "
+    "CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) "
+    "AS rolling_sum, COUNT(*) OVER w AS rolling_n "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts) "
+    "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)",
+)
+def window_frame_range(spark, sf):
+    """Value-RANGE window frame (the time-series rolling window —
+    distinct from ROWS frames: the frame is defined by the ORDER BY
+    value, so ts-peers always share a frame). Spark range frames need a
+    numeric sort key -> epoch seconds."""
+    e = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .over(w).cast("double").alias("rolling_sum"),
+        F.count("*").over(w).alias("rolling_n"),
+    )

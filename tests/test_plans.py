@@ -183,3 +183,45 @@ def test_topk_batch_window_is_partitioned(spark):
 
     plan = plan_of(TQ["sim_ann_topk_batch"](spark, SF))
     assert "hashpartitioning(qid" in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
+    """Co-located join via bucketing — the 100 TB fact-fact pattern:
+    both sides bucketed by the join key into the same bucket count join
+    with ZERO exchanges (each bucket pair joins in place). This is the
+    strategy the engine relies on for repeated large joins; at scale the
+    bucketed write is amortized across every later join."""
+    import pyspark.sql.functions as F
+
+    from octospark.sources import load_table
+
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    load_table(spark, SF, "lineitem").write.bucketBy(
+        8, "l_orderkey"
+    ).sortBy("l_orderkey").mode("overwrite").saveAsTable("li_bucketed")
+    load_table(spark, SF, "orders").write.bucketBy(
+        8, "o_orderkey"
+    ).sortBy("o_orderkey").mode("overwrite").saveAsTable("ord_bucketed")
+    try:
+        li = spark.table("li_bucketed")
+        o = spark.table("ord_bucketed").hint("merge")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "o_custkey", "l_quantity"
+        )
+        plan = plan_of(j)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # sanity: same row count as the shuffled join
+        n_shuffled = (
+            load_table(spark, SF, "lineitem")
+            .join(
+                load_table(spark, SF, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert j.count() == n_shuffled
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS ord_bucketed")
