@@ -830,6 +830,13 @@ def join_full_outer(spark, sf):
     "FROM orders WINDOW w AS (ORDER BY o_totalprice, o_orderkey)",
 )
 def window_ntile_percent(spark, sf):
+    """Exact global quantile ranks. A partitionless window is
+    semantically inherent here (every row's rank depends on the total
+    order), so this is the EXACT small-output form; the scale path for
+    'assign each of 10^12 rows its quartile' is approx_percentile /
+    percentile_approx cutoffs (one aggregation, no global sort) joined
+    back as range predicates — see agg_median_percentile for the
+    aggregation form."""
     # pipeline role: quality-score quartiles for corpus filtering
     o = load_table(spark, sf, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")

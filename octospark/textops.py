@@ -42,6 +42,15 @@ def _words(col):
     return F.split(col, " ")
 
 
+def _sql_dot(a: str, b: str) -> str:
+    """DuckDB sequential-left-fold dot product — same evaluation order
+    as the Spark ``_dot`` aggregate, so doubles match bitwise."""
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"j -> {a}[j] * {b}[j]), (acc, x) -> acc + x)"
+    )
+
+
 _SHINGLE_SQL = (
     "list_distinct(CASE WHEN len(w) >= 3 THEN "
     "[array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] "
@@ -307,7 +316,30 @@ def dedup_simhash(spark, sf):
     return d.select("doc_id", simhash.alias("simhash"))
 
 
-@register("dedup_embedding_cosine")  # rows-only: float fold, no SQL analog
+def _emb_cosine_oracle_sql() -> str:
+    """Oracle for dedup_embedding_cosine: the sequential-fold dot
+    products are bitwise-identical across engines, so the > 0.999
+    threshold selects the same pairs."""
+    dab = _sql_dot("a.v", "b.v")
+    return f"""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id < 100
+      UNION ALL
+      SELECT vec_id + 10000,
+             list_transform(embedding, x -> CAST(x AS DOUBLE))
+      FROM embeddings WHERE vec_id < 20
+    ),
+    n AS (SELECT vec_id, v,
+                 sqrt({_sql_dot("base.v", "base.v")}) AS norm FROM base)
+    SELECT a.vec_id AS id1, b.vec_id AS id2
+    FROM n a, n b
+    WHERE a.vec_id < b.vec_id
+      AND {dab} / (a.norm * b.norm) > 0.999
+    """
+
+
+@register("dedup_embedding_cosine", _emb_cosine_oracle_sql())
 def dedup_embedding_cosine(spark, sf):
     """Embedding near-dup: exact-cosine > 0.999 pairs among vec_id<100
     plus injected copies (vec_id+10000) — the verification tier of
@@ -425,7 +457,41 @@ def _hyperplanes(dim: int = 64) -> list:
     return planes
 
 
-@register("sim_ann_lsh_bucketed")  # rows-only: hyperplane constants
+def _lsh_oracle_sql() -> str:
+    """Oracle for sim_ann_lsh_bucketed: the deterministic hyperplanes
+    are embedded as SQL list literals, so DuckDB reproduces the exact
+    bucket ids and in-bucket cosine ranking."""
+    planes = _hyperplanes()
+    bucket_terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(str(x) for x in p) + "]"
+        bucket_terms.append(
+            f"(CASE WHEN {_sql_dot('v', lit)} > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    bucket_expr = " + ".join(bucket_terms)
+    cos = (
+        f"{_sql_dot('b.v', 'q.qv')} / sqrt({_sql_dot('b.v', 'b.v')} * "
+        f"{_sql_dot('q.qv', 'q.qv')})"
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, v, {bucket_expr} AS bucket FROM v),
+    q AS (SELECT bucket AS qbucket, v AS qv FROM b WHERE vec_id = 0),
+    s AS (
+      SELECT b.vec_id, {cos} AS raw FROM b, q WHERE b.bucket = q.qbucket
+    )
+    SELECT rank, vec_id, sim FROM (
+      SELECT vec_id, round(raw, 6) AS sim,
+             ROW_NUMBER() OVER (ORDER BY raw DESC, vec_id) AS rank
+      FROM s
+    ) WHERE rank <= 5
+    """
+
+
+@register("sim_ann_lsh_bucketed", _lsh_oracle_sql())
 def sim_ann_lsh_bucketed(spark, sf):
     """Scale-path ANN: random-hyperplane LSH bucketing, then exact
     cosine only within the query's bucket. At 10^12 vectors the bucket
@@ -456,14 +522,61 @@ def sim_ann_lsh_bucketed(spark, sf):
             )
         ).alias("raw_sim"),
     )
-    return _topk_ranked(scored, 5, rank_type="int")
+    return _topk_ranked(scored, 5)
 
 
 _IVF_CELLS = 8
 _IVF_PROBES = 2
 
 
-@register("sim_ann_ivf")  # rows-only: centroid constants, no SQL analog
+def _ivf_oracle_sql() -> str:
+    """Oracle for sim_ann_ivf: centroids are the table's own vec_id 1..8
+    rows, so cell assignment, probing, and rerank are all reproducible
+    in SQL. Tie-breaks mirror the Spark side exactly: cell assignment
+    uses greatest(struct(s, k)) semantics (higher k wins on a dot tie);
+    probe selection uses the python sort key (-dot, k) (lower k wins)."""
+    dvc = _sql_dot("v.v", "c.cv")
+    dvq = _sql_dot("a.v", "q.qv")
+    dvv = _sql_dot("a.v", "a.v")
+    dqq = _sql_dot("q.qv", "q.qv")
+    return f"""
+    WITH vv AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c AS (SELECT vec_id - 1 AS k0, v AS cv FROM vv
+          WHERE vec_id BETWEEN 1 AND 8),
+    scored_cells AS (
+      SELECT v.vec_id, v.v, c.k0, {dvc} AS s FROM vv v, c
+    ),
+    assign AS (
+      SELECT vec_id, v, k0 AS cell FROM (
+        SELECT vec_id, v, k0,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, k0 DESC) AS rn
+        FROM scored_cells
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT k0 FROM (
+        SELECT k0, ROW_NUMBER() OVER (ORDER BY s DESC, k0) AS rn
+        FROM scored_cells WHERE vec_id = 0
+      ) WHERE rn <= 2
+    ),
+    q AS (SELECT v AS qv FROM vv WHERE vec_id = 0),
+    s AS (
+      SELECT a.vec_id, {dvq} / sqrt({dvv} * {dqq}) AS raw
+      FROM assign a, q WHERE a.cell IN (SELECT k0 FROM probe)
+    )
+    SELECT rank, vec_id, sim FROM (
+      SELECT vec_id, round(raw, 6) AS sim,
+             ROW_NUMBER() OVER (ORDER BY raw DESC, vec_id) AS rank
+      FROM s
+    ) WHERE rank <= 5
+    """
+
+
+@register("sim_ann_ivf", _ivf_oracle_sql())
 def sim_ann_ivf(spark, sf):
     """Scale-path ANN #2: IVF (inverted-file) — assign every vector to
     its nearest coarse centroid (JVM-only dot products against K
@@ -513,7 +626,7 @@ def sim_ann_ivf(spark, sf):
             / F.sqrt(_dot(F.col("v"), F.col("v")) * F.lit(npdot(qv, qv)))
         ).alias("raw_sim"),
     )
-    return _topk_ranked(scored, 5, rank_type="int")
+    return _topk_ranked(scored, 5)
 
 
 # --------------------------------------------------------------------------

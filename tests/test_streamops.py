@@ -183,3 +183,25 @@ def test_rate_source_windowed_agg(spark):
         time.sleep(1)
     q.stop()
     assert rows > 0
+
+
+def test_stream_dedup_within_watermark(spark, pages, tmp_path):
+    """Duplicate urls landing in the stream within the watermark are
+    emitted once (dropDuplicatesWithinWatermark) — the in-stream
+    recrawl guard; batch compaction handles latest-wins later."""
+    from octospark.streamops import run_stream_to_parquet
+
+    src = pages.orderBy("url").limit(40)
+    p = str(tmp_path / "pages_dup_in")
+    # land the SAME 40 urls twice (two files, same micro-batch window)
+    src.write.parquet(p)
+    src.write.mode("append").parquet(p)
+    assert spark.read.parquet(p).count() == 80
+
+    out = str(tmp_path / "out_dedup")
+    ckpt = str(tmp_path / "ckpt_dedup")
+    q = run_stream_to_parquet(spark, p, out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 40
+    assert got.select("url").distinct().count() == 40
