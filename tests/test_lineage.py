@@ -233,3 +233,18 @@ def test_choose_writer_branch(spark):
     assert have_iceberg(_FakeSpark()) is True
     assert choose_writer(_FakeSpark(), "cat.db.extracted") == "iceberg"
     assert choose_writer(_FakeSpark(), None) == "parquet"
+
+
+def test_read_extracted_prunes_partitions_at_scan(spark, pages, out_dir):
+    """The committed-bucket filter must reach the scan as a partition
+    filter (bucket dirs are partitionBy(part_key)), so a resume/export
+    over a 10^12-row table reads only committed directories."""
+    run_extract(spark, pages, out_dir, n_buckets=N_BUCKETS,
+                fail_after_buckets=4)
+    df = read_extracted(spark, out_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "part_key" in plan.split("PartitionFilters:")[1][:200]
+    # and only the 4 committed buckets' rows come back
+    keys = {r.part_key for r in df.select("part_key").distinct().collect()}
+    assert keys == set(committed_buckets(out_dir)) and len(keys) == 4
