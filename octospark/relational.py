@@ -1156,19 +1156,21 @@ def scan_json_lines(spark, sf):
     "SELECT user_id, event_id, "
     "CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) "
     "AS rolling_sum, COUNT(*) OVER w AS rolling_n "
-    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts) "
-    "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)",
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) "
+    "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)",
 )
 def window_frame_range(spark, sf):
     """Value-RANGE window frame (the time-series rolling window —
     distinct from ROWS frames: the frame is defined by the ORDER BY
     value, so ts-peers always share a frame). Spark range frames need a
-    numeric sort key -> epoch seconds."""
+    numeric sort key -> epoch MICROSECONDS (exact integers in both
+    engines; whole-second keys would silently truncate fractional
+    timestamps and flip membership for pairs straddling the boundary)."""
     e = load_table(spark, sf, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3600 * 1_000_000, 0)
     )
     return e.select(
         "user_id",

@@ -225,3 +225,42 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+
+
+def test_format_source_staging_is_idempotent(spark):
+    """The CSV/JSON staging writes once and reuses (idempotent _SUCCESS
+    check), and both readers reproduce the parquet rows exactly."""
+    import os
+
+    from octospark.sources import (
+        load_table, read_csv_table, read_json_table, stage_format_copy,
+    )
+
+    dest = stage_format_copy(spark, SF, "nation", "csv")
+    mtime = os.path.getmtime(os.path.join(dest, "_SUCCESS"))
+    assert stage_format_copy(spark, SF, "nation", "csv") == dest
+    assert os.path.getmtime(os.path.join(dest, "_SUCCESS")) == mtime
+
+    want = {
+        (r.n_nationkey, r.n_name, r.n_regionkey)
+        for r in load_table(spark, SF, "nation").collect()
+    }
+    got_csv = {
+        (r.n_nationkey, r.n_name, r.n_regionkey)
+        for r in read_csv_table(
+            spark, SF, "nation",
+            "n_nationkey long, n_name string, n_regionkey long",
+        ).select("n_nationkey", "n_name", "n_regionkey").collect()
+    }
+    got_json = {
+        (r.r_regionkey, r.r_name)
+        for r in read_json_table(
+            spark, SF, "region", "r_regionkey long, r_name string"
+        ).collect()
+    }
+    want_region = {
+        (r.r_regionkey, r.r_name)
+        for r in load_table(spark, SF, "region").collect()
+    }
+    assert got_csv == want
+    assert got_json == want_region
