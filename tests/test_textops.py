@@ -191,3 +191,81 @@ def test_simhash_deterministic(spark, sf_dir):
         by_text.setdefault(txt, []).append(did)
     for ids in by_text.values():
         assert len({sh[i] for i in ids}) == 1
+
+
+def test_pii_mask_removes_injected_pii(spark, sf_dir):
+    rows = T.QUERIES["text_pii_mask"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.had_email is True
+        assert "<EMAIL>" in r.masked and "<PHONE>" in r.masked
+        assert "@mail.example.com" not in r.masked
+        assert "+1-555-" not in r.masked
+
+
+def test_gopher_quality_matches_python_recompute(spark, sf_dir):
+    import re as _re
+
+    rows = T.QUERIES["text_gopher_quality"](spark, sf_dir).collect()
+    from octospark.sources import load_table
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    assert rows
+    for r in rows[:50]:
+        toks = texts[r.doc_id].lower().split(" ")
+        n_words = len(toks)
+        n_alpha_chars = len(texts[r.doc_id].lower().replace(" ", ""))
+        n_alpha_words = sum(1 for w in toks if _re.search("[a-z]", w))
+        assert r.n_words == n_words
+        mwl = n_alpha_chars / n_words
+        awr = n_alpha_words / n_words
+        assert abs(r.mean_word_len - mwl) < 1e-12
+        want_pass = (50 <= n_words <= 100000 and 3 <= mwl <= 10
+                     and awr >= 0.8)
+        assert r.quality_pass == want_pass, r.doc_id
+
+
+def test_url_canonicalize_invariants(spark, sf_dir):
+    rows = T.QUERIES["dedup_url_canonicalize"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n_dupes for r in rows)
+    from octospark.sources import load_table
+
+    assert total == load_table(spark, sf_dir, "documents").count()
+    for r in rows:
+        u = r.curl
+        assert u == u.lower()
+        assert "utm_" not in u and "#" not in u and ":443" not in u
+        assert not u.endswith("/")
+
+
+def test_ngram_profile_matches_counter(spark, sf_dir):
+    from collections import Counter
+
+    from octospark.sources import load_table
+
+    rows = T.QUERIES["text_ngram_profile"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    c = Counter()
+    for r in load_table(spark, sf_dir, "documents").collect():
+        toks = [t for t in r.text.lower().split(" ") if t]
+        c.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r.bigram, r.n) for r in rows]
+    assert got == want
+
+
+def test_topk_batch_shape_and_order(spark, sf_dir):
+    rows = T.QUERIES["sim_ann_topk_batch"](spark, sf_dir).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    assert set(by_q) == set(range(8))
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3]
+        assert rs[0].sim >= rs[1].sim >= rs[2].sim
+        assert all(r.vec_id != qid for r in rs)
