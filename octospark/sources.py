@@ -78,7 +78,11 @@ def stage_format_copy(
     readers have real files to scan. Production analog: the engine
     ingests whatever landed in the lake; here the landing step is
     simulated from the parquet source of truth."""
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    # key the staged copy on the source mtime so a regenerated testdata
+    # dir can never be shadowed by a stale staging from an earlier run
+    mt = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{mt}"
     dest = f"/tmp/octospark_src_{tag}_{name}.{fmt}"
     if not os.path.exists(os.path.join(dest, "_SUCCESS")):
         df = load_table(spark, sf_dir, name).coalesce(1)
