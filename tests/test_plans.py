@@ -264,3 +264,57 @@ def test_format_source_staging_is_idempotent(spark):
     }
     assert got_csv == want
     assert got_json == want_region
+
+
+def test_every_query_plan_is_free_of_antipatterns(spark):
+    """Sweep the ENTIRE queries() surface and reject scale anti-patterns
+    in each physical plan:
+    - row-at-a-time Python (BatchEvalPython) anywhere;
+    - Arrow-batched Python (MapInPandas) outside the keys whose
+      semantics require it (DOM walk, multimodal codecs, pages synth);
+    - partitionless window sorts outside the keys where a global rank
+      is semantically inherent and documented (ntile/percent_rank) or
+      where the window input is k rows post-TakeOrdered (ANN rank
+      assignment);
+    - CartesianProduct outside explicitly-bounded broadcast cross joins.
+    """
+    import __spark_entry__ as entrymod
+
+    ALLOW_PYTHON = {
+        "udf_map_in_pandas", "udf_pandas_scalar", "udf_grouped_apply",
+        "multimodal_meta", "multimodal_decode", "multimodal_resize",
+        "multimodal_frame_sample",
+    }
+    ALLOW_GLOBAL_WINDOW = {
+        "window_ntile_percent",  # global rank semantically inherent
+        # ANN keys: the partitionless window ranks only the k rows that
+        # survive TakeOrderedAndProject (asserted separately)
+        "sim_ann_topk", "sim_ann_lsh_bucketed", "sim_ann_ivf",
+    }
+    ALLOW_CARTESIAN = set()
+    failures = []
+    for name, fn in entrymod.queries().items():
+        plan = plan_of(fn(spark, SF))
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: row-at-a-time Python UDF")
+        if "MapInPandas" in plan and name not in ALLOW_PYTHON:
+            failures.append(f"{name}: unexpected Python stage")
+        if "CartesianProduct" in plan and name not in ALLOW_CARTESIAN:
+            failures.append(f"{name}: cartesian product")
+        # partitionless running window: requires funneling everything
+        # through Exchange SinglePartition into a Window node
+        if (
+            name not in ALLOW_GLOBAL_WINDOW
+            and "Exchange SinglePartition" in plan
+            and "Window [" in plan
+        ):
+            failures.append(f"{name}: partitionless window (single-"
+                            f"partition exchange feeding a window)")
+    assert not failures, failures
+
+
+def test_global_window_detector_is_not_vacuous(spark):
+    """The anti-pattern sweep's global-window signature must actually
+    fire on a known partitionless window (ntile over the whole table)."""
+    plan = plan_of(QUERIES["window_ntile_percent"](spark, SF))
+    assert "Exchange SinglePartition" in plan and "Window [" in plan
