@@ -1179,3 +1179,66 @@ def window_frame_range(spark, sf):
         .over(w).cast("double").alias("rolling_sum"),
         F.count("*").over(w).alias("rolling_n"),
     )
+
+
+@register(
+    "join_interval_binned",
+    # 8 campaign windows derived from nation keys: [t0 + k*5d, +2d).
+    # The oracle does the plain theta join; the Spark side demonstrates
+    # the SCALABLE shape (bin both sides to days, equi-join on the bin,
+    # exact filter after) — results are identical by construction.
+    """
+    WITH c AS (
+      SELECT n_nationkey AS k,
+             1704067200 + n_nationkey * 345600 AS t_start,
+             1704067200 + n_nationkey * 345600 + 172800 AS t_end
+      FROM nation WHERE n_nationkey < 8
+    )
+    SELECT c.k, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events e JOIN c
+      ON epoch_us(e.ts) >= CAST(c.t_start AS BIGINT) * 1000000
+     AND epoch_us(e.ts) <  CAST(c.t_end AS BIGINT) * 1000000
+    GROUP BY c.k
+    """,
+)
+def join_interval_binned(spark, sf):
+    """Interval join via day-binning — the pattern for when BOTH sides
+    are big (a naive theta join is quadratic; Spark plans it as a
+    nested-loop). Each interval explodes into the day bins it covers
+    (bounded fan-out: ceil(len/bin)+1), each event maps to exactly ONE
+    bin, the join is a plain equi-join on the bin (shuffle or broadcast,
+    AQE's choice), and the exact range predicate filters after. No
+    duplicates possible: an event's single bin meets each interval at
+    most once. Here the dim side is 8 rows (broadcast), but the plan
+    shape is the one that survives 10^12 x 10^6."""
+    t0 = 1704067200  # 2024-01-01 UTC, inside the events ts range
+    day = 86400
+    n = load_table(spark, sf, "nation").filter(F.col("n_nationkey") < 8)
+    c = n.select(
+        F.col("n_nationkey").alias("k"),
+        (F.lit(t0) + F.col("n_nationkey") * 345600).cast("long").alias("t_start"),
+        (F.lit(t0) + F.col("n_nationkey") * 345600 + 172800).cast("long").alias("t_end"),
+    )
+    cbins = c.select(
+        "k", "t_start", "t_end",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("t_start") / day),
+                # end is exclusive: last covered second is t_end - 1
+                F.floor((F.col("t_end") - 1) / day),
+            )
+        ).alias("bin"),
+    )
+    e = load_table(spark, sf, "events").select(
+        "ts", "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    ).withColumn("bin", F.floor(F.col("ts_us") / F.lit(day * 1_000_000)))
+    j = e.join(F.broadcast(cbins), "bin").filter(
+        (F.col("ts_us") >= F.col("t_start") * 1_000_000)
+        & (F.col("ts_us") < F.col("t_end") * 1_000_000)
+    )
+    return j.groupBy("k").agg(
+        F.count("*").alias("n_events"),
+        _dec_sum(F.col("value"), alias="sum_value"),
+    )
