@@ -523,7 +523,14 @@ def classify_block(
     if last == "figcaption":
         return "caption"
     if last in _TABLE_TAGS or any(t in _TABLE_TAGS for t in path_tags):
-        return "table"
+        # layout-table carve-out (r3): long, low-link prose inside a
+        # table is page content rendered through a layout table — let it
+        # fall through to the word-count cascade instead of losing it.
+        # Short cells / link-heavy rows keep the 'table' label.
+        if not (
+            curr.n_words > 16 and curr.link_density <= _LINK_DENSITY_MAX
+        ):
+            return "table"
     if curr.link_density > _LINK_DENSITY_MAX:
         return "boilerplate-nav"
     prev_words = prev.n_words if prev is not None else 0

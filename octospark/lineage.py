@@ -115,9 +115,11 @@ def _manifest_path(out_dir: str) -> str:
 def read_manifest(out_dir: str) -> dict:
     path = _manifest_path(out_dir)
     if not os.path.exists(path):
-        return {"run_ids": [], "buckets": {}}
+        return {"run_ids": [], "buckets": {}, "attempts": []}
     with open(path) as f:
-        return json.load(f)
+        m = json.load(f)
+    m.setdefault("attempts", [])
+    return m
 
 
 def commit_manifest(out_dir: str, manifest: dict) -> None:
@@ -177,7 +179,6 @@ def run_extract(
 
     if max_bytes is None:
         max_bytes = MAX_HTML_BYTES
-    run_id = run_id or uuid.uuid4().hex[:12]
     os.makedirs(out_dir, exist_ok=True)
     manifest = read_manifest(out_dir)
     done = set(int(k) for k in manifest["buckets"])
@@ -186,6 +187,20 @@ def run_extract(
     todo_keys = [k for k in range(n_buckets) if k not in done]
     if not todo_keys:
         return manifest
+
+    # Every attempt (even one that later crashes before committing any
+    # bucket) is registered in the manifest BEFORE any data file is
+    # written. A caller-supplied run_id that was already attempted gets a
+    # per-attempt suffix, so orphan parquet files left by an aborted
+    # attempt can never share a (part_key, run_id) pair with a later
+    # resume — read_extracted's pair filter keeps them invisible.
+    base = run_id or uuid.uuid4().hex[:12]
+    run_id, attempt = base, 2
+    while run_id in manifest["attempts"]:
+        run_id = f"{base}.{attempt}"
+        attempt += 1
+    manifest["attempts"].append(run_id)
+    commit_manifest(out_dir, manifest)
 
     todo = keyed.filter(F.col("part_key").isin(todo_keys))
     input_counts = {

@@ -274,8 +274,15 @@ def classify(blocks: DataFrame) -> Column | DataFrame:
         _ancestor_label(path_arr),
         F.when(last.isin(*_HEADINGS), F.lit("heading")),
         F.when(last == "figcaption", F.lit("caption")),
+        # layout-table carve-out (mirrors extractor.classify_block):
+        # long low-link prose in a table falls through to the cascade
         F.when(
-            F.exists(path_arr, lambda t: t.isin(*_TABLES)), F.lit("table")
+            F.exists(path_arr, lambda t: t.isin(*_TABLES))
+            & ~(
+                (F.col("n_words") > 16)
+                & (F.col("link_density") <= F.lit(_LINK_DENSITY_MAX))
+            ),
+            F.lit("table"),
         ),
         numwords_label,
     )
@@ -313,7 +320,14 @@ def classify_with(
         _ancestor_label(path_arr),
         F.when(last.isin(*_HEADINGS), F.lit("heading")),
         F.when(last == "figcaption", F.lit("caption")),
-        F.when(F.exists(path_arr, lambda t: t.isin(*_TABLES)), F.lit("table")),
+        F.when(
+            F.exists(path_arr, lambda t: t.isin(*_TABLES))
+            & ~(
+                (F.col("n_words") > 16)
+                & (F.col("link_density") <= F.lit(_LINK_DENSITY_MAX))
+            ),
+            F.lit("table"),
+        ),
     )
     return scored.withColumn(
         "label",

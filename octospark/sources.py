@@ -79,12 +79,25 @@ def stage_format_copy(
     ingests whatever landed in the lake; here the landing step is
     simulated from the parquet source of truth."""
     src = os.path.join(sf_dir, f"{name}.parquet")
-    # key the staged copy on the source mtime so a regenerated testdata
-    # dir can never be shadowed by a stale staging from an earlier run
-    mt = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{mt}"
-    dest = f"/tmp/octospark_src_{tag}_{name}.{fmt}"
+    # key the staged copy on the source mtime_ns + size so a regenerated
+    # testdata dir can never be shadowed by a stale staging from an
+    # earlier run (whole-second mtime can collide within one second)
+    try:
+        st = os.stat(src)
+        fingerprint = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        fingerprint = "0_0"
+    base = os.path.basename(sf_dir.rstrip("/"))
+    dest = f"/tmp/octospark_src_{base}_{fingerprint}_{name}.{fmt}"
     if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        # evict older staged copies of the same (sf, table, fmt) so
+        # superseded stagings don't accumulate in /tmp indefinitely
+        import glob
+        import shutil
+
+        for old in glob.glob(f"/tmp/octospark_src_{base}_*_{name}.{fmt}"):
+            if old != dest:
+                shutil.rmtree(old, ignore_errors=True)
         df = load_table(spark, sf_dir, name).coalesce(1)
         if fmt == "csv":
             df.write.mode("overwrite").option("header", True).csv(dest)
@@ -97,9 +110,38 @@ def read_csv_table(
     spark: SparkSession, sf_dir: str, name: str, schema: str
 ) -> DataFrame:
     """CSV source with an EXPLICIT schema — never inferSchema at scale
-    (inference is a full extra pass over 100 TB)."""
+    (inference is a full extra pass over 100 TB).
+
+    Spark applies an explicit CSV schema POSITIONALLY (default
+    enforceSchema ignores header names), so a partial schema would bind
+    to whatever the first k file columns happen to be. Binding here is
+    by NAME instead: the reader gets the full source column list in file
+    order (requested types for requested fields, string passthrough for
+    the rest), with enforceSchema=false so any header/schema name drift
+    fails loudly, and the requested columns are then selected by name.
+    A column reorder or a new leading column in the landed files thus
+    yields correct data or a loud error — never silent misbinding."""
     dest = stage_format_copy(spark, sf_dir, name, "csv")
-    return spark.read.schema(schema).option("header", True).csv(dest)
+    wanted = T.StructType.fromDDL(schema)
+    src_fields = load_table(spark, sf_dir, name).schema.fields
+    src_names = {f.name for f in src_fields}
+    missing = [f.name for f in wanted.fields if f.name not in src_names]
+    if missing:
+        raise ValueError(f"columns not in {name} source: {missing}")
+    types = {f.name: f.dataType for f in wanted.fields}
+    full = T.StructType(
+        [
+            T.StructField(f.name, types.get(f.name, T.StringType()), True)
+            for f in src_fields
+        ]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("header", True)
+        .option("enforceSchema", False)
+        .csv(dest)
+    )
+    return df.select(*[f.name for f in wanted.fields])
 
 
 def read_json_table(

@@ -258,24 +258,53 @@ def dedup_minhash_lsh(spark, sf):
     # one side and recomputes the entire signature pipeline twice
     # (verified: 4 scans / 2 windows / 0 ReusedExchange in the adaptive
     # plan). Instead group each (band, bucket) once and expand i<j pairs
-    # from the collected id array — the Generate input is an aggregation
-    # attribute (never an inlined expression, so no interpreted re-eval).
-    # Bucket arrays are capped at 4096 ids — the standard LSH guardrail:
-    # a degenerate hot bucket would otherwise emit n^2 pairs and no
-    # candidate set that size is useful downstream anyway.
+    # from the collected member array — the Generate input is an
+    # aggregation attribute (never an inlined expression, so no
+    # interpreted re-eval). Bucket arrays are capped at 4096 ids — the
+    # standard LSH guardrail: a degenerate hot bucket would otherwise
+    # emit n^2 pairs and no candidate set that size is useful downstream
+    # anyway. The cap keeps an UNBIASED deterministic sample: members
+    # sort by xxhash64(doc_id, bucket), not by doc_id, so a hot bucket
+    # never systematically drops high-id (or low-id) documents; the
+    # number of truncated buckets is emitted as an observable metric
+    # ("lsh_bucket_stats" -> truncated_buckets) for pipeline telemetry.
+    cap = 4096
     buckets = (
         bands.groupBy("band", "bucket")
-        .agg(F.slice(F.sort_array(F.collect_set("doc_id")), 1, 4096)
-             .alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_set(
+                        F.struct(
+                            F.xxhash64("doc_id", "bucket").alias("hk"),
+                            F.col("doc_id").alias("id"),
+                        )
+                    )
+                ),
+                1,
+                cap,
+            ).alias("members"),
+            F.count("*").alias("n_raw"),
+        )
+        .filter(F.size("members") >= 2)
+        .observe(
+            "lsh_bucket_stats",
+            F.sum(
+                F.when(F.col("n_raw") > cap, 1).otherwise(0)
+            ).alias("truncated_buckets"),
+        )
     )
-    lhs = buckets.select(F.posexplode("ids").alias("i", "id1"), "ids")
+    lhs = buckets.select(F.posexplode("members").alias("i", "m"), "members")
+    pairs = lhs.select(
+        F.col("m.id").alias("a"),
+        F.explode(
+            F.slice(F.col("members"), F.col("i") + 2, F.size("members"))
+        ).alias("m2"),
+    )
     return (
-        lhs.select(
-            "id1",
-            F.explode(
-                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
-            ).alias("id2"),
+        pairs.select(
+            F.least(F.col("a"), F.col("m2.id")).alias("id1"),
+            F.greatest(F.col("a"), F.col("m2.id")).alias("id2"),
         )
         .distinct()
     )

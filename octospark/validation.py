@@ -19,11 +19,22 @@ from collections.abc import Callable
 
 
 def golden_drift(
-    cases: list, golden: dict, fields: tuple = ("text", "spans", "n_blocks")
+    cases: list,
+    golden: dict,
+    fields: tuple = ("text", "spans", "n_blocks"),
+    known_loss: frozenset = frozenset(),
 ) -> list:
     """Diff live extractions of ``cases`` [(name, html_bytes), ...]
     against the frozen ``golden`` mapping name -> {text, spans,
-    n_blocks}. Returns drift messages (empty = healthy)."""
+    n_blocks}. Returns drift messages (empty = healthy).
+
+    ``known_loss`` names fixtures whose FROZEN expectation encodes a
+    known content-loss behavior (e.g. empty text for content buried in
+    deep table nesting) — drift on those is still reported (the frozen
+    file must be refrozen before the engine is trusted again, since
+    byte-identical determinism is the contract), but labeled as a
+    likely improvement so an operator reads "refreeze required", not
+    "regression"."""
     from octospark.extractor import extract
 
     drift = []
@@ -36,13 +47,20 @@ def golden_drift(
             want, got = golden[name].get(f), live.get(f)
             # spans round-trip through JSON as lists; normalize
             if json.loads(json.dumps(got)) != want:
-                drift.append(f"{name}: field {f!r} drifted")
+                if name in known_loss:
+                    drift.append(
+                        f"{name}: field {f!r} drifted on a known-loss "
+                        "fixture — behavior likely improved; review and "
+                        "refreeze (scripts/freeze_fixtures.py)"
+                    )
+                else:
+                    drift.append(f"{name}: field {f!r} drifted")
                 break
     return drift
 
 
 def make_golden_validator(
-    cases: list, golden_path: str
+    cases: list, golden_path: str, known_loss: frozenset = frozenset()
 ) -> Callable[[], list]:
     """Bind (cases, frozen-expectation file) into a zero-arg
     ``validate_fn`` for :func:`octospark.lineage.run_extract`."""
@@ -50,6 +68,6 @@ def make_golden_validator(
         golden = json.load(f)
 
     def validate() -> list:
-        return golden_drift(cases, golden)
+        return golden_drift(cases, golden, known_loss=known_loss)
 
     return validate

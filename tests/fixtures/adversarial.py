@@ -39,6 +39,22 @@ CASES: list = [
     ("content_inside_nav", b"<html><body><nav><p>This long article paragraph is wrongly wrapped inside a nav element yet it contains far more than sixteen words of genuine readable prose content that a user would want extracted.</p></nav><footer><a href='/x'>x</a></footer></body></html>"),
     ("malformed_utf8_truncated", b"<html><body><p>Paragraph containing a truncated multibyte sequence \xe2\x82 and a lone continuation byte \x85 plus enough ascii words to pass the sixteen word threshold for content.</p></body></html>"),
     ("malformed_utf8_overlong", b"<html><body><p>Overlong slash \xc0\xaf and illegal \xf8\x88\x80\x80\x80 five byte form mixed with enough plain ascii words to exceed the sixteen word content threshold here.</p></body></html>"),
+    # cases 26-31: round-3 additions (VERDICT r2 #8) — parser traps the
+    # earlier cases don't exercise
+    ("cdata_section", b"<html><body><p>Real paragraph before the cdata block carrying comfortably more than sixteen words of genuine readable content text here.</p><![CDATA[ <p>this markup-looking payload is character data not elements</p> ]]><p>Second real paragraph after the cdata block also carrying comfortably more than sixteen words of readable content.</p></body></html>"),
+    ("attr_value_gt_trap", b"<html><body><div data-note=\"5 > 3 and also x->y\" title='a > b'><p>Paragraph inside a div whose attribute values contain greater-than characters yet the paragraph still holds more than sixteen words of content.</p></div><a href='/q?a>b'>tiny</a></body></html>"),
+    ("noscript_interleaved", b"<html><body><p>Leading article paragraph with comfortably more than sixteen words of real readable content for the extractor to keep.</p><noscript><img src='/pixel.gif'><p>Please enable javascript to view this site properly thanks</p></noscript><p>Trailing article paragraph also holding comfortably more than sixteen words of real readable content for the extractor.</p></body></html>"),
+    ("main_entirely_tables", b"<html><body><nav><a href='/h'>home</a></nav><main><table><tr><td><p>The entire main element of this page is one big layout table and this first cell paragraph carries more than sixteen words.</p></td></tr><tr><td><p>The second table cell paragraph likewise carries comfortably more than sixteen words of genuine page content for extraction.</p></td></tr></table></main><footer><a href='/p'>privacy</a></footer></body></html>"),
+    ("processing_instruction_doctype", b"<?xml version='1.0'?><!DOCTYPE html PUBLIC '-//W3C//DTD XHTML 1.0//EN'><html><body><?php echo 'server side leftover'; ?><p>Paragraph after processing instructions and a legacy doctype holding definitely more than sixteen words of readable page content text.</p></body></html>"),
+    ("comment_with_markup", b"<html><body><!-- <p>commented out fake paragraph that must never surface in output</p> --><p>Live paragraph following an html comment that itself contains markup and this live text has more than sixteen words total.</p><!--[if IE]><p>conditional comment content for ancient browsers</p><![endif]--></body></html>"),
 ]
 
 NAMES = [c[0] for c in CASES]
+
+# Fixtures whose FROZEN expectation encodes KNOWN content loss (the
+# extractor currently returns empty/partial text for them). A golden
+# drift here most likely means the extractor improved — report as
+# "refreeze required", not as a regression (ADVICE r2).
+# nested_tables_100 left this set in r3: the layout-table carve-out in
+# classify_block now recovers long low-link prose inside tables.
+KNOWN_LOSS = frozenset({"content_inside_nav"})

@@ -213,6 +213,62 @@ def test_golden_validator_detects_corruption():
     assert drift and "minimal" in drift[0]
 
 
+def test_golden_drift_labels_known_loss_as_improvement():
+    """Drift on a KNOWN_LOSS fixture is still reported (determinism
+    contract: the frozen file must be refrozen) but labeled as a likely
+    improvement, not a regression (ADVICE r2)."""
+    import json
+    import pathlib
+
+    from octospark.validation import golden_drift
+    from tests.fixtures.adversarial import CASES, KNOWN_LOSS
+
+    golden = json.loads(
+        (pathlib.Path(__file__).resolve().parent / "fixtures/golden.json")
+        .read_text()
+    )
+    # simulate a stale frozen expectation on the known-loss fixture
+    golden["content_inside_nav"]["text"] = "stale frozen loss"
+    golden["minimal"]["text"] = "tampered"
+    drift = golden_drift(CASES, golden, known_loss=KNOWN_LOSS)
+    by_name = {d.split(":")[0]: d for d in drift}
+    assert "refreeze" in by_name["content_inside_nav"]
+    assert "known-loss" in by_name["content_inside_nav"]
+    assert "refreeze" not in by_name["minimal"]
+
+
+def test_run_id_reuse_after_abort_keeps_orphans_invisible(spark, pages,
+                                                          out_dir):
+    """ADVICE r2 (medium): an operator reruns with the SAME --run-id after
+    a drift abort. The aborted attempt's data files (written before the
+    drift raised, never manifest-committed) must not become visible as
+    duplicates when the resume commits buckets under that run_id — the
+    resume must get a per-attempt suffixed id."""
+    from octospark.lineage import GoldenDriftError
+
+    # attempt 1: chunk data files hit disk, then drift aborts before the
+    # manifest records any bucket -> orphan files tagged run_id="op"
+    with pytest.raises(GoldenDriftError):
+        run_extract(
+            spark, pages, out_dir, n_buckets=N_BUCKETS, run_id="op",
+            validate_every_k_buckets=4, validate_fn=lambda: ["drift"],
+        )
+    assert committed_buckets(out_dir) == []
+    data_dir = os.path.join(out_dir, "data")
+    assert os.path.isdir(data_dir)  # orphans exist on disk
+
+    # attempt 2: same operator, same run_id
+    m = run_extract(spark, pages, out_dir, n_buckets=N_BUCKETS, run_id="op")
+    assert len(m["buckets"]) == N_BUCKETS
+    # the resume ran under a suffixed id, never the reused literal
+    assert all(v["run_id"] == "op.2" for v in m["buckets"].values())
+    assert m["attempts"] == ["op", "op.2"]
+    # snapshot read sees exactly one row per url — orphans invisible
+    got = read_extracted(spark, out_dir)
+    assert got.count() == pages.count()
+    assert got.groupBy("url").count().filter("count != 1").count() == 0
+
+
 def test_choose_writer_branch(spark):
     """Iceberg append is selected only when a table is named AND an
     Iceberg catalog is configured; this sandbox has no jar, so the

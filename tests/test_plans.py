@@ -265,6 +265,22 @@ def test_format_source_staging_is_idempotent(spark):
     assert got_csv == want
     assert got_json == want_region
 
+    # name-bound (not positional) CSV schema: requesting columns in a
+    # different order than the file still yields the right values, and an
+    # unknown column fails loudly instead of silently misbinding
+    reordered = {
+        (r.n_nationkey, r.n_name, r.n_regionkey)
+        for r in read_csv_table(
+            spark, SF, "nation",
+            "n_regionkey long, n_name string, n_nationkey long",
+        ).collect()
+    }
+    assert reordered == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in nation"):
+        read_csv_table(spark, SF, "nation", "no_such_col long")
+
 
 def test_every_query_plan_is_free_of_antipatterns(spark):
     """Sweep the ENTIRE queries() surface and reject scale anti-patterns
