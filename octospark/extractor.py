@@ -110,6 +110,7 @@ class Block:
     text_density: float
     char_hist: list    # list[int] of len 8, HIST_BUCKETS order
     label: str = ""    # filled by stage 2
+    path_tags: list | None = None  # tag_path pre-split (perf cache)
 
 
 @dataclass
@@ -179,26 +180,38 @@ class _BlockParser(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.with_hist = with_hist
         self.stack: list = []
+        self.open_counts: dict = {}  # tag -> open count (O(1) membership)
         self.skip_depth = 0
         self.link_depth = 0
         self.pieces: list = []       # (raw_text, is_link) for current block
+        self.block_has_link = False  # any piece with is_link in pieces
         self.block_stack_snapshot: list = []
         self.blocks: list = []
 
     # -- block lifecycle ---------------------------------------------------
     def _flush(self) -> None:
-        if not self.pieces:
+        pieces = self.pieces
+        if not pieces:
             return
-        raw = "".join(p for p, _ in self.pieces)
+        raw = (
+            pieces[0][0] if len(pieces) == 1
+            else "".join(p for p, _ in pieces)
+        )
         words = raw.split()  # one pass: text = _norm_ws(raw), words, count
         if not words:
             self.pieces = []
+            self.block_has_link = False
             return
         text = " ".join(words)
         n_chars = len(text)
         n_words = len(words)
-        n_link_chars = sum(len(_norm_ws(p)) for p, is_link in self.pieces if is_link)
-        n_link_chars = min(n_link_chars, n_chars)
+        if self.block_has_link:
+            n_link_chars = sum(
+                len(_norm_ws(p)) for p, is_link in pieces if is_link
+            )
+            n_link_chars = min(n_link_chars, n_chars)
+        else:  # common case: no <a> in the block — skip the scan
+            n_link_chars = 0
         link_density = n_link_chars / n_chars
         # words-per-wrapped-line proxy at 80 cols (Boilerpipe-style density)
         lines = max(1, math.ceil(n_chars / 80))
@@ -216,48 +229,63 @@ class _BlockParser(HTMLParser):
                 link_density=link_density,
                 text_density=text_density,
                 char_hist=char_histogram(text) if self.with_hist else [],
+                path_tags=path,
             )
         )
         self.pieces = []
+        self.block_has_link = False
 
     # -- parser callbacks ----------------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in _SKIP_TAGS:
             self.skip_depth += 1
             return
-        if tag in _BLOCK_TAGS:
+        if tag in _BLOCK_TAGS and self.pieces:
             self._flush()
         if tag == "a":
             self.link_depth += 1
         if tag not in ("br", "hr"):  # void elements don't nest
             self.stack.append(tag)
+            oc = self.open_counts
+            oc[tag] = oc.get(tag, 0) + 1
 
     def handle_endtag(self, tag: str) -> None:
         if tag in _SKIP_TAGS:
             if self.skip_depth > 0:
                 self.skip_depth -= 1
             return
-        if tag in _BLOCK_TAGS:
+        if tag in _BLOCK_TAGS and self.pieces:
             self._flush()
         if tag == "a" and self.link_depth > 0:
             self.link_depth -= 1
-        # pop to nearest matching open tag (lenient recovery)
-        if tag in self.stack:
-            while self.stack and self.stack[-1] != tag:
-                self.stack.pop()
-            if self.stack:
-                self.stack.pop()
+        # pop to nearest matching open tag (lenient recovery); the
+        # open_counts dict makes the membership test O(1) instead of an
+        # O(depth) list scan per end tag
+        oc = self.open_counts
+        if oc.get(tag):
+            stack = self.stack
+            while stack:
+                top = stack.pop()
+                oc[top] -= 1
+                if top == tag:
+                    break
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         if tag in ("br", "hr"):
-            self.pieces.append((" ", self.link_depth > 0))
+            is_link = self.link_depth > 0
+            self.pieces.append((" ", is_link))
+            if is_link:
+                self.block_has_link = True
 
     def handle_data(self, data: str) -> None:
         if self.skip_depth > 0 or not data:
             return
         if not self.pieces:
             self.block_stack_snapshot = list(self.stack)
-        self.pieces.append((data, self.link_depth > 0))
+        is_link = self.link_depth > 0
+        self.pieces.append((data, is_link))
+        if is_link:
+            self.block_has_link = True
 
 
 # --- fast tokenizer --------------------------------------------------------
@@ -513,7 +541,9 @@ def classify_block(
     2. heading / table / caption tags;
     3. Boilerpipe-style (prev, curr, next) word-count + link-density rules.
     """
-    path_tags = curr.tag_path.split("/") if curr.tag_path else []
+    path_tags = curr.path_tags
+    if path_tags is None:
+        path_tags = curr.tag_path.split("/") if curr.tag_path else []
     for tag in reversed(path_tags):  # nearest ancestor wins
         if tag in _ANCESTOR_LABELS:
             return _ANCESTOR_LABELS[tag]

@@ -90,7 +90,9 @@ def _write_chunk(
     chunk = extracted.filter(F.col("part_key").isin(keys)).withColumn(
         "run_id", F.lit(run_id)
     )
-    if writer == "iceberg":  # pragma: no cover - no jar in this sandbox
+    if writer == "iceberg":
+        # routing unit-tested with a stub frame (tests/test_lineage.py);
+        # the real append needs the Iceberg jar, absent in this sandbox
         chunk.writeTo(iceberg_table).append()
     else:
         (

@@ -1242,3 +1242,92 @@ def join_interval_binned(spark, sf):
         F.count("*").alias("n_events"),
         _dec_sum(F.col("value"), alias="sum_value"),
     )
+
+
+@register(
+    "agg_quartile_assign",
+    # Oracle: same cutoffs-then-assign computation in SQL. quantile_cont
+    # and Spark's exact percentile share the p*(N-1) lerp definition, so
+    # the cutoff doubles are bit-identical (agg_median_percentile
+    # precedent), and the > comparisons then agree everywhere.
+    """
+    WITH cuts AS (
+      SELECT quantile_cont(o_totalprice, 0.25) AS c1,
+             quantile_cont(o_totalprice, 0.50) AS c2,
+             quantile_cont(o_totalprice, 0.75) AS c3
+      FROM orders
+    )
+    SELECT 1 + CAST(o_totalprice > c1 AS BIGINT)
+             + CAST(o_totalprice > c2 AS BIGINT)
+             + CAST(o_totalprice > c3 AS BIGINT) AS quartile,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders, cuts
+    GROUP BY quartile
+    """,
+)
+def agg_quartile_assign(spark, sf):
+    """The SCALE path for quartile assignment (the 10^12-row alternative
+    to window_ntile_percent's inherent global sort): one cutoff
+    aggregation, broadcast the 3 cutoffs back, assign each row by range
+    predicate, aggregate per quartile. No Window, no global row sort —
+    the only SinglePartition exchange carries per-partition aggregation
+    STATES (O(partitions)), never rows. At true 10^12 scale swap
+    F.percentile for F.percentile_approx: the plan shape is unchanged
+    and the sketch is mergeable; exact percentile is used here because
+    it is bit-reproducible against the DuckDB oracle.
+    Reference analog: R27 class statistics at corpus scale
+    (/root/reference/src/octopy/train.py:99-121)."""
+    # pipeline role: quality-score quartiles for corpus filtering
+    o = load_table(spark, sf, "orders").select("o_totalprice")
+    cuts = o.agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("c1"),
+        F.percentile("o_totalprice", F.lit(0.50)).alias("c2"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("c3"),
+    )
+    assigned = o.join(F.broadcast(cuts)).select(
+        (
+            F.lit(1)
+            + (F.col("o_totalprice") > F.col("c1")).cast("long")
+            + (F.col("o_totalprice") > F.col("c2")).cast("long")
+            + (F.col("o_totalprice") > F.col("c3")).cast("long")
+        ).alias("quartile"),
+        "o_totalprice",
+    )
+    return assigned.groupBy("quartile").agg(
+        F.count("*").alias("n"),
+        _dec_sum(F.col("o_totalprice"), alias="sum_price"),
+    )
+
+
+@register(
+    "stream_dedup_within_watermark",
+    "SELECT user_id, event_id, ts_us FROM ("
+    "  SELECT user_id, event_id, epoch_us(ts) AS ts_us,"
+    "         ROW_NUMBER() OVER (PARTITION BY user_id,"
+    "           date_trunc('hour', ts) ORDER BY ts, event_id) AS rn"
+    "  FROM events) WHERE rn = 1",
+)
+def stream_dedup_within_watermark(spark, sf):
+    """Batch-equivalent twin of the streaming in-stream dedup
+    (octospark.streamops.extract_stream's dropDuplicatesWithinWatermark,
+    e2e-tested in tests/test_streamops.py): keep the FIRST event per
+    (key, watermark-horizon bucket), ties broken by event_id so the
+    choice is total. State story at 10^12 rows: the streaming form holds
+    one state row per key within the horizon; this batch form is one
+    partitioned window — one shuffle on the dedup key, no global sort."""
+    # pipeline role: first-crawl-wins url dedup inside a landing window
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy(
+        "user_id", F.date_trunc("hour", F.col("ts"))
+    ).orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+    )

@@ -4,6 +4,11 @@ over the same parquet, then compare row-count + order-insensitive values
 (exact equality after column-name sort + row sort).
 
 Usage: python scripts/check_contract.py [sf_dir] [query_name ...]
+
+When run over the FULL key set (no query_name filter), writes the
+per-key result table to CONTRACT_SELFCHECK.json at the repo root — the
+standing, reproducible green record for keys the driver's own
+correctness sweep does not cover (VERDICT r2 #5).
 """
 
 from __future__ import annotations
@@ -94,6 +99,7 @@ def main() -> int:
     con = duck_con(sf_dir)
 
     n_pass = n_fail = n_rowsonly = 0
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -102,6 +108,8 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:
             print(f"FAIL {name}: spark raised {type(exc).__name__}: {exc}")
+            results[name] = {"status": "fail",
+                             "err": f"spark {type(exc).__name__}: {exc}"}
             n_fail += 1
             continue
         pinned = SF_PINNED.get(name)
@@ -110,22 +118,45 @@ def main() -> int:
         ):
             print(f"ROWS {name}: {len(sdf)} rows (no oracle) "
                   f"[{time.time()-t0:.1f}s]")
+            results[name] = {"status": "rows_only", "spark_rows": len(sdf)}
             n_rowsonly += 1
             continue
         try:
             ddf = con.sql(oracles[name]).df()
         except Exception as exc:
             print(f"FAIL {name}: duckdb raised {type(exc).__name__}: {exc}")
+            results[name] = {"status": "fail",
+                             "err": f"duckdb {type(exc).__name__}: {exc}"}
             n_fail += 1
             continue
         err = compare(sdf, ddf)
         if err:
             print(f"FAIL {name}: {err}")
+            results[name] = {"status": "fail", "err": err,
+                             "spark_rows": len(sdf),
+                             "oracle_rows": len(ddf)}
             n_fail += 1
         else:
             print(f"PASS {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+            results[name] = {"status": "pass", "spark_rows": len(sdf),
+                             "oracle_rows": len(ddf)}
             n_pass += 1
     print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail")
+    if not only:
+        import json
+
+        art = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "CONTRACT_SELFCHECK.json",
+        )
+        with open(art, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "generated_at": time.time(),
+                 "n_pass": n_pass, "n_rows_only": n_rowsonly,
+                 "n_fail": n_fail, "keys": results},
+                f, indent=1, sort_keys=True,
+            )
+        print(f"wrote {art}")
     return 1 if n_fail else 0
 
 

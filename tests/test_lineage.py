@@ -291,6 +291,47 @@ def test_choose_writer_branch(spark):
     assert choose_writer(_FakeSpark(), None) == "parquet"
 
 
+def test_write_chunk_routes_to_iceberg_append(spark):
+    """The Iceberg data-append arm (VERDICT r2 #4): _write_chunk must
+    route through writeTo(table).append() when the writer is 'iceberg',
+    and never touch the Parquet sink. Exercised with a stub frame since
+    the sandbox has no Iceberg jar — the branch logic and call chain are
+    what this pins."""
+    from octospark.lineage import _write_chunk
+
+    calls = []
+
+    class _Writer:
+        def __init__(self, table):
+            self.table = table
+
+        def append(self):
+            calls.append(("append", self.table))
+
+    class _StubFrame:
+        def filter(self, _cond):
+            return self
+
+        def withColumn(self, _name, _col):
+            return self
+
+        def writeTo(self, table):
+            calls.append(("writeTo", table))
+            return _Writer(table)
+
+        @property
+        def write(self):  # the parquet arm must never be reached
+            raise AssertionError("parquet sink used on the iceberg arm")
+
+    _write_chunk(
+        _StubFrame(), keys=[1, 2], run_id="r", out_dir="/nowhere",
+        writer="iceberg", iceberg_table="cat.db.extracted",
+    )
+    assert calls == [
+        ("writeTo", "cat.db.extracted"), ("append", "cat.db.extracted")
+    ]
+
+
 def test_read_extracted_prunes_partitions_at_scan(spark, pages, out_dir):
     """The committed-bucket filter must reach the scan as a partition
     filter (bucket dirs are partitionBy(part_key)), so a resume/export

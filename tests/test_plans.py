@@ -334,3 +334,15 @@ def test_global_window_detector_is_not_vacuous(spark):
     fire on a known partitionless window (ntile over the whole table)."""
     plan = plan_of(QUERIES["window_ntile_percent"](spark, SF))
     assert "Exchange SinglePartition" in plan and "Window [" in plan
+
+
+def test_quartile_assign_scale_plan(spark):
+    """agg_quartile_assign is the documented scale alternative to
+    window_ntile_percent (VERDICT r2 #3): its plan must contain NO
+    Window node and NO global range sort — every row is assigned by
+    broadcast-joined cutoffs, and the only SinglePartition exchange
+    merges per-partition aggregation states, never rows."""
+    plan = plan_of(QUERIES["agg_quartile_assign"](spark, SF))
+    assert "Window [" not in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
