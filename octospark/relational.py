@@ -1302,6 +1302,44 @@ def agg_quartile_assign(spark, sf):
 
 
 @register(
+    "agg_quantile_sketch",
+    # Oracle: DuckDB's exact discrete quantile. Spark's percentile_approx
+    # (Greenwald-Khanna sketch) is EXACT here because accuracy=100000
+    # exceeds every group's row count (rank error 1/accuracy * n < 1),
+    # and both engines then return the same discrete element of the
+    # group (no interpolation on either side).
+    """
+    SELECT o_orderpriority,
+           [CAST(quantile_disc(o_totalprice, 0.25) AS DOUBLE),
+            CAST(quantile_disc(o_totalprice, 0.50) AS DOUBLE),
+            CAST(quantile_disc(o_totalprice, 0.75) AS DOUBLE),
+            CAST(quantile_disc(o_totalprice, 0.95) AS DOUBLE)] AS quantiles,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_quantile_sketch(spark, sf):
+    """Mergeable-sketch per-group quantiles — the true 10^12-row
+    percentile path. percentile_approx's partial state is a BOUNDED
+    Greenwald-Khanna sketch (O(accuracy) per group regardless of row
+    count), merged associatively map-side then tree-wise — contrast the
+    exact F.percentile, whose state grows with distinct values, and
+    window_ntile_percent's global sort. At sandbox scale the sketch is
+    exact (accuracy > group size), which is what lets the DuckDB oracle
+    be a hard equality check; at 100 TB the same plan degrades gracefully
+    to rank error n/accuracy. Reference analog: R27 class statistics
+    (/root/reference/src/octopy/train.py:99-121)."""
+    # pipeline role: per-source quality-score quantile profiles
+    o = load_table(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx(
+            "o_totalprice", [0.25, 0.50, 0.75, 0.95], 100000
+        ).alias("quantiles"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
     "stream_dedup_within_watermark",
     "SELECT user_id, event_id, ts_us FROM ("
     "  SELECT user_id, event_id, epoch_us(ts) AS ts_us,"

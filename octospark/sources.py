@@ -48,15 +48,19 @@ def _gen_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from octospark.htmlgen import build_page
 
     for pdf in batches:
-        rows = [
-            build_page(int(d), t, lg, s)
-            for d, t, lg, s in zip(
-                pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
-            )
-        ]
-        yield pd.DataFrame(
-            rows, columns=["url", "warc_ts", "html", "text", "lang"]
-        )
+        # columnar assembly (VERDICT r2 #6): per-column lists beat a
+        # list-of-dicts DataFrame build; the per-row page synthesis
+        # (extract() for the golden text) is the irreducible part
+        cols: dict = {
+            "url": [], "warc_ts": [], "html": [], "text": [], "lang": []
+        }
+        for d, t, lg, s in zip(
+            pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
+        ):
+            row = build_page(int(d), t, lg, s)
+            for k, v in cols.items():
+                v.append(row[k])
+        yield pd.DataFrame(cols)
 
 
 def build_pages(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:

@@ -336,6 +336,18 @@ def test_global_window_detector_is_not_vacuous(spark):
     assert "Exchange SinglePartition" in plan and "Window [" in plan
 
 
+def test_quantile_sketch_partial_agg_plan(spark):
+    """agg_quantile_sketch must plan as a partial+final sketch
+    aggregation (map-side combine of bounded GK summaries) shuffled by
+    the group key — no Window, no global sort, no row-carrying
+    SinglePartition exchange."""
+    plan = plan_of(QUERIES["agg_quantile_sketch"](spark, SF))
+    assert "partial_percentile_approx" in plan
+    assert "Window [" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_quartile_assign_scale_plan(spark):
     """agg_quartile_assign is the documented scale alternative to
     window_ntile_percent (VERDICT r2 #3): its plan must contain NO
