@@ -27,21 +27,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator (SURVEY.md §2.2 + extras)."""
+    import octospark.pdfops as pdfops
     import octospark.relational as rel
     import octospark.textops as textops
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(rel.QUERIES)
     out.update(textops.QUERIES)
+    out.update(pdfops.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query key (omitted => rows-only)."""
+    import octospark.pdfops as pdfops
     import octospark.relational as rel
     import octospark.textops as textops
 
     out: dict[str, str] = {}
     out.update(rel.ORACLE)
     out.update(textops.ORACLE)
+    out.update(pdfops.ORACLE)
     return out

@@ -343,6 +343,120 @@ def lineage_table(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+def compact_run(
+    spark: SparkSession, out_dir: str, n_buckets: int | None = None
+) -> dict:
+    """Snapshot-preserving compaction + orphan GC — the Iceberg
+    ``rewrite_data_files`` + ``expire_snapshots`` analog, and the
+    maintenance op a resume-heavy 10^12-row table needs: every aborted
+    attempt leaves orphan parquet files, every resume run adds another
+    file generation per bucket, and at 100 TB the accumulated small
+    files dominate scan planning time.
+
+    Protocol (crash-safe at every step):
+
+    1. read the committed snapshot (:func:`read_extracted` pair
+       semantics — orphans are invisible by construction);
+    2. rewrite it under a fresh ``compact-*`` run_id, one shuffle
+       partition per bucket (``repartition(part_key)``) so each bucket
+       lands as a single file per generation;
+    3. VERIFY the rewrite: per-bucket output_count and the
+       order-independent ``bit_xor(xxhash64(url, text))`` checksum of
+       the new files must equal the manifest's committed lineage —
+       a compaction that changed any row aborts and the old snapshot
+       stays live;
+    4. atomically commit a manifest pointing every bucket at the
+       compaction run_id (crash before this leaves the new files as
+       invisible orphans; the next compaction collects them);
+    5. GC: delete every data file that predates the rewrite — each is
+       now either superseded (was committed, rewritten in step 2) or a
+       true orphan from an aborted attempt (crash mid-delete is safe:
+       leftover old files stay invisible to the pair filter).
+
+    Returns {"files_before", "files_after", "old_files_removed",
+    "run_id"}.
+    """
+    import glob
+
+    m = read_manifest(out_dir)
+    if not m["buckets"]:
+        return {"files_before": 0, "files_after": 0,
+                "old_files_removed": 0, "run_id": None}
+    data_dir = os.path.join(out_dir, "data")
+    old_files = set(glob.glob(os.path.join(data_dir, "*", "*.parquet")))
+
+    base = f"compact-{uuid.uuid4().hex[:12]}"
+    run_id, attempt = base, 2
+    while run_id in m["attempts"]:  # pragma: no cover — uuid collision
+        run_id = f"{base}.{attempt}"
+        attempt += 1
+    m["attempts"].append(run_id)
+    commit_manifest(out_dir, m)
+
+    snapshot = read_extracted(spark, out_dir).withColumn(
+        "run_id", F.lit(run_id)
+    )
+    n_active = len(m["buckets"])
+    (
+        snapshot.repartition(n_active, "part_key")
+        .write.partitionBy("part_key")
+        .mode("append")
+        .parquet(data_dir)
+    )
+
+    # verify the rewrite against committed lineage before the swap
+    new_files = [
+        f for f in glob.glob(os.path.join(data_dir, "*", "*.parquet"))
+        if f not in old_files
+    ]
+    rewritten = spark.read.option("basePath", data_dir).parquet(*new_files)
+    got = {
+        int(r["part_key"]): r
+        for r in rewritten.groupBy("part_key")
+        .agg(
+            F.count("*").alias("output_count"),
+            F.bit_xor(F.xxhash64("url", "text")).alias("checksum"),
+        )
+        .collect()
+    }
+    for k, v in m["buckets"].items():
+        r = got.get(int(k))
+        ok = (
+            r is not None
+            and int(r["output_count"]) == v["output_count"]
+            and int(r["checksum"]) == v["checksum"]
+        ) or (r is None and v["output_count"] == 0)
+        if not ok:
+            for f in new_files:  # abort: old snapshot stays live
+                os.remove(f)
+            raise RuntimeError(
+                f"compaction verify failed for bucket {k}: rewrite does "
+                f"not reproduce committed lineage — snapshot unchanged"
+            )
+
+    now = time.time()
+    for v in m["buckets"].values():
+        v["run_id"] = run_id
+        v["compacted_at"] = now
+    m["run_ids"].append(
+        {"run_id": run_id, "committed_buckets": len(m["buckets"]),
+         "committed_at": now, "compaction": True}
+    )
+    commit_manifest(out_dir, m)
+
+    removed = 0
+    for f in old_files:
+        if os.path.exists(f):
+            os.remove(f)
+            removed += 1
+    return {
+        "files_before": len(old_files),
+        "files_after": len(new_files),
+        "old_files_removed": removed,
+        "run_id": run_id,
+    }
+
+
 def inspect(out_dir: str) -> dict:
     """JSON metadata dump (analog of `octopy inspect`)."""
     m = read_manifest(out_dir)

@@ -345,3 +345,92 @@ def test_read_extracted_prunes_partitions_at_scan(spark, pages, out_dir):
     # and only the 4 committed buckets' rows come back
     keys = {r.part_key for r in df.select("part_key").distinct().collect()}
     assert keys == set(committed_buckets(out_dir)) and len(keys) == 4
+
+
+def test_compact_run_collapses_files_and_removes_orphans(spark, pages,
+                                                         out_dir):
+    """Compaction (Iceberg rewrite_data_files + expire_snapshots analog):
+    build a resume-heavy table — aborted attempt (orphan files) + two
+    committed generations — then compact and assert (a) the visible
+    snapshot is byte-identical, (b) the file count collapses, (c) orphan
+    and superseded files are gone, (d) lineage history records the
+    compaction."""
+    import glob
+
+    from octospark.lineage import compact_run
+
+    from octospark.lineage import GoldenDriftError
+
+    # aborted attempt: drift fires AFTER the first 4-bucket chunk's data
+    # files land but BEFORE their manifest commit -> true orphans
+    calls = {"n": 0}
+
+    def drift_once():
+        calls["n"] += 1
+        return ["synthetic drift"] if calls["n"] == 1 else []
+
+    with pytest.raises(GoldenDriftError):
+        run_extract(spark, pages, out_dir, n_buckets=N_BUCKETS,
+                    run_id="gen", validate_every_k_buckets=4,
+                    validate_fn=drift_once)
+    # resume with the SAME caller id (auto-suffixed) commits everything
+    run_extract(spark, pages, out_dir, n_buckets=N_BUCKETS, run_id="gen")
+    before = read_extracted(spark, out_dir)
+    want = _texts(before)
+    files_before = glob.glob(os.path.join(out_dir, "data", "*", "*.parquet"))
+    assert len(files_before) > N_BUCKETS  # multiple generations exist
+
+    res = compact_run(spark, out_dir)
+    assert res["run_id"].startswith("compact-")
+    assert res["old_files_removed"] == len(files_before)
+
+    files_after = glob.glob(os.path.join(out_dir, "data", "*", "*.parquet"))
+    assert set(files_after).isdisjoint(files_before)
+    assert len(files_after) <= N_BUCKETS  # one file per bucket generation
+    got = read_extracted(spark, out_dir)
+    assert _texts(got) == want
+    # every committed bucket now points at the compaction run_id and the
+    # history records a compaction entry
+    m = read_manifest(out_dir)
+    assert all(v["run_id"] == res["run_id"] for v in m["buckets"].values())
+    assert any(e.get("compaction") for e in m["run_ids"])
+    # idempotent: compacting a compacted table keeps the snapshot
+    res2 = compact_run(spark, out_dir)
+    assert _texts(read_extracted(spark, out_dir)) == want
+    assert res2["files_after"] <= N_BUCKETS
+
+
+def test_compact_run_verify_aborts_on_divergence(spark, pages, out_dir,
+                                                 monkeypatch):
+    """A rewrite that fails to reproduce the committed lineage must
+    abort BEFORE the manifest swap: old snapshot intact, new files
+    deleted."""
+    import glob
+
+    import octospark.lineage as lin
+
+    run_extract(spark, pages, out_dir, n_buckets=N_BUCKETS)
+    want = _texts(read_extracted(spark, out_dir))
+    m_before = read_manifest(out_dir)
+
+    real_read = lin.read_extracted
+
+    def corrupted_read(spark_, out_dir_):
+        # drop one row: per-bucket count/checksum can no longer match
+        df = real_read(spark_, out_dir_)
+        victim = df.select("url").limit(1).collect()[0]["url"]
+        return df.filter(F.col("url") != victim)
+
+    monkeypatch.setattr(lin, "read_extracted", corrupted_read)
+    with pytest.raises(RuntimeError, match="compaction verify failed"):
+        lin.compact_run(spark, out_dir)
+    monkeypatch.undo()
+
+    # snapshot unchanged, no stray uncommitted generation left behind
+    assert _texts(read_extracted(spark, out_dir)) == want
+    m_after = read_manifest(out_dir)
+    assert m_after["buckets"] == m_before["buckets"]
+    files = glob.glob(os.path.join(out_dir, "data", "*", "*.parquet"))
+    got = read_extracted(spark, out_dir)
+    assert got.count() == len(want)
+    assert len(files) >= N_BUCKETS
