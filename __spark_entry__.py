@@ -30,11 +30,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import octospark.pdfops as pdfops
     import octospark.relational as rel
     import octospark.textops as textops
+    import octospark.warcops as warcops
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(rel.QUERIES)
     out.update(textops.QUERIES)
     out.update(pdfops.QUERIES)
+    out.update(warcops.QUERIES)
     return out
 
 
@@ -43,9 +45,11 @@ def oracle_sql() -> dict[str, str]:
     import octospark.pdfops as pdfops
     import octospark.relational as rel
     import octospark.textops as textops
+    import octospark.warcops as warcops
 
     out: dict[str, str] = {}
     out.update(rel.ORACLE)
     out.update(textops.ORACLE)
     out.update(pdfops.ORACLE)
+    out.update(warcops.ORACLE)
     return out

@@ -303,6 +303,8 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         # PDF synthesis + tolerant content-stream parse are inherently
         # Python (no PDF support in Spark/JVM builtins)
         "extract_pdf_layout", "pdf_layout_blocks",
+        # WARC gzip-member parse is inherently Python (binaryFile rows)
+        "scan_warc",
     }
     ALLOW_GLOBAL_WINDOW = {
         "window_ntile_percent",  # global rank semantically inherent
