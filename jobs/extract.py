@@ -30,6 +30,11 @@ def main() -> None:
     ap = argparse.ArgumentParser(description="octospark extraction job")
     ap.add_argument("--input", help="pages parquet path")
     ap.add_argument("--sf-dir", help="testdata dir to synthesize pages from")
+    ap.add_argument(
+        "--warc-dir",
+        help="directory of .warc.gz crawl files to ingest directly "
+        "(one task per non-splittable file; non-200 responses dropped)",
+    )
     ap.add_argument("--out", required=True, help="output dir (data + manifest)")
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--max-bytes", type=int, default=None)
@@ -64,8 +69,8 @@ def main() -> None:
         "tests/fixtures/golden.json when cadence is enabled)",
     )
     args = ap.parse_args()
-    if not args.input and not args.sf_dir:
-        ap.error("one of --input / --sf-dir is required")
+    if not args.input and not args.sf_dir and not args.warc_dir:
+        ap.error("one of --input / --sf-dir / --warc-dir is required")
 
     from octospark.lineage import (
         export_extracted, inspect, read_extracted, run_extract,
@@ -77,6 +82,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     if args.input:
         pages = spark.read.parquet(args.input)
+    elif args.warc_dir:
+        from pyspark.sql import functions as F
+
+        from octospark.warcops import read_warc_pages
+
+        pages = (
+            read_warc_pages(spark, args.warc_dir)
+            .where(F.col("http_status") == 200)
+            .select(
+                "url", "warc_ts", "html",
+                F.lit(None).cast("string").alias("text"),
+                F.lit(None).cast("string").alias("lang"),
+            )
+        )
     else:
         pages = build_pages(spark, args.sf_dir)
     validate_fn = None

@@ -147,3 +147,32 @@ def test_warc_to_extraction_matches_golden(spark, warc_dir):
         for p in (build_page(int(d), t, lg, s) for d, t, lg, s in _doc_rows())
     }
     assert extracted == golden
+
+
+def test_warc_ingest_through_lineage_commit(spark, warc_dir, tmp_path):
+    """Crawl-native input through the production commit protocol: every
+    record lands exactly once with full lineage (jobs/extract.py
+    --warc-dir path, exercised at the library level)."""
+    from pyspark.sql import functions as F
+
+    from octospark.lineage import read_extracted, read_manifest, run_extract
+
+    pages = (
+        read_warc_pages(spark, warc_dir)
+        .where(F.col("http_status") == 200)
+        .select(
+            "url", "warc_ts", "html",
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+    )
+    out = str(tmp_path / "warc_out")
+    run_extract(spark, pages, out, n_buckets=16)
+    m = read_manifest(out)
+    assert sum(b["input_count"] for b in m["buckets"].values()) == 500
+    got = read_extracted(spark, out).select("url", "text").collect()
+    golden = {
+        p["url"]: p["text"]
+        for p in (build_page(int(d), t, lg, s) for d, t, lg, s in _doc_rows())
+    }
+    assert {r["url"]: r["text"] for r in got} == golden
