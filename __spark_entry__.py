@@ -29,11 +29,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator (SURVEY.md §2.2 + extras)."""
     import octospark.pdfops as pdfops
     import octospark.relational as rel
+    import octospark.sketchops as sketchops
     import octospark.textops as textops
     import octospark.warcops as warcops
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(rel.QUERIES)
+    out.update(sketchops.QUERIES)
     out.update(textops.QUERIES)
     out.update(pdfops.QUERIES)
     out.update(warcops.QUERIES)
@@ -44,11 +46,13 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query key (omitted => rows-only)."""
     import octospark.pdfops as pdfops
     import octospark.relational as rel
+    import octospark.sketchops as sketchops
     import octospark.textops as textops
     import octospark.warcops as warcops
 
     out: dict[str, str] = {}
     out.update(rel.ORACLE)
+    out.update(sketchops.ORACLE)
     out.update(textops.ORACLE)
     out.update(pdfops.ORACLE)
     out.update(warcops.ORACLE)
