@@ -1395,3 +1395,137 @@ def sim_ann_topk_batch(spark, sf):
         .filter(F.col("rank") <= 3)
         .select("qid", "rank", "vec_id", F.round("raw_sim", 6).alias("sim"))
     )
+
+
+_CC_EDGE_SQL = f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, {_SHINGLE_SQL} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE doc_id < 150)
+    ),
+    s AS (SELECT doc_id, unnest(sh) AS shingle FROM base),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+      FROM s a JOIN s b USING (shingle) WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    e AS (
+      SELECT id1, id2 FROM inter
+      JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+      WHERE CAST(n_inter AS DOUBLE) / (s1.n + s2.n - n_inter) >= 0.02
+    )"""
+
+
+@register(
+    "dedup_cluster_cc",
+    # Transitive closure via recursive CTE: every node is labeled with
+    # the MINIMUM doc_id reachable through the similarity graph — the
+    # exact semantics the iterative Spark hash-min loop converges to.
+    _CC_EDGE_SQL + """,
+    sym AS (SELECT id1 AS a, id2 AS b FROM e UNION SELECT id2, id1 FROM e),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM base
+      UNION
+      SELECT sym.b, reach.r FROM reach JOIN sym ON sym.a = reach.id
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def dedup_cluster_cc(spark, sf):
+    """Near-dup CLUSTERING: connected components over the word-3-gram
+    jaccard graph (threshold 0.02, bounded id range), labeling every
+    document with the min doc_id of its component — pairwise dedup
+    (dedup_ngram_jaccard et al.) finds edges, but a production corpus
+    dedup must then pick ONE canonical doc per transitive cluster
+    (A~B, B~C => {A,B,C} dedupe together even when A!~C).
+
+    Algorithm: iterative hash-min label propagation on DataFrames —
+    each round, every node takes the min label among itself and its
+    neighbors; rounds = graph diameter (dup clusters are shallow;
+    documented alternative for adversarial diameters is the
+    large-star/small-star O(log n) variant, same per-round shape).
+    Scale behavior per round: one shuffle-join (edges x labels, both
+    partitioned on the join key) + one partial-aggregated groupBy-min;
+    lineage is truncated per round with an eager localCheckpoint so
+    the plan never grows with iteration count. Convergence is detected
+    by the monotone label-sum (labels only decrease; equal sum =>
+    fixpoint) — a single-scalar driver read per round, never a
+    row collect. Reference analog: class-merge canonicalization via
+    chain-following, reference src/octopy/train.py:199-240 — the same
+    alias->canonical resolution, here over a billion-node graph.
+    """
+    docs = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 150)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    words = docs.select(
+        "doc_id", F.posexplode(_words(F.col("text"))).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    s = (
+        words.select(
+            "doc_id",
+            F.concat_ws(
+                " ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)
+            ).alias("shingle"),
+            F.lead("w", 2).over(win).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+    sized = s.withColumn(
+        "n", F.count("*").over(Window.partitionBy("doc_id"))
+    )
+    shingle_ids = (
+        sized.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set(F.struct("doc_id", "n"))).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = (
+        shingle_ids.select(F.posexplode("ids").alias("i", "a"), "ids")
+        .select(
+            "a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
+            ).alias("b"),
+        )
+    )
+    inter = pairs.groupBy(
+        F.col("a.doc_id").alias("id1"),
+        F.col("a.n").alias("n1"),
+        F.col("b.doc_id").alias("id2"),
+        F.col("b.n").alias("n2"),
+    ).agg(F.count("*").alias("n_inter"))
+    edges = inter.filter(
+        F.col("n_inter").cast("double")
+        / (F.col("n1") + F.col("n2") - F.col("n_inter"))
+        >= 0.02
+    ).select("id1", "id2")
+    # materialize the edge set once: every iteration reuses it (at
+    # corpus scale this is a persisted, doc_id-partitioned table)
+    sym = (
+        edges.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+        .union(edges.select(F.col("id2").alias("a"), F.col("id1").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    cc = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    cc = cc.localCheckpoint(eager=True)
+    prev_sum = cc.agg(F.sum("cluster_id")).collect()[0][0]
+    for _ in range(16):  # >= diameter of any real dup cluster
+        msgs = sym.join(cc, sym["a"] == cc["doc_id"]).select(
+            F.col("b").alias("doc_id"), "cluster_id"
+        )
+        cc = (
+            cc.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = cc.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:  # monotone labels: fixpoint reached
+            break
+        prev_sum = cur_sum
+    return cc

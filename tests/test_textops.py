@@ -269,3 +269,35 @@ def test_topk_batch_shape_and_order(spark, sf_dir):
         assert [r.rank for r in rs] == [1, 2, 3]
         assert rs[0].sim >= rs[1].sim >= rs[2].sim
         assert all(r.vec_id != qid for r in rs)
+
+
+def test_cluster_cc_component_laws(spark, sf_dir):
+    """Connected-components invariants: labels are the component MIN,
+    every edge's endpoints share a label, and the graph has at least
+    one transitive (size >= 3) cluster so the test is not vacuous."""
+    import duckdb
+
+    from octospark.textops import _CC_EDGE_SQL, QUERIES
+
+    cc = {
+        r["doc_id"]: r["cluster_id"]
+        for r in QUERIES["dedup_cluster_cc"](spark, sf_dir).collect()
+    }
+    assert len(cc) == 150
+    edges = duckdb.sql(
+        _CC_EDGE_SQL.replace(
+            "FROM documents",
+            f"FROM read_parquet('{sf_dir}/documents.parquet')",
+        )
+        + " SELECT id1, id2 FROM e"
+    ).fetchall()
+    assert edges, "threshold produced no edges — test would be vacuous"
+    for a, b in edges:
+        assert cc[a] == cc[b], f"edge ({a},{b}) split across clusters"
+    # label = min member of its component
+    members: dict = {}
+    for node, label in cc.items():
+        members.setdefault(label, []).append(node)
+    for label, nodes in members.items():
+        assert label == min(nodes)
+    assert max(len(v) for v in members.values()) >= 3, "no transitive cluster"
