@@ -1529,3 +1529,120 @@ def dedup_cluster_cc(spark, sf):
             break
         prev_sum = cur_sum
     return cc
+
+
+
+
+def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """(doc_id, text) -> (doc_id, simhash): sign-of-sum over per-token
+    xxhash64 bit contributions — pure JVM expressions, one scan, no
+    shuffle. Shared by dedup_simhash_banded and its completeness test."""
+    base = docs.select(
+        "doc_id", _words(F.lower(F.col("text"))).alias("toks")
+    )
+    zeros = F.array(*[F.lit(0)] * bits)
+
+    def contrib(t):
+        h = F.xxhash64(t)
+        return F.array(
+            *[
+                (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+                for b in range(bits)
+            ]
+        )
+
+    counts = F.aggregate(
+        "toks", zeros,
+        lambda acc, t: F.zip_with(acc, contrib(t), lambda a, c: a + c),
+    )
+    simhash = F.lit(0).cast("long")
+    for b in range(bits):
+        simhash = simhash + F.when(
+            F.element_at("counts", b + 1) > 0, F.lit(1 << b)
+        ).otherwise(0)
+    return base.withColumn("counts", counts).select(
+        "doc_id", simhash.alias("simhash")
+    )
+
+
+@register("dedup_simhash_banded")  # rows-only: bit-level xxhash64
+def dedup_simhash_banded(spark, sf):
+    """Scalable SimHash near-dup detection: 32-bit simhash split into
+    4 bands of 8 bits; documents sharing any band bucket become
+    candidate pairs (pigeonhole guarantee: hamming < 4 flips cannot
+    touch all 4 bands, so every pair within hamming <= 3 IS a
+    candidate — banding loses nothing in the target radius); exact
+    ``bit_count(xor)`` rerank keeps pairs with hamming <= 3.
+
+    Injected near-duplicates (doc_id+200000 = original text minus its
+    last word) prove real recall, asserted in tests/test_textops.py.
+
+    Scale shape (the 100 TB path): simhash + band keys are pure JVM
+    expressions over one scan; candidates come from a bucket groupBy
+    pair expansion (same single-pipeline idiom as dedup_minhash_lsh —
+    never a self-join, never all-pairs), with the same hot-bucket
+    sampling cap; the rerank is an integer xor per candidate."""
+    bits, n_bands, band_bits, max_ham, cap = 32, 4, 8, 3, 4096
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    base = docs.unionByName(near)
+    sh = simhash_signatures(base, bits)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("bucket"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_set(
+                        F.struct(
+                            F.xxhash64("doc_id", "bucket").alias("hk"),
+                            F.col("doc_id").alias("id"),
+                            F.col("simhash").alias("sh"),
+                        )
+                    )
+                ),
+                1,
+                cap,
+            ).alias("members")
+        )
+        .filter(F.size("members") >= 2)
+    )
+    pairs = (
+        buckets.select(F.posexplode("members").alias("i", "m"), "members")
+        .select(
+            "m",
+            F.explode(
+                F.slice(F.col("members"), F.col("i") + 2, F.size("members"))
+            ).alias("m2"),
+        )
+    )
+    return (
+        pairs.select(
+            F.least(F.col("m.id"), F.col("m2.id")).alias("id1"),
+            F.greatest(F.col("m.id"), F.col("m2.id")).alias("id2"),
+            F.bit_count(
+                F.col("m.sh").bitwiseXOR(F.col("m2.sh"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_ham)
+        .distinct()
+    )

@@ -301,3 +301,38 @@ def test_cluster_cc_component_laws(spark, sf_dir):
     for label, nodes in members.items():
         assert label == min(nodes)
     assert max(len(v) for v in members.values()) >= 3, "no transitive cluster"
+
+
+def test_simhash_banded_recall_and_completeness(spark, sf_dir):
+    """Banded SimHash laws: (a) injected near-dups inside the radius
+    are recalled, (b) pigeonhole completeness — EVERY pair within
+    hamming <= 3 among a sampled id range appears in the output (4
+    bands of 8 bits cannot all change under < 4 flips), (c) soundness
+    — no emitted pair exceeds the radius."""
+    from pyspark.sql import functions as F
+
+    from octospark.textops import QUERIES, simhash_signatures
+
+    out = QUERIES["dedup_simhash_banded"](spark, sf_dir).collect()
+    pairs = {(r["id1"], r["id2"]): r["hamming"] for r in out}
+    assert all(h <= 3 for h in pairs.values())  # soundness
+    injected = [(i, i + 200000) for i in range(20)]
+    recalled = [p for p in injected if p in pairs]
+    assert len(recalled) >= 15  # dropping one word rarely flips > 3 bits
+    # completeness over a sampled range, vs exact signatures
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 100)
+    )
+    sig = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(docs).collect()
+    }
+    ids = sorted(sig)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(sig[a] ^ sig[b]).count("1")
+            if h <= 3:
+                assert (a, b) in pairs, f"missed in-radius pair ({a},{b})"
+                assert pairs[(a, b)] == h
