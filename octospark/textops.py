@@ -1646,3 +1646,71 @@ def dedup_simhash_banded(spark, sf):
         .filter(F.col("hamming") <= max_ham)
         .distinct()
     )
+
+
+@register(
+    "crawl_snapshot_diff",
+    # Same synthetic snapshots in SQL: A = doc_id < 400, B = 100..499
+    # with every 7th doc's text amended. Status from presence + checksum.
+    """
+    WITH a AS (
+      SELECT 'https://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+             md5(text) AS fp
+      FROM documents WHERE doc_id < 400
+    ),
+    b AS (
+      SELECT 'https://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END) AS fp
+      FROM documents WHERE doc_id >= 100
+    )
+    SELECT COALESCE(a.url, b.url) AS url,
+           CASE WHEN a.url IS NULL THEN 'added'
+                WHEN b.url IS NULL THEN 'gone'
+                WHEN a.fp <> b.fp THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM a FULL OUTER JOIN b ON a.url = b.url
+    """,
+)
+def crawl_snapshot_diff(spark, sf):
+    """Incremental-crawl reconciliation: diff two crawl snapshots by
+    url into added / gone / changed / unchanged via content
+    fingerprints — the op that turns a 10^12-row recrawl into an
+    incremental update (only 'added' + 'changed' rows re-enter the
+    extraction pipeline; join_asof_latest then serves latest-wins
+    reads).
+
+    Scale shape: one full-outer SortMergeJoin on url — both sides hash-
+    partition on the join key, fingerprints (not bodies) ride the
+    shuffle; at 100 TB both snapshots would be bucketed by url-hash so
+    the join is co-located with zero shuffle. Test snapshots are
+    deterministic slices of documents (B amends every 7th text)."""
+    docs = load_table(spark, sf, "documents").select(
+        F.concat(
+            F.lit("https://"), F.col("source"),
+            F.lit(".example.org/doc/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "doc_id",
+        "text",
+    )
+    a = docs.filter(F.col("doc_id") < 400).select(
+        "url", F.md5("text").alias("fp")
+    )
+    b = docs.filter(F.col("doc_id") >= 100).select(
+        "url",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" updated"))
+            ).otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.url") == F.col("b.url"), "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("a.url"), F.col("b.url")).alias("url"),
+        F.when(F.col("a.url").isNull(), "added")
+        .when(F.col("b.url").isNull(), "gone")
+        .when(F.col("a.fp") != F.col("b.fp"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
