@@ -104,13 +104,25 @@ def stage_pages(spark) -> str:
     return path
 
 
-def run_extraction(spark, pages_path: str, limit: int | None = None) -> tuple:
-    """The timed unit: read -> salted repartition -> extract -> agg."""
+def run_extraction(
+    spark, pages_path: str, limit: int | None = None,
+    fraction: tuple | None = None,
+) -> tuple:
+    """The timed unit: read -> salted repartition -> extract -> agg.
+
+    ``fraction=(k, m)`` keeps the deterministic url-hash k/m subset —
+    scan-parallel (a ``limit`` would funnel the read through a global
+    limit) and identical at any parallelism, so subsets are comparable
+    across levels and runs."""
     from pyspark.sql import functions as F
 
     from octospark.pipeline import extract_pages
 
     pages = spark.read.parquet(pages_path).drop("text")  # no golden leak
+    if fraction:
+        k, m = fraction
+        if k < m:
+            pages = pages.filter(F.pmod(F.xxhash64("url"), F.lit(m)) < k)
     if limit:
         pages = pages.limit(limit)
     t0 = time.time()
@@ -126,27 +138,40 @@ def run_extraction(spark, pages_path: str, limit: int | None = None) -> tuple:
 def extract_multi(levels_csv: str) -> None:
     """Subprocess mode: run the timed extraction at SEVERAL local[N]
     levels sequentially in ONE JVM (stop the context, rebuild with the
-    next master). This makes one scaling pass's paired N and 4N timed
-    runs seconds apart instead of a JVM-startup-plus-staging minute
-    apart — on a VM whose throughput drifts 2x minute-to-minute, pair
-    adjacency is the whole game. JIT warmth carries across levels; each
-    level still gets its own untimed warmup run (Python worker spawn +
-    per-level scheduling paths) before the two timed runs, and reports
-    the min (one-sided contention noise)."""
+    next master). Two drift defenses beyond pair adjacency:
+
+    - **Proportional workloads**: level N is timed on the
+      deterministic url-hash N/max(levels) subset, so every level's
+      timed run lasts roughly the same wall time and a pass's paired
+      N and 4N runs sit ~tens of seconds apart instead of minutes —
+      on a VM whose throughput drifts 2x minute-to-minute, shrinking
+      the inside-pair gap is the whole game. Per-page work is
+      identical (pure per-row UDF), so pages/sec is comparable.
+    - **Common-subset determinism checksum**: the untimed warmup at
+      every level runs the SAME fixed 1/16 subset and its
+      ``bit_xor(xxhash64(url, text))`` is the checksum compared
+      across levels — byte-identity under parallelism stays a hard
+      assert even though timed subsets differ per level.
+
+    JIT warmth carries across levels; each level's warmup also spawns
+    its Python workers before the two timed runs (min of 2 — one-sided
+    contention noise)."""
     from octospark.session import get_spark
 
+    levels = [int(x) for x in levels_csv.split(",")]
+    top = max(levels)
     out = {}
     path = None
-    for n in [int(x) for x in levels_csv.split(",")]:
+    for n in levels:
         spark = get_spark(app_name=f"bench-l{n}", master=f"local[{n}]",
                           shuffle_partitions=64)
         spark.sparkContext.setLogLevel("ERROR")
         if path is None:
             path = stage_pages(spark)
-        run_extraction(spark, path, limit=20_000)  # warmup, untimed
-        n_rows, checksum, dt1 = run_extraction(spark, path)
-        _, checksum2, dt2 = run_extraction(spark, path)
-        assert checksum == checksum2
+        # warmup + cross-level determinism checksum on a COMMON subset
+        _, checksum, _ = run_extraction(spark, path, fraction=(1, 16))
+        n_rows, _, dt1 = run_extraction(spark, path, fraction=(n, top))
+        _, _, dt2 = run_extraction(spark, path, fraction=(n, top))
         out[n] = {"n": n_rows, "checksum": checksum,
                   "sec": min(dt1, dt2)}
         spark.stop()

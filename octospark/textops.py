@@ -1714,3 +1714,55 @@ def crawl_snapshot_diff(spark, sf):
         .otherwise("unchanged")
         .alias("status"),
     )
+
+
+_LINKS_NAV = "['/', '/news', '/about', '/contact', '/login', '/signup']"
+_LINKS_SQL = """
+    SELECT url, unnest(hrefs) AS href FROM (
+      SELECT 'https://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        CASE doc_id % 6
+          WHEN 1 THEN ['/', '/news', '/about', '/contact', '/login', '/signup',
+                       '/topics', '/deal1', '/deal2', '/deal3',
+                       '/r1', '/r2', '/r3', '/r4', '/r5',
+                       '/privacy', '/terms', '/sitemap']
+          WHEN 3 THEN ['/topics', '/privacy', '/terms', '/sitemap']
+          WHEN 4 THEN ['/', '/news', '/about', '/contact', '/login', '/signup',
+                       '/topics', '/r1', '/r2', '/r3', '/r4', '/r5',
+                       '/privacy', '/terms', '/sitemap']
+          ELSE ['/', '/news', '/about', '/contact', '/login', '/signup',
+                '/topics', '/privacy', '/terms', '/sitemap']
+        END AS hrefs
+      FROM documents)
+    """
+
+
+@register("extract_links", _LINKS_SQL)
+def extract_links(spark, sf):
+    """Outlink extraction over the synthesized pages — the edge list of
+    the web link graph (PageRank / host-graph input, and the frontier
+    feed of an incremental crawler).
+
+    The href pull is a JVM ``regexp_extract_all`` over the decoded
+    html — codegen, no extra Python stage beyond the page synthesis
+    itself (on a real lake the pages table is already materialized and
+    this is a pure-JVM single scan; attribute-grade extraction for
+    adversarial quoting belongs in the DOM walker's segment stage,
+    which already sees every start tag). Oracle: the boilerplate
+    templates are pure functions of doc_id, so the exact href multiset
+    per url is reconstructable in SQL.
+
+    Scale shape: narrow transformation (scan -> project -> explode);
+    the downstream host-graph groupBy is the only shuffle."""
+    from octospark.sources import build_pages
+
+    pages = build_pages(spark, sf).select("url", "html")
+    return pages.select(
+        "url",
+        F.explode(
+            F.regexp_extract_all(
+                F.decode(F.col("html"), "UTF-8"),
+                F.lit('href="([^"]*)"'),
+                1,
+            )
+        ).alias("href"),
+    )

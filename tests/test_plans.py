@@ -305,6 +305,9 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         "extract_pdf_layout", "pdf_layout_blocks",
         # WARC gzip-member parse is inherently Python (binaryFile rows)
         "scan_warc",
+        # page synthesis (build_pages) is the only Python stage here;
+        # the href pull itself is JVM regexp_extract_all
+        "extract_links",
     }
     ALLOW_GLOBAL_WINDOW = {
         "window_ntile_percent",  # global rank semantically inherent

@@ -336,3 +336,28 @@ def test_simhash_banded_recall_and_completeness(spark, sf_dir):
             if h <= 3:
                 assert (a, b) in pairs, f"missed in-radius pair ({a},{b})"
                 assert pairs[(a, b)] == h
+
+
+def test_extract_links_matches_template_inventory(spark, sf_dir):
+    """Every page's extracted hrefs equal the template-derived
+    inventory (boilerplate is a pure function of doc_id % 6)."""
+    import collections
+
+    import duckdb
+
+    from octospark.textops import _LINKS_SQL, QUERIES
+
+    got = collections.Counter(
+        (r["url"], r["href"])
+        for r in QUERIES["extract_links"](spark, sf_dir).collect()
+    )
+    want = collections.Counter(
+        (u, h)
+        for u, h in duckdb.sql(
+            _LINKS_SQL.replace(
+                "FROM documents)",
+                f"FROM read_parquet('{sf_dir}/documents.parquet'))",
+            )
+        ).fetchall()
+    )
+    assert got == want
