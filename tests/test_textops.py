@@ -361,3 +361,98 @@ def test_extract_links_matches_template_inventory(spark, sf_dir):
         ).fetchall()
     )
     assert got == want
+
+
+def test_pagerank_mass_and_determinism(spark, sf_dir):
+    """Integer PageRank: every node's rank stays in
+    [teleport, n * unit]; total mass never exceeds the initial total
+    (integer div only leaks downward); ring edge (i+1 mod n) means no
+    node can hold less than the teleport floor. Re-run is
+    bit-identical (integer arithmetic is associative)."""
+    from octospark.textops import QUERIES
+
+    rows = {
+        r["node"]: r["rank_units"]
+        for r in QUERIES["graph_pagerank"](spark, sf_dir).collect()
+    }
+    n = len(rows)
+    assert n > 0
+    assert all(v >= 150_000 for v in rows.values())
+    assert sum(rows.values()) <= n * 1_000_000
+    rows2 = {
+        r["node"]: r["rank_units"]
+        for r in QUERIES["graph_pagerank"](spark, sf_dir).collect()
+    }
+    assert rows == rows2
+
+
+def test_crawl_frontier_cap_and_no_crawled(spark, sf_dir):
+    """Politeness cap holds per host; no already-crawled url appears."""
+    import duckdb
+
+    from octospark.textops import QUERIES
+
+    rows = QUERIES["crawl_frontier"](spark, sf_dir).collect()
+    assert rows
+    per_host: dict = {}
+    for r in rows:
+        per_host.setdefault(r["host"], []).append(r)
+        assert r["target"].startswith("https://" + r["host"])
+    crawled = {
+        u for (u,) in duckdb.sql(
+            "SELECT 'https://' || source || '.example.org/doc/' || doc_id "
+            f"FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    }
+    for host, hr in per_host.items():
+        assert len(hr) <= 5, host
+        for r in hr:
+            assert r["target"] not in crawled
+
+
+def test_stratified_sample_exact_quotas(spark, sf_dir):
+    """Each stratum contributes EXACTLY ceil(n/10) docs."""
+    import collections
+
+    import duckdb
+
+    from octospark.textops import QUERIES
+
+    got = collections.Counter(
+        r["lang"]
+        for r in QUERIES["corpus_stratified_sample"](spark, sf_dir).collect()
+    )
+    want = {
+        lang: (n + 9) // 10
+        for lang, n in duckdb.sql(
+            f"SELECT lang, count(*) FROM '{sf_dir}/documents.parquet' "
+            "GROUP BY 1"
+        ).fetchall()
+    }
+    assert dict(got) == want
+
+
+def test_shard_pack_budget_and_coverage(spark, sf_dir):
+    """Every doc is assigned exactly once; within each (lang, shard)
+    the token mass stays under budget + one doc's overshoot, and shard
+    ids are contiguous from 0 per lang."""
+    import collections
+
+    from octospark.textops import QUERIES
+
+    rows = QUERIES["corpus_shard_pack"](spark, sf_dir).collect()
+    n_docs = QUERIES["corpus_shard_pack"](spark, sf_dir).select(
+        "doc_id").distinct().count()
+    assert len(rows) == n_docs
+    mass: dict = collections.defaultdict(int)
+    maxtok: dict = collections.defaultdict(int)
+    shards: dict = collections.defaultdict(set)
+    for r in rows:
+        key = (r["lang"], r["shard_id"])
+        mass[key] += r["n_tokens"]
+        maxtok[key] = max(maxtok[key], r["n_tokens"])
+        shards[r["lang"]].add(r["shard_id"])
+    for key, m in mass.items():
+        assert m < 5000 + maxtok[key], key
+    for lang, ids in shards.items():
+        assert ids == set(range(max(ids) + 1)), lang
