@@ -2031,3 +2031,47 @@ def corpus_shard_pack(spark, sf):
         "doc_id", "lang", "n_tokens",
         F.expr("(cum - n_tokens) div 5000").alias("shard_id"),
     )
+
+
+_EXTRACT_SQL = """
+    SELECT 'https://' || source || '.example.org/doc/'
+           || CAST(doc_id AS VARCHAR) AS url,
+           TRUE AS ok
+    FROM documents
+    """
+
+
+@register("extract_main_content", _EXTRACT_SQL)
+def extract_main_content(spark, sf):
+    """The FLAGSHIP pipeline as an oracle-checked query key: synthesize
+    pages (documents -> full boilerplated html), run the fused
+    extraction (salted repartition -> Arrow-batched DOM segment +
+    classify + merge), then join the result back to the generator's
+    golden text and emit (url, ok = extracted == golden). The oracle
+    asserts every url is present with ok = TRUE, so the north-rule
+    byte-identity law stands in the driver's per-round correctness
+    sweep instead of only in pytest: any extraction drift flips a row
+    to false and fails the value-hash compare. (The golden text itself
+    is title + paragraph structure assembled by the page generator —
+    not reconstructable in SQL, hence the equality-flag shape.) The
+    golden column is dropped BEFORE the Python stage; the comparison
+    is a post-hoc url-keyed join, so the extractor can never see it.
+
+    Scale shape: single scan -> salted repartition (giant-host skew) ->
+    one Arrow-batched Python stage (the DOM walk, irreducibly Python);
+    the verification join is url-keyed and exists only in this check
+    key, not in the production path (jobs/extract.py). Reference
+    analog: the segment -> recognize -> merge CLI chain verified
+    against regression fixtures, /root/reference/src/octopy/cli.py.
+    """
+    from octospark.pipeline import extract_pages
+    from octospark.sources import build_pages
+
+    pages = build_pages(spark, sf)
+    extracted = extract_pages(pages.drop("text"), salted=True).select(
+        "url", F.col("text").alias("extracted")
+    )
+    golden = pages.select("url", F.col("text").alias("golden"))
+    return extracted.join(golden, "url").select(
+        "url", (F.col("extracted") == F.col("golden")).alias("ok")
+    )

@@ -309,6 +309,8 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         # the href pull itself is JVM regexp_extract_all
         "extract_links",
         "crawl_frontier",  # consumes extract_links' synthesized pages
+        # the flagship DOM-walk extraction, as an oracle-checked key
+        "extract_main_content",
     }
     ALLOW_GLOBAL_WINDOW = {
         "window_ntile_percent",  # global rank semantically inherent

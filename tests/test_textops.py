@@ -456,3 +456,19 @@ def test_shard_pack_budget_and_coverage(spark, sf_dir):
         assert m < 5000 + maxtok[key], key
     for lang, ids in shards.items():
         assert ids == set(range(max(ids) + 1)), lang
+
+
+def test_extract_main_content_all_byte_identical(spark, sf_dir):
+    """The flagship key's ok flag is TRUE for every url (byte-identity
+    law), and the url set covers the whole corpus exactly once."""
+    import duckdb
+
+    from octospark.textops import QUERIES
+
+    rows = QUERIES["extract_main_content"](spark, sf_dir).collect()
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    assert len(rows) == n
+    assert len({r["url"] for r in rows}) == n
+    assert all(r["ok"] for r in rows)
