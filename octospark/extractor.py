@@ -380,6 +380,15 @@ def _fast_walk(text: str, p: _BlockParser) -> None:
             if gt < 0:  # no '>' anywhere: incomplete endtag
                 i = _recover(text, p, lt)
                 continue
+            # fast path: plain '</name>' (name all ascii letters) —
+            # exactly what _ENDTAGFIND accepts with no whitespace, so
+            # behavior-identical by construction; skips a regex match
+            # on the overwhelmingly common case
+            name = text[lt + 2 : gt]
+            if name.isascii() and name.isalpha():
+                p.handle_endtag(name.lower())
+                i = gt + 1
+                continue
             m = _ENDTAGFIND.match(text, lt)  # strict '</ name >'
             if m:
                 p.handle_endtag(m.group(1).lower())
