@@ -56,9 +56,15 @@ def sf_of(path: str) -> float:
     return float(m.group(1)) if m else 0.0
 
 
+N_BUCKETS = 32  # url-hash partition dirs in the staged table
+
+
 def staged_pages_path() -> str:
+    # v2: bucket-partitioned layout (url-hash dirs -> partition-pruned
+    # subset scans; a flat table would decode EVERY html blob just to
+    # filter most rows out)
     tag = f"{sf_of(SF_DIR)}_{PAGES_MULT}".replace(".", "_")
-    return f"/tmp/octospark_bench_pages_{tag}.parquet"
+    return f"/tmp/octospark_bench_pages_v2_{tag}.parquet"
 
 
 def stage_pages(spark) -> str:
@@ -98,15 +104,27 @@ def stage_pages(spark) -> str:
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )
 
-    docs.repartition(CPUS * 2).mapInPandas(gen, PAGES_SCHEMA).write.mode(
-        "overwrite"
-    ).parquet(path)
+    (
+        docs.repartition(CPUS * 2)
+        .mapInPandas(gen, PAGES_SCHEMA)
+        # partition the staged table on a url-hash bucket: subset reads
+        # (scaling levels, warmups) prune DIRECTORIES instead of
+        # decoding every html blob and filtering rows after the scan
+        .withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(N_BUCKETS))
+        )
+        # one task per bucket dir: 32 well-sized files, not 64x32 shards
+        .repartition(N_BUCKETS, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
     return path
 
 
 def run_extraction(
     spark, pages_path: str, limit: int | None = None,
-    fraction: tuple | None = None,
+    fraction: tuple | None = None, num_partitions: int | None = None,
 ) -> tuple:
     """The timed unit: read -> salted repartition -> extract -> agg.
 
@@ -122,11 +140,19 @@ def run_extraction(
     if fraction:
         k, m = fraction
         if k < m:
-            pages = pages.filter(F.pmod(F.xxhash64("url"), F.lit(m)) < k)
+            # bucket is the staged table's PARTITION column: this
+            # filter prunes directories at planning time (scan reads
+            # k/m of the files, never k/m of decoded rows)
+            pages = pages.filter(
+                F.col("bucket") < int(k * N_BUCKETS / m)
+            )
     if limit:
         pages = pages.limit(limit)
+    pages = pages.drop("bucket")
     t0 = time.time()
-    ext = extract_pages(pages, salted=True, num_partitions=CPUS * 4)
+    ext = extract_pages(
+        pages, salted=True, num_partitions=num_partitions or CPUS * 4
+    )
     row = ext.agg(
         F.count("*").alias("n"),
         F.bit_xor(F.xxhash64("url", "text")).alias("checksum"),
@@ -164,14 +190,24 @@ def extract_multi(levels_csv: str) -> None:
     path = None
     for n in levels:
         spark = get_spark(app_name=f"bench-l{n}", master=f"local[{n}]",
-                          shuffle_partitions=64)
+                          shuffle_partitions=max(2 * n, 8))
         spark.sparkContext.setLogLevel("ERROR")
         if path is None:
             path = stage_pages(spark)
+        # partition count scales with the level's core count, exactly
+        # as a real cluster sizes partitions to executors — a fixed 128
+        # would bill the 2-core level ~13s of pure task-launch overhead
+        parts = 4 * n
         # warmup + cross-level determinism checksum on a COMMON subset
-        _, checksum, _ = run_extraction(spark, path, fraction=(1, 16))
-        n_rows, _, dt1 = run_extraction(spark, path, fraction=(n, top))
-        _, _, dt2 = run_extraction(spark, path, fraction=(n, top))
+        _, checksum, _ = run_extraction(
+            spark, path, fraction=(1, 16), num_partitions=parts
+        )
+        n_rows, _, dt1 = run_extraction(
+            spark, path, fraction=(n, top), num_partitions=parts
+        )
+        _, _, dt2 = run_extraction(
+            spark, path, fraction=(n, top), num_partitions=parts
+        )
         out[n] = {"n": n_rows, "checksum": checksum,
                   "sec": min(dt1, dt2)}
         spark.stop()
@@ -190,7 +226,7 @@ def _hw_init(sf_dir: str) -> None:
     staged = staged_pages_path()
     if os.path.exists(os.path.join(staged, "_SUCCESS")):
         rows = duckdb.sql(
-            f"SELECT html FROM '{staged}/*.parquet' LIMIT 1000"
+            f"SELECT html FROM '{staged}/bucket=*/*.parquet' LIMIT 1000"
         ).fetchall()
         _HW_HTMLS.extend(bytes(r[0]) for r in rows)
         return
