@@ -327,8 +327,10 @@ def scaling_runs() -> dict:
             continue
         this_pass = {}
         for n, r in rs.items():
-            this_pass[n] = r["sec"]
-            if n not in res or r["sec"] < res[n]["sec"]:
+            # keep rows alongside seconds: levels run PROPORTIONAL
+            # workloads, so efficiency must compare THROUGHPUT
+            this_pass[n] = (r["sec"], r["n"])
+            if n not in res or r["sec"] / r["n"] < res[n]["sec"] / res[n]["n"]:
                 res[n] = r
         # hw probes after the pass's Spark runs: contemporaneous machine
         # state, and the probe's own CPU load never lands inside a pair
@@ -360,9 +362,15 @@ def scaling_runs() -> dict:
         hw_eff = (hw[big] / hw[small]) / (big / small)
         # paired per-pass efficiency: the N and 4N runs of one pass are
         # adjacent in time, so their ratio sees the same machine state;
-        # the best pass is the quietest window (noise is one-sided)
+        # the best pass is the quietest window (noise is one-sided).
+        # Throughput-based: levels time proportional subsets, so the
+        # raw seconds ratio would score perfect scaling as 1/(big/small)
         per_pass = [
-            round((p[small] / p[big]) / (big / small), 3)
+            round(
+                ((p[big][1] / p[big][0]) / (p[small][1] / p[small][0]))
+                / (big / small),
+                3,
+            )
             for p in passes
             if small in p and big in p
         ]
