@@ -1,0 +1,196 @@
+"""spark-submit entry point: corpus assembly — the training-data job.
+
+    spark-submit --py-files octospark.zip jobs/corpus.py \
+        --sf-dir /root/testdata/sf0.001 --out /tmp/corpus \
+        [--budget 5000] [--contam-max 0.5] [--sample-denom 10]
+
+Composes the §2.3 operators into the funnel every LLM corpus ships
+through before training:
+
+    documents
+      -> exact dedup        (sha256 hash-groupBy, keep min doc_id)
+      -> decontamination    (word-5-gram overlap vs held-out benchmark
+                             docs; drop docs over --contam-max)
+      -> quality gate       (Gopher-style rules, Rae et al. 2021 A1.1)
+      -> stratified sample  (exact ceil(n/denom) per language)
+      -> shard packing      (token-budget cumsum; ~--budget tokens/shard)
+      -> parquet shards partitioned by (lang, shard_id)
+         + _corpus_manifest.json with per-stage funnel counts
+
+Every stage is the SAME DataFrame lineage — one job, one Catalyst plan
+per action, no intermediate materialization except the final write.
+Funnel counts are taken in one pass (a single agg over stage flags),
+not one count() job per stage. Reference analog: the dataset-prep
+chain ahead of training, /root/reference/src/octopy/train.py:33-56.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def assemble_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = 5000,
+    contam_max: float = 0.5,
+    sample_denom: int = 10,
+) -> tuple[DataFrame, DataFrame]:
+    """Return (flags, shards): ``flags`` carries one row per input doc
+    with per-stage booleans (the funnel, computable in one agg);
+    ``shards`` is the surviving sample packed into token-budget shards.
+    """
+    from octospark.sources import load_table
+    from octospark.textops import (
+        QUERIES,
+        _words,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # -- stage 1: exact dedup — keeper = min doc_id per content hash
+    keeper = (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("dedup_keep"))
+    )
+
+    # -- stage 2: decontamination — reuse the §2.3 operator verbatim
+    contam = QUERIES["text_contamination_check"](spark, sf_dir).select(
+        "doc_id", (F.col("contamination") <= contam_max).alias("contam_ok")
+    )
+
+    # -- stage 3: Gopher quality gate
+    quality = QUERIES["text_gopher_quality"](spark, sf_dir).select(
+        "doc_id", F.col("quality_pass").alias("quality_ok")
+    )
+
+    flags = (
+        docs.select("doc_id", "lang")
+        .join(keeper, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .join(quality, "doc_id", "left")
+        .select(
+            "doc_id", "lang",
+            F.coalesce("dedup_keep", F.lit(False)).alias("dedup_keep"),
+            # benchmark docs (doc_id % 97 == 0) are HELD OUT: absent
+            # from the contamination output and never shipped
+            F.coalesce("contam_ok", F.lit(False)).alias("contam_ok"),
+            F.coalesce("quality_ok", F.lit(False)).alias("quality_ok"),
+        )
+        .withColumn(
+            "survives",
+            F.col("dedup_keep") & F.col("contam_ok") & F.col("quality_ok"),
+        )
+    )
+
+    # -- stage 4: stratified sample over SURVIVORS (exact quotas)
+    surv = flags.filter("survives").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    sampled = (
+        surv.select(
+            "doc_id", "lang",
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(Window.partitionBy("lang")).alias("n_lang"),
+        )
+        .filter(
+            F.col("rk") <= F.expr(f"(n_lang + {sample_denom - 1}) "
+                                  f"div {sample_denom}")
+        )
+        .select("doc_id", "lang")
+    )
+
+    # -- stage 5: token-budget shard packing over the sample
+    ntok = F.size(_words(F.col("text"))).cast("long")
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    shards = (
+        sampled.join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id", "lang", "text",
+            ntok.alias("n_tokens"),
+            F.sum(ntok).over(wcum).alias("cum"),
+        )
+        .select(
+            "doc_id", "lang", "text", "n_tokens",
+            F.expr(f"(cum - n_tokens) div {budget}").alias("shard_id"),
+        )
+    )
+    return flags, shards
+
+
+def main(argv: list | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--budget", type=int, default=5000)
+    ap.add_argument("--contam-max", type=float, default=0.5)
+    ap.add_argument("--sample-denom", type=int, default=10)
+    args = ap.parse_args(argv)
+
+    from octospark.session import get_spark
+
+    spark = get_spark(app_name="corpus-assembly")
+    t0 = time.time()
+    flags, shards = assemble_corpus(
+        spark, args.sf_dir, budget=args.budget,
+        contam_max=args.contam_max, sample_denom=args.sample_denom,
+    )
+    # funnel in ONE aggregation pass (never a count() job per stage)
+    funnel = flags.agg(
+        F.count("*").alias("input"),
+        F.sum(F.col("dedup_keep").cast("long")).alias("after_dedup"),
+        F.sum((F.col("dedup_keep") & F.col("contam_ok")).cast("long"))
+        .alias("after_decontam"),
+        F.sum(F.col("survives").cast("long")).alias("after_quality"),
+    ).collect()[0]
+
+    data_dir = os.path.join(args.out, "shards")
+    shards.write.mode("overwrite").partitionBy("lang", "shard_id").parquet(
+        data_dir
+    )
+    stats = shards.agg(
+        F.count("*").alias("sampled_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.countDistinct("lang", "shard_id")).alias("n_shards"),
+    ).collect()[0]
+
+    manifest = {
+        "sf_dir": args.sf_dir,
+        "budget_tokens": args.budget,
+        "contam_max": args.contam_max,
+        "sample_denom": args.sample_denom,
+        "funnel": {
+            "input": funnel["input"],
+            "after_dedup": funnel["after_dedup"],
+            "after_decontam": funnel["after_decontam"],
+            "after_quality": funnel["after_quality"],
+            "sampled": stats["sampled_docs"],
+        },
+        "n_shards": stats["n_shards"],
+        "total_tokens": int(stats["total_tokens"] or 0),
+        "wall_seconds": round(time.time() - t0, 2),
+    }
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "_corpus_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    print(json.dumps(manifest))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -2075,3 +2075,136 @@ def extract_main_content(spark, sf):
     return extracted.join(golden, "url").select(
         "url", (F.col("extracted") == F.col("golden")).alias("ok")
     )
+
+
+_CONTAM_SQL = """
+    WITH bench AS (
+      SELECT DISTINCT unnest(
+        CASE WHEN len(string_split(text, ' ')) >= 5 THEN
+          [array_to_string(string_split(text, ' ')[i:i+4], ' ')
+           for i in range(1, len(string_split(text, ' ')) - 3)]
+        ELSE [] END) AS shingle
+      FROM documents WHERE doc_id % 97 = 0),
+    cand AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(string_split(text, ' ')) >= 5 THEN
+          [array_to_string(string_split(text, ' ')[i:i+4], ' ')
+           for i in range(1, len(string_split(text, ' ')) - 3)]
+        ELSE [] END)) AS shingle
+      FROM documents WHERE doc_id % 97 <> 0)
+    SELECT doc_id,
+           count(*) AS n_shingles,
+           count(*) FILTER (WHERE shingle IN (SELECT shingle FROM bench))
+             AS n_contaminated,
+           CAST(count(*) FILTER (
+             WHERE shingle IN (SELECT shingle FROM bench)) AS DOUBLE)
+             / count(*) AS contamination
+    FROM cand GROUP BY doc_id
+    """
+
+
+@register("text_contamination_check", _CONTAM_SQL)
+def text_contamination_check(spark, sf):
+    """Benchmark-contamination screening: for every candidate document,
+    the fraction of its distinct word-5-grams that also occur in a
+    held-out benchmark set (docs with doc_id % 97 == 0 stand in for
+    the eval suite) — the decontamination gate every training-data
+    pipeline runs before a corpus ships. Production systems use 8-13
+    grams; the 5-gram keeps tiny-SF fixtures non-degenerate and the
+    operator shape (the graded thing) is n-independent.
+
+    Scale shape: shingles as ROWS (posexplode + lead — never an
+    exploded HOF array, which Catalyst re-evaluates interpreted), a
+    left-SEMI-join flag per shingle against the benchmark set, one
+    partial-aggregated groupBy(doc_id). The benchmark shingle set is
+    small (the eval suite, not the corpus) -> broadcast; counts are
+    exact integers and the single final division is one IEEE op, so
+    the DuckDB oracle matches bitwise."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf, "documents").repartition(par, "doc_id")
+    words = docs.select(
+        "doc_id", F.posexplode(_words(F.col("text"))).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    shingles = (
+        words.select(
+            "doc_id",
+            F.concat_ws(
+                " ", "w",
+                F.lead("w", 1).over(win), F.lead("w", 2).over(win),
+                F.lead("w", 3).over(win), F.lead("w", 4).over(win),
+            ).alias("shingle"),
+            F.lead("w", 4).over(win).alias("w4"),
+        )
+        .filter(F.col("w4").isNotNull())
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+    bench = (
+        shingles.filter(F.col("doc_id") % 97 == 0)
+        .select("shingle")
+        .distinct()
+    )
+    cand = shingles.filter(F.col("doc_id") % 97 != 0)
+    flagged = cand.join(
+        F.broadcast(bench.withColumn("hit", F.lit(1))), "shingle", "left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+        .cast("long")
+        .alias("n_contaminated"),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+            / F.count("*")
+        ).alias("contamination"),
+    )
+
+
+_RARITY_SQL = """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    counts AS (SELECT w, count(*) AS cnt FROM words GROUP BY w)
+    SELECT doc_id,
+           count(*) AS n_words,
+           SUM(cnt) AS freq_mass,
+           CAST(SUM(cnt) AS DOUBLE) / count(*) AS mean_commonness
+    FROM words JOIN counts USING (w)
+    GROUP BY doc_id
+    """
+
+
+@register("text_word_rarity", _RARITY_SQL)
+def text_word_rarity(spark, sf):
+    """Corpus-frequency quality signal (the exact-arithmetic stand-in
+    for a CCNet-style LM perplexity filter): score every document by
+    the mean corpus frequency of its tokens — rare-word-heavy docs
+    (gibberish, codes, boilerplate IDs) score low, natural prose
+    scores high. Frequencies and their per-doc sums are exact BIGINTs;
+    the single final division is one IEEE op, so the oracle matches
+    bitwise (a log-prob variant would hit cross-engine libm ulp skew —
+    documented, rows-only territory).
+
+    Scale shape: two shuffles (vocabulary groupBy, doc groupBy) plus a
+    words-x-vocabulary equi-join; the vocabulary side follows a Zipf
+    law, so the join key is skewed on stopwords — at corpus scale the
+    top-K head of the vocabulary is broadcast (tiny) and only the tail
+    shuffles, the standard frequency-join split."""
+    par = spark.sparkContext.defaultParallelism
+    words = (
+        load_table(spark, sf, "documents")
+        .repartition(par, "doc_id")
+        .select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
+    )
+    counts = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    return (
+        words.join(counts, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("cnt").alias("freq_mass"),
+            (F.sum("cnt").cast("double") / F.count("*"))
+            .alias("mean_commonness"),
+        )
+    )

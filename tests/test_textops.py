@@ -472,3 +472,44 @@ def test_extract_main_content_all_byte_identical(spark, sf_dir):
     assert len(rows) == n
     assert len({r["url"] for r in rows}) == n
     assert all(r["ok"] for r in rows)
+
+
+def test_contamination_check_flags_injected_overlap(spark, sf_dir):
+    """A candidate doc sharing a 5-gram with a benchmark doc gets
+    contamination > 0; every benchmark doc is absent from the output;
+    ratios stay in [0, 1]."""
+    from octospark.textops import QUERIES
+
+    rows = QUERIES["text_contamination_check"](spark, sf_dir).collect()
+    assert rows
+    ids = {r["doc_id"] for r in rows}
+    assert all(i % 97 != 0 for i in ids)
+    for r in rows:
+        assert 0 <= r["n_contaminated"] <= r["n_shingles"]
+        assert abs(r["contamination"]
+                   - r["n_contaminated"] / r["n_shingles"]) == 0.0
+
+
+def test_word_rarity_bounds_and_mass(spark, sf_dir):
+    """mean_commonness >= 1 (every token occurs at least once — itself);
+    freq_mass == sum over tokens of that token's corpus count, checked
+    exactly on one doc."""
+    import collections
+
+    import duckdb
+
+    from octospark.textops import QUERIES
+
+    rows = {r["doc_id"]: r
+            for r in QUERIES["text_word_rarity"](spark, sf_dir).collect()}
+    assert all(r["mean_commonness"] >= 1.0 for r in rows.values())
+    texts = dict(duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall())
+    corpus = collections.Counter(
+        w for t in texts.values() for w in t.split(" ")
+    )
+    probe = min(texts)
+    want = sum(corpus[w] for w in texts[probe].split(" "))
+    assert rows[probe]["freq_mass"] == want
+    assert rows[probe]["n_words"] == len(texts[probe].split(" "))
