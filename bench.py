@@ -19,7 +19,8 @@ Default run (driver contract):
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), OCTOSPARK_PAGES_MULT (default 10),
-     OCTOSPARK_SKIP_SCALING=1 to skip step 4.
+     OCTOSPARK_SKIP_SCALING=1 to skip step 4,
+     OCTOSPARK_NO_MD=1 to skip the BENCH/ doc rewrite (smoke runs).
 """
 
 from __future__ import annotations
@@ -295,7 +296,7 @@ def scaling_runs() -> dict:
     noise is one-sided (it only slows), so min-across-passes converges
     on the quiet-machine number as passes grow."""
     levels = sorted({n for pair in SCALING_PAIRS for n in pair})
-    n_passes = int(os.environ.get("OCTOSPARK_SCALING_PASSES", "5"))
+    n_passes = int(os.environ.get("OCTOSPARK_SCALING_PASSES", "7"))
     # scaling runs use 2x the pages: the ratio is what matters, and a
     # longer run amortizes the ~2s fixed JVM/session overhead that
     # otherwise biases the 4N side down
@@ -309,10 +310,16 @@ def scaling_runs() -> dict:
         env = dict(os.environ)
         env["OCTOSPARK_PAGES_MULT"] = str(scaling_mult)
         # one subprocess per PASS running every level in one JVM: the
-        # paired levels are then adjacent in time (see extract_multi)
+        # paired levels are then adjacent in time (see extract_multi).
+        # Alternate the level ORDER between passes: a monotone machine
+        # drift inside a pass biases whichever level runs later, and
+        # ascending-only order turns that into a consistent efficiency
+        # bias; reversing on odd passes makes the bias cancel in the
+        # median across passes.
+        order = levels if _pass % 2 == 0 else list(reversed(levels))
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--extract-multi",
-             ",".join(str(n) for n in levels)],
+             ",".join(str(n) for n in order)],
             capture_output=True, text=True, env=env, cwd=REPO,
             timeout=1800,
         )
@@ -550,7 +557,10 @@ def main() -> None:
             # keep (pages, value, pages_per_sec) internally consistent:
             # the scaling subprocess runs a different page count
             result["pages"] = lv["pages"]
-    write_bench_md(result)
+    # OCTOSPARK_NO_MD=1: smoke/debug runs print the JSON line but never
+    # rewrite BENCH/BASELINE.md or append to the run history
+    if os.environ.get("OCTOSPARK_NO_MD") != "1":
+        write_bench_md(result)
     print(json.dumps(result))
 
 

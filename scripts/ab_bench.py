@@ -171,7 +171,9 @@ def main() -> None:
         side_specs = rest
         runner, run_args = _EXTRACT_RUNNER, [sf]
         metrics = ["extract_single"]
-        key = "extract_single"
+        # key carries the side labels so a new extract experiment never
+        # clobbers an earlier one in ab_results.json
+        key = "extract:" + "+".join(s.split("=", 1)[0] for s in side_specs)
     else:
         raise SystemExit(f"unknown mode {mode!r}")
 
