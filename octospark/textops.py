@@ -2208,3 +2208,126 @@ def text_word_rarity(spark, sf):
             .alias("mean_commonness"),
         )
     )
+
+
+_SUBSTR_DUP_SQL = """
+    WITH sub AS (
+      SELECT doc_id, substr(text, CAST(i AS INTEGER), 40) AS s
+      FROM documents, LATERAL unnest(range(1, len(text) - 38)) AS t(i)
+      WHERE len(text) >= 40),
+    freq AS (
+      SELECT s, count(DISTINCT doc_id) AS nd FROM sub GROUP BY s)
+    SELECT doc_id,
+           count(*) AS n_windows,
+           count(*) FILTER (WHERE nd >= 2) AS dup_windows,
+           CAST(count(*) FILTER (WHERE nd >= 2) AS DOUBLE) / count(*)
+             AS dup_fraction
+    FROM sub JOIN freq USING (s)
+    GROUP BY doc_id
+    """
+
+
+@register("dedup_substring_windows", _SUBSTR_DUP_SQL)
+def dedup_substring_windows(spark, sf):
+    """Exact-substring duplication signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every document, the fraction of its 40-char windows (stride 1)
+    whose exact bytes also appear in at least one OTHER document —
+    the signal behind cross-doc boilerplate/quotation removal that
+    shingle-level MinHash misses.
+
+    Scale shape: windows as rows (explode of a position sequence +
+    JVM substring — one pipelined stage, text never shuffles
+    pre-window), a groupBy on the window key for cross-doc counts,
+    a co-located join back on the same key, one partial-agg groupBy
+    per doc. At corpus scale the window key is an 8-byte rolling hash
+    instead of the 40 raw bytes (shuffle width /5) and the stride is
+    k/2 with a verification pass — Lee et al.'s suffix array replaced
+    by the hash-join equivalent; counts are exact ints, the single
+    division is one IEEE op, so the small-SF oracle matches bitwise."""
+    k = 40
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        load_table(spark, sf, "documents")
+        .filter(F.length("text") >= k)
+        .repartition(par, "doc_id")
+        .select("doc_id", "text")
+    )
+    sub = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - (k - 1))
+        ).alias("i"),
+        "text",
+    ).select("doc_id", F.expr(f"substring(text, i, {k})").alias("s"))
+    freq = sub.groupBy("s").agg(F.count_distinct("doc_id").alias("nd"))
+    dup = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    return (
+        sub.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(dup).cast("long").alias("dup_windows"),
+            (F.sum(dup).cast("double") / F.count("*"))
+            .alias("dup_fraction"),
+        )
+    )
+
+
+_HOST_FILTER_SQL = """
+    WITH host AS (
+      SELECT source, count(*) AS host_docs,
+             SUM(n_chars) AS host_chars
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT count(*) AS tot_docs, SUM(n_chars) AS tot_chars
+      FROM documents)
+    SELECT d.doc_id, d.source, h.host_docs, h.host_chars,
+           (h.host_chars * t.tot_docs >= t.tot_chars * h.host_docs)
+             AS keep
+    FROM documents d JOIN host h USING (source) CROSS JOIN tot t
+    """
+
+
+@register("corpus_host_filter", _HOST_FILTER_SQL)
+def corpus_host_filter(spark, sf):
+    """Host-level corpus filtering (the C4/RefinedWeb URL-and-domain
+    gate): aggregate per-source document stats, then flag every doc by
+    whether its host's mean document length clears the corpus mean —
+    hosts full of stub/boilerplate pages drop as a unit. The mean
+    comparison is an integer cross-multiply (host_chars * tot_docs >=
+    tot_chars * host_docs), so the flag is exact on both engines —
+    no FP mean ever computed.
+
+    Scale shape: one partial-agg groupBy(source) builds the host table
+    (hosts are ~10^5x fewer than pages -> tiny), broadcast back onto
+    the docs; the corpus totals are a one-row agg broadcast via a
+    nested-loop join of width 1. Zero shuffles of the document table
+    itself. At 10^12 pages the host table may still exceed broadcast
+    (10^9 hosts) — then both sides bucket on source and the join is
+    co-located; the plan shape is otherwise identical."""
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    host = docs.groupBy("source").agg(
+        F.count("*").alias("host_docs"),
+        F.sum("n_chars").alias("host_chars"),
+    )
+    tot = docs.agg(
+        F.count("*").alias("tot_docs"),
+        F.sum("n_chars").alias("tot_chars"),
+    )
+    return (
+        docs.join(F.broadcast(host), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "source",
+            "host_docs",
+            "host_chars",
+            (
+                F.col("host_chars") * F.col("tot_docs")
+                >= F.col("tot_chars") * F.col("host_docs")
+            ).alias("keep"),
+        )
+    )

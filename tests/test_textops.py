@@ -513,3 +513,64 @@ def test_word_rarity_bounds_and_mass(spark, sf_dir):
     want = sum(corpus[w] for w in texts[probe].split(" "))
     assert rows[probe]["freq_mass"] == want
     assert rows[probe]["n_words"] == len(texts[probe].split(" "))
+
+
+def test_substring_windows_cross_doc_only(spark, sf_dir):
+    """dup_windows counts windows shared with ANOTHER doc: a window
+    repeated only inside one doc never counts; fractions stay in
+    [0, 1]; window count matches len-k+1 for a probe doc."""
+    import duckdb
+
+    from octospark.textops import QUERIES
+
+    rows = {r["doc_id"]: r
+            for r in QUERIES["dedup_substring_windows"](spark, sf_dir)
+            .collect()}
+    assert rows
+    for r in rows.values():
+        assert 0 <= r["dup_windows"] <= r["n_windows"]
+        assert abs(r["dup_fraction"]
+                   - r["dup_windows"] / r["n_windows"]) == 0.0
+    texts = dict(duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        f"WHERE len(text) >= 40"
+    ).fetchall())
+    probe = min(texts)
+    assert rows[probe]["n_windows"] == len(texts[probe]) - 39
+    # pure-Python cross-check of dup_windows for the probe doc
+    others = set()
+    for d, t in texts.items():
+        if d != probe:
+            others.update(t[i:i + 40] for i in range(len(t) - 39))
+    want = sum(1 for i in range(len(texts[probe]) - 39)
+               if texts[probe][i:i + 40] in others)
+    assert rows[probe]["dup_windows"] == want
+
+
+def test_host_filter_integer_mean_gate(spark, sf_dir):
+    """keep flag equals the exact integer cross-multiply of host mean
+    vs corpus mean, recomputed in pure Python."""
+    import collections
+
+    import duckdb
+
+    from octospark.textops import QUERIES
+
+    rows = QUERIES["corpus_host_filter"](spark, sf_dir).collect()
+    meta = duckdb.sql(
+        f"SELECT doc_id, source, n_chars "
+        f"FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    assert len(rows) == len(meta)
+    hd = collections.Counter()
+    hc = collections.Counter()
+    for _, s, c in meta:
+        hd[s] += 1
+        hc[s] += c
+    tot_docs, tot_chars = len(meta), sum(hc.values())
+    for r in rows:
+        assert r["host_docs"] == hd[r["source"]]
+        assert r["host_chars"] == hc[r["source"]]
+        assert r["keep"] == (
+            hc[r["source"]] * tot_docs >= tot_chars * hd[r["source"]]
+        )
