@@ -1150,6 +1150,23 @@ def scan_json_lines(spark, sf):
 
 
 @register(
+    "scan_orc_columnar",
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def scan_orc_columnar(spark, sf):
+    """ORC source — Spark's second native columnar format. Schema rides
+    in the file (no inference pass); column pruning reaches the ORC
+    reader exactly as for parquet (asserted in tests/test_plans.py), so
+    a lake that lands ORC instead of parquet runs the same plans."""
+    from octospark.sources import read_orc_table
+
+    return read_orc_table(
+        spark, sf, "supplier",
+        ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+
+
+@register(
     "window_frame_range",
     # RANGE frame over event-time: per user, rolling 1-hour sum/count.
     # RANGE includes ts-peers in both engines, so ties are frame-stable.

@@ -105,6 +105,8 @@ def stage_format_copy(
         df = load_table(spark, sf_dir, name).coalesce(1)
         if fmt == "csv":
             df.write.mode("overwrite").option("header", True).csv(dest)
+        elif fmt == "orc":
+            df.write.mode("overwrite").orc(dest)
         else:
             df.write.mode("overwrite").json(dest)
     return dest
@@ -154,3 +156,15 @@ def read_json_table(
     """JSON-lines source with an explicit schema (same rationale)."""
     dest = stage_format_copy(spark, sf_dir, name, "json")
     return spark.read.schema(schema).json(dest)
+
+
+def read_orc_table(
+    spark: SparkSession, sf_dir: str, name: str, cols: list
+) -> DataFrame:
+    """ORC source — the second columnar lake format Spark reads
+    natively. ORC files embed their schema (no inference pass, unlike
+    CSV/JSON), and the DSv2 reader supports the same column pruning and
+    predicate pushdown as parquet, so scan-heavy plans are
+    format-portable. Columns are selected by NAME after the read."""
+    dest = stage_format_copy(spark, sf_dir, name, "orc")
+    return spark.read.orc(dest).select(*cols)

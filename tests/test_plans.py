@@ -369,3 +369,16 @@ def test_quartile_assign_scale_plan(spark):
     assert "Window [" not in plan
     assert "rangepartitioning" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_orc_scan_is_columnar_and_pruned(spark):
+    """The ORC reader gets the same scan-level optimizations as
+    parquet: vectorized batch read, projection pruned to the four
+    requested columns."""
+    plan = plan_of(QUERIES["scan_orc_columnar"](spark, SF))
+    assert "Format: ORC" in plan
+    assert "Batched: true" in plan
+    assert (
+        "ReadSchema: struct<s_suppkey:bigint,s_name:string,"
+        "s_nationkey:int,s_acctbal:double>" in plan
+    )
