@@ -2331,3 +2331,56 @@ def corpus_host_filter(spark, sf):
             ).alias("keep"),
         )
     )
+
+
+_REBALANCE_SQL = """
+    WITH lc AS (
+      SELECT lang, count(*) AS lang_docs FROM documents GROUP BY lang),
+    mn AS (SELECT min(lang_docs) AS min_docs FROM lc)
+    SELECT d.doc_id, d.lang, l.lang_docs,
+           sqrt(CAST(m.min_docs AS DOUBLE) / l.lang_docs) AS keep_rate,
+           ((d.doc_id * 2654435761) % 1000000) <
+             floor(1000000 * sqrt(CAST(m.min_docs AS DOUBLE)
+                                  / l.lang_docs)) AS keep
+    FROM documents d JOIN lc l USING (lang) CROSS JOIN mn m
+    """
+
+
+@register("corpus_lang_rebalance", _REBALANCE_SQL)
+def corpus_lang_rebalance(spark, sf):
+    """Temperature-based multilingual rebalancing (the mC4/XLM-R
+    sampling step, alpha = 0.5): downsample each language at rate
+    sqrt(min_docs / lang_docs), so the kept corpus has per-language
+    mass proportional to sqrt(lang_docs) — high-resource languages
+    shrink, the rarest language survives intact. The Bernoulli draw is
+    a deterministic integer hash (doc_id * Knuth-constant mod 1e6)
+    against the floored rate, so the keep flag is reproducible across
+    runs/partitionings AND engine-exact: sqrt and division are IEEE
+    correctly-rounded, floor makes the threshold an integer, and the
+    hash is pure int64 arithmetic — the oracle matches bitwise.
+
+    Scale shape: one partial-agg groupBy(lang) (a handful of rows) +
+    two width-1/broadcast joins back onto the docs — zero shuffles of
+    the document table; at 10^12 pages this is a metadata-sized
+    broadcast exactly like corpus_host_filter."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang")
+    lc = docs.groupBy("lang").agg(F.count("*").alias("lang_docs"))
+    mn = lc.agg(F.min("lang_docs").alias("min_docs"))
+    rate = F.sqrt(
+        F.col("min_docs").cast("double") / F.col("lang_docs")
+    )
+    return (
+        docs.join(F.broadcast(lc), "lang")
+        .crossJoin(F.broadcast(mn))
+        .select(
+            "doc_id",
+            "lang",
+            "lang_docs",
+            rate.alias("keep_rate"),
+            (
+                (F.col("doc_id") * F.lit(2654435761).cast("long"))
+                % 1000000
+                < F.floor(F.lit(1000000) * rate)
+            ).alias("keep"),
+        )
+    )

@@ -574,3 +574,31 @@ def test_host_filter_integer_mean_gate(spark, sf_dir):
         assert r["keep"] == (
             hc[r["source"]] * tot_docs >= tot_chars * hd[r["source"]]
         )
+
+
+def test_lang_rebalance_temperature_sampling(spark, sf_dir):
+    """Rarest language keeps every doc (rate 1.0); every language's
+    kept fraction tracks its sqrt(min/n) rate; keep flag is the
+    deterministic integer-hash Bernoulli recomputed in pure Python."""
+    import math
+
+    from octospark.textops import QUERIES
+
+    rows = QUERIES["corpus_lang_rebalance"](spark, sf_dir).collect()
+    assert rows
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    min_docs = min(len(v) for v in by_lang.values())
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        rate = math.sqrt(min_docs / n)
+        for r in rs:
+            assert r["lang_docs"] == n
+            assert r["keep_rate"] == rate
+            want = (r["doc_id"] * 2654435761) % 1000000 < math.floor(
+                1000000 * rate
+            )
+            assert r["keep"] == want
+    rarest = min(by_lang, key=lambda k: len(by_lang[k]))
+    assert all(r["keep"] for r in by_lang[rarest])
