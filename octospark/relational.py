@@ -1386,3 +1386,108 @@ def stream_dedup_within_watermark(spark, sf):
             F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         )
     )
+
+
+@register(
+    "join_bloom_filter_semi",
+    # the bloom filter never changes the answer (false positives are
+    # removed by the exact semi-join), so the oracle is the plain
+    # semi-join aggregate
+    "SELECT l_returnflag, COUNT(*) AS n, "
+    "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
+    "FROM lineitem WHERE l_orderkey IN "
+    "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') "
+    "GROUP BY l_returnflag",
+)
+def join_bloom_filter_semi(spark, sf):
+    """Bloom-pruned semi-join — the fact-table pruning shape that
+    matters at 100 TB: a kilobyte Bloom filter built over the (small)
+    filtered dimension key set is evaluated against the fact rows
+    BEFORE the shuffle, so rows that cannot match never enter the
+    exchange; the exact left-semi join afterwards removes the bloom's
+    false positives, so the result is exactly the plain semi-join
+    (which is what the oracle checks).
+
+    Spark's own runtime-filter rewrite
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) injects this
+    pattern with internal expressions the SQL surface cannot name, so
+    the filter here is built from PUBLIC primitives only — and it is a
+    real Bloom filter, not an approximation of one:
+
+    - k=3 hash family: xxhash64(key, seed) for seed in (1, 2, 3),
+      pmod into m=65536 bit positions;
+    - build: positions -> (word, bit) -> groupBy(word).bit_or(mask)
+      partial+final aggregate (bytes-sized state rides the shuffle,
+      like the theta sketches), assembled into a 1024-long bitmap
+      array in ONE driver-free row;
+    - probe: broadcast the 1-row bitmap (width-1 nested-loop join,
+      same shape as corpus_host_filter's totals row) and test
+      bits[pos >> 6] & (1 << (pos & 63)) per seed — O(1) per probe,
+      pure JVM codegen.
+
+    pipeline role: R24 resume filter at corpus scale — prune the
+    10^12-row pages scan against the (much smaller) set of
+    already-committed partition keys before any shuffle."""
+    M_BITS = 65536  # 8 KiB bitmap; n~=150 urgent keys at sf0.01 -> fp ~ 0
+    M_WORDS = M_BITS // 64
+    SEEDS = (1, 2, 3)
+
+    def pos_of(col, seed):
+        return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(M_BITS))
+
+    orders = load_table(spark, sf, "orders")
+    urgent = orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+
+    # build: set bits -> per-word OR -> one-row 1024-long bitmap array
+    entries = urgent.select(
+        F.explode(
+            F.array(*[pos_of(F.col("o_orderkey"), s) for s in SEEDS])
+        ).alias("pos")
+    ).select(
+        (F.col("pos") / 64).cast("int").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+        .alias("mask"),
+    )
+    words = entries.groupBy("word").agg(F.bit_or("mask").alias("m"))
+    bloom = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word", "m"))
+        ).alias("wm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(M_WORDS - 1)),
+            lambda w: F.coalesce(
+                F.element_at(F.col("wm"), w), F.lit(0).cast("long")
+            ),
+        ).alias("bits")
+    )
+
+    fact = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+
+    def probe(seed):
+        pos = pos_of(F.col("l_orderkey"), seed)
+        word = (pos / 64).cast("int")
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(pmod(xxhash64(l_orderkey, {seed}), {M_BITS}) "
+            f"% 64 AS INT))"
+        )
+        return (
+            F.element_at(F.col("bits"), word + 1).bitwiseAND(mask)
+            != F.lit(0).cast("long")
+        )
+
+    pruned = fact.crossJoin(F.broadcast(bloom)).filter(
+        probe(1) & probe(2) & probe(3)
+    )
+    exact = pruned.join(F.broadcast(urgent),
+                        pruned.l_orderkey == urgent.o_orderkey,
+                        "left_semi")
+    return exact.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )

@@ -2384,3 +2384,250 @@ def corpus_lang_rebalance(spark, sf):
             ).alias("keep"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# repetition filtering (Gopher A1.1 repetition signals)
+# --------------------------------------------------------------------------
+
+@register(
+    "text_repetition_filter",
+    # same signals in plain SQL: per-doc word histogram for the
+    # top-word fraction, bigram list for the duplicate-bigram fraction;
+    # keep-gate uses integer cross-multiplies so no FP compare is
+    # involved (2*top_word_n <= n_words  <=>  top_frac <= 0.5, etc.)
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word
+    ),
+    tw AS (
+      SELECT doc_id, max(c) AS top_word_n,
+             CAST(sum(c) AS BIGINT) AS n_words
+      FROM wc GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 2
+                  THEN len(string_split(text, ' ')) - 1 ELSE 0 END
+             AS n_bigrams,
+             CASE WHEN len(string_split(text, ' ')) >= 2
+                  THEN len(list_distinct(
+                    [string_split(text, ' ')[i] || ' '
+                     || string_split(text, ' ')[i + 1]
+                     for i in range(1, len(string_split(text, ' ')))]))
+                  ELSE 0 END AS n_distinct_bigrams
+      FROM documents
+    )
+    SELECT tw.doc_id,
+           tw.n_words,
+           tw.top_word_n,
+           bg.n_bigrams,
+           bg.n_distinct_bigrams,
+           (bg.n_bigrams - bg.n_distinct_bigrams) AS dup_bigram_n,
+           (2 * tw.top_word_n <= tw.n_words
+            AND 5 * (bg.n_bigrams - bg.n_distinct_bigrams)
+                <= 2 * bg.n_bigrams) AS keep
+    FROM tw JOIN bg USING (doc_id)
+    """,
+)
+def text_repetition_filter(spark, sf):
+    """Gopher-style repetition gate (Rae et al. 2021 A1.1, public):
+    drop documents dominated by one word (top-word fraction > 1/2) or
+    by repeated bigrams (duplicate-bigram fraction > 2/5). The two
+    classic repetition signals a 100 TB corpus pass computes per page.
+
+    Scale shape: words and bigrams become ROWS via posexplode (+lead
+    for the bigram pair — never a HOF-array explode that materializes
+    the n-gram array per row), then two partial-agg groupBys on
+    doc_id — partial aggregation absorbs the fan-out map-side, and the
+    shuffle key is the (unique) doc_id so there is no skew. The keep
+    gate is exact integer cross-multiplication: no IEEE division at
+    all, so the flag is engine- and partitioning-independent.
+
+    Reference analog: R8's never-drop filtering discipline
+    (/root/reference/src/octopy/segment.py:166-178) applied to the
+    corpus-quality domain."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    w = docs.select(
+        "doc_id",
+        F.posexplode(_words(F.col("text"))).alias("pos", "word"),
+    )
+    # top-word fraction: histogram then max/sum per doc (both
+    # aggregations are partial-agg friendly; key cardinality is bounded
+    # by vocab x docs, and the second groupBy key is unique doc_id)
+    wc = w.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    tw = wc.groupBy("doc_id").agg(
+        F.max("c").alias("top_word_n"), F.sum("c").alias("n_words")
+    )
+    # duplicate-bigram fraction: adjacent pair via lead() over pos —
+    # bigrams are rows from the start, never an array column
+    bw = Window.partitionBy("doc_id").orderBy("pos")
+    bg_rows = (
+        w.withColumn("nxt", F.lead("word").over(bw))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("word"), F.col("nxt")).alias("bigram"),
+        )
+    )
+    bg = bg_rows.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.countDistinct("bigram").alias("n_distinct_bigrams"),
+    )
+    # docs with < 2 words have no bigram rows: restore with zeros so
+    # the gate never silently drops them (never-drop discipline)
+    base = docs.select("doc_id")
+    bg_full = base.join(bg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("n_distinct_bigrams", F.lit(0)).alias(
+            "n_distinct_bigrams"
+        ),
+    )
+    return (
+        tw.join(bg_full, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "top_word_n",
+            "n_bigrams",
+            "n_distinct_bigrams",
+            (F.col("n_bigrams") - F.col("n_distinct_bigrams")).alias(
+                "dup_bigram_n"
+            ),
+            (
+                (2 * F.col("top_word_n") <= F.col("n_words"))
+                & (
+                    5
+                    * (
+                        F.col("n_bigrams")
+                        - F.col("n_distinct_bigrams")
+                    )
+                    <= 2 * F.col("n_bigrams")
+                )
+            ).alias("keep"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal: audio
+# --------------------------------------------------------------------------
+
+_AUD_MAGIC = b"OAUD"
+
+
+def _fake_audio_bytes(doc_id: int) -> bytes:
+    """Deterministic fake PCM container: magic + u16 sample count +
+    uint8 samples s[i] = (doc_id*3 + i*5) % 256 — a sawtooth whose
+    integer stats are reconstructable analytically (the oracle side)."""
+    n = 64 + doc_id % 192
+    samples = bytes((doc_id * 3 + i * 5) % 256 for i in range(n))
+    return _AUD_MAGIC + n.to_bytes(2, "big") + samples
+
+
+_AUDIO_SCHEMA = (
+    "doc_id long, n_samples long, energy long, peak long, "
+    "n_clipped long, error string"
+)
+
+
+def audio_stats_batches(batches):
+    """mapInPandas body for audio feature extraction (module-level so
+    tests can feed it adversarial frames). All stats are exact int64
+    reductions over the sample buffer — the same buffer-view +
+    vectorized-reduction shape a real resampler/VAD front-end has.
+    Row-level try/except: malformed blobs yield an error row, never a
+    task failure (same never-drop contract as decode_image_batches)."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+            b = bytes(blob)
+            try:
+                if b[:4] != _AUD_MAGIC:
+                    raise ValueError("bad audio magic")
+                n = int.from_bytes(b[4:6], "big")
+                s = np.frombuffer(b[6 : 6 + n], dtype=np.uint8).astype(
+                    np.int64
+                )
+                if len(s) != n:
+                    raise ValueError("truncated audio payload")
+                rows.append(
+                    (
+                        int(doc_id),
+                        n,
+                        int((s * s).sum()),
+                        int(s.max()),
+                        int((s > 250).sum()),
+                        None,
+                    )
+                )
+            except Exception as exc:  # never-drop fallback (R8)
+                rows.append(
+                    (int(doc_id), None, None, None, None, str(exc))
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_samples", "energy", "peak", "n_clipped",
+                "error",
+            ],
+        )
+
+
+@register(
+    "multimodal_audio_stats",
+    # the sawtooth's integer stats reconstructed analytically per doc:
+    # energy = sum of squares, peak = max, n_clipped = count > 250 —
+    # all exact int64 so the comparison is engine-independent
+    """
+    SELECT doc_id,
+           64 + doc_id % 192 AS n_samples,
+           CAST(list_aggregate(
+             list_transform(range(64 + doc_id % 192),
+               i -> ((doc_id * 3 + i * 5) % 256)
+                    * ((doc_id * 3 + i * 5) % 256)),
+             'sum') AS BIGINT) AS energy,
+           list_aggregate(
+             list_transform(range(64 + doc_id % 192),
+               i -> (doc_id * 3 + i * 5) % 256),
+             'max') AS peak,
+           len(list_filter(
+             list_transform(range(64 + doc_id % 192),
+               i -> (doc_id * 3 + i * 5) % 256),
+             x -> x > 250)) AS n_clipped,
+           CAST(NULL AS VARCHAR) AS error
+    FROM documents
+    """,
+)
+def multimodal_audio_stats(spark, sf):
+    """Audio feature-extraction plumbing: opaque binary PCM column ->
+    exact integer energy/peak/clipping stats via Arrow-batched
+    mapInPandas — completes the image/video/audio multimodal triple.
+    The codec is the documented fake OAUD container (no audio libs in
+    this container); the batching, buffer views, vectorized reductions,
+    and never-drop error rows are the real deployment shape."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media": [
+                        _fake_audio_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    return d.mapInPandas(gen, "doc_id long, media binary").mapInPandas(
+        audio_stats_batches, _AUDIO_SCHEMA
+    )

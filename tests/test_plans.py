@@ -299,7 +299,7 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
     ALLOW_PYTHON = {
         "udf_map_in_pandas", "udf_pandas_scalar", "udf_grouped_apply",
         "multimodal_meta", "multimodal_decode", "multimodal_resize",
-        "multimodal_frame_sample",
+        "multimodal_frame_sample", "multimodal_audio_stats",
         # PDF synthesis + tolerant content-stream parse are inherently
         # Python (no PDF support in Spark/JVM builtins)
         "extract_pdf_layout", "pdf_layout_blocks",
@@ -382,3 +382,20 @@ def test_orc_scan_is_columnar_and_pruned(spark):
         "ReadSchema: struct<s_suppkey:bigint,s_name:string,"
         "s_nationkey:int,s_acctbal:double>" in plan
     )
+
+
+def test_bloom_semi_join_prunes_before_shuffle(spark):
+    """join_bloom_filter_semi must plan the bitmap probe against the
+    fact scan BEFORE any exchange (map-side pruning: the broadcast
+    nested-loop join carrying the 1-row bitmap and the element_at/
+    bitwise filter both sit below the first Exchange), build the bitmap
+    with a partial bit_or aggregate, and still contain the exact
+    semi-join that removes the bloom's false positives."""
+    import octospark.relational as rel
+
+    plan = plan_of(rel.QUERIES["join_bloom_filter_semi"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan  # width-1 bitmap row
+    assert "element_at" in plan  # O(1) bitmap probe, pure JVM
+    assert "bit_or" in plan  # partial-aggregated bitmap build
+    assert "LeftSemi" in plan  # exact false-positive removal
+    assert "CartesianProduct" not in plan

@@ -602,3 +602,90 @@ def test_lang_rebalance_temperature_sampling(spark, sf_dir):
             assert r["keep"] == want
     rarest = min(by_lang, key=lambda k: len(by_lang[k]))
     assert all(r["keep"] for r in by_lang[rarest])
+
+
+def test_audio_stats_exact_and_never_drop(spark, sf_dir):
+    """Audio stats match the analytic sawtooth reconstruction exactly
+    (int64 energy/peak/clip counts), and a malformed blob yields an
+    error row, never a task failure — same never-drop contract (R8) as
+    the image/video paths."""
+    import pandas as pd
+
+    for r in (
+        T.QUERIES["multimodal_audio_stats"](spark, sf_dir).limit(50).collect()
+    ):
+        n = 64 + r.doc_id % 192
+        s = [(r.doc_id * 3 + i * 5) % 256 for i in range(n)]
+        assert r.error is None
+        assert r.n_samples == n
+        assert r.energy == sum(x * x for x in s)
+        assert r.peak == max(s)
+        assert r.n_clipped == sum(1 for x in s if x > 250)
+
+    mixed = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                # bad magic; and truncated payload (claims 200 samples)
+                "media": [b"WHAT\x00\x08abcdefgh",
+                          b"OAUD\x00\xc8short"],
+            }
+        )
+    )
+    rows = {
+        r.doc_id: r
+        for r in mixed.mapInPandas(
+            T.audio_stats_batches, T._AUDIO_SCHEMA
+        ).collect()
+    }
+    assert rows[1].error is not None and rows[1].energy is None
+    assert rows[2].error is not None and rows[2].n_samples is None
+
+
+def test_repetition_filter_flags_injected_repeats(spark, sf_dir):
+    """A synthetic one-word-dominated doc and a repeated-bigram doc are
+    both rejected; a normal varied doc passes; a 1-word doc never
+    drops out of the output (zero bigrams, keep governed by top-word
+    gate alone)."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "spam spam spam spam spam eggs",     # top-word 5/6
+                    "a b a b a b a b a b a b",           # dup bigrams
+                    "one two three four five six seven", # varied
+                    "lonely",                            # single word
+                ],
+            }
+        )
+    )
+    docs.createOrReplaceTempView("documents_inj")
+    import octospark.textops as TT
+
+    orig = TT.load_table
+
+    def fake_load(spark_, sf_, name):
+        if name == "documents":
+            return spark_.table("documents_inj")
+        return orig(spark_, sf_, name)
+
+    TT.load_table = fake_load
+    try:
+        rows = {
+            r.doc_id: r
+            for r in T.QUERIES["text_repetition_filter"](
+                spark, sf_dir
+            ).collect()
+        }
+    finally:
+        TT.load_table = orig
+
+    assert set(rows) == {1, 2, 3, 4}
+    assert not rows[1].keep          # one word dominates
+    assert not rows[2].keep          # all bigrams repeated
+    assert rows[3].keep              # varied text passes
+    assert rows[4].n_bigrams == 0    # 1-word doc present, not dropped
+    assert rows[2].dup_bigram_n == rows[2].n_bigrams - 2  # 'a b','b a'
