@@ -1491,3 +1491,76 @@ def join_bloom_filter_semi(spark, sf):
         F.count("*").alias("n"),
         F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
     )
+
+
+@register(
+    "scan_parquet_partitioned",
+    "SELECT o_orderkey, o_custkey, "
+    "CAST(o_totalprice AS DOUBLE) AS o_totalprice, "
+    "'1-URGENT' AS o_orderpriority "
+    "FROM orders WHERE o_orderpriority = '1-URGENT'",
+)
+def scan_parquet_partitioned(spark, sf):
+    """Hive-partitioned scan with PARTITION PRUNING: the dataset is
+    laid out as dir/o_orderpriority=<value>/part-*.parquet and the
+    filter on the partition key resolves against directory names at
+    planning time — the other partitions' files are never opened, let
+    alone read. At a 10^12-row pages lake partitioned by crawl date /
+    host bucket this is the difference between scanning one day and
+    scanning three years; the plan test asserts the predicate lands in
+    PartitionFilters (metadata pruning), not PushedFilters (which would
+    still enumerate every file).
+
+    pipeline role: R1/R24 — the resume path reads back only the
+    part_key directories it needs (lineage.py read-back uses the same
+    mechanism, asserted in tests/test_lineage.py)."""
+    from octospark.sources import stage_partitioned_copy
+
+    dest = stage_partitioned_copy(spark, sf, "orders", "o_orderpriority")
+    return (
+        spark.read.parquet(dest)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "scan_parquet_schema_evolution",
+    # old files (even custkeys) predate c_acctbal: mergeSchema
+    # null-fills them; new files (odd) carry real values
+    "SELECT c_custkey, c_name, "
+    "CASE WHEN c_custkey % 2 = 1 "
+    "THEN CAST(c_acctbal AS DOUBLE) END AS c_acctbal "
+    "FROM customer",
+)
+def scan_parquet_schema_evolution(spark, sf):
+    """Schema-evolution read: the staged dataset's batch=1 files were
+    written BEFORE the c_acctbal column existed, batch=2 files after —
+    the add-a-column evolution every long-lived lake table goes
+    through. mergeSchema=true unions the file footers' schemas and
+    null-fills the missing column in old files; without it the read
+    binds to one footer and silently drops (or fails on) the other
+    batch. At 100 TB, footer merging is a metadata operation (one
+    footer per file, no data read), so the cost is file-count, not
+    byte-count — same plan shape as the plain scan afterwards.
+
+    pipeline role: R1 — a multi-year crawl lake where later snapshots
+    added columns (lang detection, quality scores) must stay readable
+    as ONE table across all vintages."""
+    from octospark.sources import stage_evolved_copy
+
+    dest = stage_evolved_copy(spark, sf)
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(dest)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+    )

@@ -168,3 +168,71 @@ def read_orc_table(
     format-portable. Columns are selected by NAME after the read."""
     dest = stage_format_copy(spark, sf_dir, name, "orc")
     return spark.read.orc(dest).select(*cols)
+
+
+def stage_partitioned_copy(
+    spark: SparkSession, sf_dir: str, name: str, part_col: str
+) -> str:
+    """Materialize one table as a hive-partitioned parquet layout
+    (dir/<part_col>=value/...) so partition-pruned scans have a real
+    partitioned dataset to hit. Same idempotence/eviction contract as
+    stage_format_copy. Production analog: the pages lake is partitioned
+    by crawl date / host bucket, and queries that filter on the
+    partition key must never touch the other directories."""
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        fingerprint = "0_0"
+    base = os.path.basename(sf_dir.rstrip("/"))
+    dest = f"/tmp/octospark_part_{base}_{fingerprint}_{name}_{part_col}"
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        import glob
+        import shutil
+
+        for old in glob.glob(
+            f"/tmp/octospark_part_{base}_*_{name}_{part_col}"
+        ):
+            if old != dest:
+                shutil.rmtree(old, ignore_errors=True)
+        load_table(spark, sf_dir, name).write.mode(
+            "overwrite"
+        ).partitionBy(part_col).parquet(dest)
+    return dest
+
+
+def stage_evolved_copy(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a parquet dataset whose files carry TWO schema
+    versions — batch=1 was written before the c_acctbal column existed
+    (even custkeys), batch=2 after (odd custkeys) — the add-a-column
+    schema evolution every long-lived lake table goes through. Readers
+    must mergeSchema across file footers and null-fill the old files."""
+    src = os.path.join(sf_dir, "customer.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        fingerprint = "0_0"
+    base = os.path.basename(sf_dir.rstrip("/"))
+    dest = f"/tmp/octospark_evo_{base}_{fingerprint}_customer"
+    marker = os.path.join(dest, "_STAGED")
+    if not os.path.exists(marker):
+        import glob
+        import shutil
+
+        for old in glob.glob(f"/tmp/octospark_evo_{base}_*_customer"):
+            if old != dest:
+                shutil.rmtree(old, ignore_errors=True)
+        cust = load_table(spark, sf_dir, "customer")
+        from pyspark.sql import functions as F
+
+        cust.filter(F.col("c_custkey") % 2 == 0).select(
+            "c_custkey", "c_name"
+        ).write.mode("overwrite").parquet(os.path.join(dest, "batch=1"))
+        cust.filter(F.col("c_custkey") % 2 == 1).select(
+            "c_custkey", "c_name", "c_acctbal"
+        ).write.mode("overwrite").parquet(os.path.join(dest, "batch=2"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return dest

@@ -399,3 +399,34 @@ def test_bloom_semi_join_prunes_before_shuffle(spark):
     assert "bit_or" in plan  # partial-aggregated bitmap build
     assert "LeftSemi" in plan  # exact false-positive removal
     assert "CartesianProduct" not in plan
+
+
+def test_partitioned_scan_prunes_partitions(spark):
+    """The partition-key predicate must resolve against directory
+    names (PartitionFilters) so non-matching partitions' files are
+    never opened — metadata pruning, not per-file data filtering."""
+    import octospark.relational as rel
+
+    plan = plan_of(rel.QUERIES["scan_parquet_partitioned"](spark, SF))
+    pf = plan.split("PartitionFilters:")[-1].split("]")[0]
+    assert "o_orderpriority" in pf and "1-URGENT" in pf
+    # the data-filter slot must NOT carry the partition predicate
+    pushed = plan.split("PushedFilters:")[-1].split("]")[0]
+    assert "o_orderpriority" not in pushed
+
+
+def test_schema_evolution_null_fills_old_files(spark):
+    """mergeSchema read: rows from pre-evolution files carry NULL in
+    the later-added column; rows from post-evolution files carry real
+    values — one table across both vintages."""
+    import octospark.relational as rel
+
+    rows = rel.QUERIES["scan_parquet_schema_evolution"](
+        spark, SF
+    ).collect()
+    assert rows
+    for r in rows:
+        if r.c_custkey % 2 == 0:
+            assert r.c_acctbal is None
+        else:
+            assert r.c_acctbal is not None
