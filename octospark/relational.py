@@ -1564,3 +1564,86 @@ def scan_parquet_schema_evolution(spark, sf):
             F.col("c_acctbal").cast("double").alias("c_acctbal"),
         )
     )
+
+
+@register(
+    "join_skew_salted",
+    # the salt never changes the answer (every fact row meets its dim
+    # row exactly once: the dim copy whose salt matches), so the
+    # oracle is the plain join aggregate over the same skewed key
+    """
+    WITH fact AS (
+      SELECT CASE WHEN l_orderkey % 10 < 7
+                  THEN 0 ELSE l_suppkey END AS skew_key,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    ),
+    dim AS (
+      SELECT s_suppkey AS skew_key, s_nationkey FROM supplier
+      UNION ALL SELECT 0, -1 WHERE 0 NOT IN
+        (SELECT s_suppkey FROM supplier)
+    )
+    SELECT d.s_nationkey, COUNT(*) AS n,
+           CAST(SUM(f.qty) AS BIGINT) AS sum_qty
+    FROM fact f JOIN dim d USING (skew_key)
+    GROUP BY d.s_nationkey
+    """,
+)
+def join_skew_salted(spark, sf):
+    """Salted skew join — the explicit mitigation for a hot join key
+    when the dim side is too big to broadcast: 70% of fact rows are
+    funneled onto one synthetic hot key (the 'giant host' shape of a
+    web corpus), which under a plain shuffle join would land on ONE
+    reducer and run at single-task speed while 31 cores idle.
+
+    Mitigation (both sides reshaped, answer unchanged):
+    - fact rows get salt = pmod(xxhash64(row-unique cols), S) — the hot
+      key's rows spread across S distinct (key, salt) shuffle targets;
+    - dim rows are REPLICATED S times via explode(sequence(0, S-1)) —
+      every fact row still meets exactly one matching dim copy;
+    - join on (skew_key, salt), forced to a shuffle join (merge hint;
+      broadcast would hide the skew problem AND its fix at this scale).
+
+    At 10^12 rows S is sized from observed key frequencies (the skew
+    detector in pipeline.py:454 reports exactly this) and only hot keys
+    need salting; here every key is salted for plan clarity. The plan
+    test asserts the exchange hashes on (skew_key, salt) — the fix is
+    visible, not incidental.
+
+    pipeline role: north_rule giant-host mitigation applied to the
+    join side (salted_repartition covers the repartition side)."""
+    SALTS = 8
+    li = load_table(spark, sf, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit(0).cast("long"))
+        .otherwise(F.col("l_suppkey"))
+        .alias("skew_key"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.pmod(
+            F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALTS)
+        ).alias("salt"),
+    )
+    sup = load_table(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("skew_key"), "s_nationkey"
+    )
+    # dim must cover the synthetic hot key 0 (suppkeys start at 1);
+    # keep it data-driven so the oracle's guard clause mirrors it
+    has_zero = sup.filter(F.col("skew_key") == 0).limit(1)
+    dim = sup.unionByName(
+        spark.range(1)
+        .select(
+            F.lit(0).cast("long").alias("skew_key"),
+            F.lit(-1).cast("long").alias("s_nationkey"),
+        )
+        .join(F.broadcast(has_zero.select("skew_key")), "skew_key",
+              "left_anti")
+    )
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALTS - 1)))
+    )
+    joined = fact.hint("merge").join(
+        dim_salted, ["skew_key", "salt"], "inner"
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("n"), F.sum("qty").alias("sum_qty")
+    )

@@ -430,3 +430,16 @@ def test_schema_evolution_null_fills_old_files(spark):
             assert r.c_acctbal is None
         else:
             assert r.c_acctbal is not None
+
+
+def test_skew_salted_join_spreads_hot_key(spark):
+    """The salted join must shuffle on (skew_key, salt) — the hot key's
+    rows land on SALTS distinct reducers, not one — and the dim side
+    must carry the explode that replicates each row per salt."""
+    import octospark.relational as rel
+
+    plan = plan_of(rel.QUERIES["join_skew_salted"](spark, SF))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "hashpartitioning(skew_key" in plan
+    assert "salt" in plan.split("hashpartitioning(skew_key")[1].split(")")[0]
+    assert "Generate explode" in plan or "explode" in plan
