@@ -2631,3 +2631,77 @@ def multimodal_audio_stats(spark, sf):
     return d.mapInPandas(gen, "doc_id long, media binary").mapInPandas(
         audio_stats_batches, _AUDIO_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# embedding compression
+# --------------------------------------------------------------------------
+
+@register(
+    "embed_quantize_int8",
+    # identical arithmetic, elementwise: every step ((x*127)/s, round
+    # half-away-from-zero, q*s/127, abs, max) is IEEE-double and both
+    # engines evaluate it per element, so the comparison is exact. max
+    # over elements is order-insensitive, so no fold-order caveat.
+    """
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             greatest(
+               list_max(list_transform(embedding,
+                                        x -> abs(CAST(x AS DOUBLE)))),
+               1e-30) AS scale
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(v) AS INT) AS n_dims,
+           scale,
+           list_transform(v,
+             x -> CAST(round((x * 127) / scale) AS BIGINT)) AS q,
+           list_max(list_transform(v,
+             x -> abs(x - (round((x * 127) / scale) * scale) / 127)))
+             AS max_abs_err
+    FROM s
+    """,
+)
+def embed_quantize_int8(spark, sf):
+    """Symmetric max-abs int8 quantization of the embedding column —
+    the standard 4x storage/bandwidth cut for billion-vector ANN
+    corpora (q = round(x*127/max|x|), dequant error <= scale/254 per
+    element). All JVM higher-order functions: transform/array_max per
+    row, zero shuffles, zero Python — at 10^12 vectors this runs
+    map-side inside the scan stage and writes back a column 1/4 the
+    size, which is the difference between an in-memory and a spilled
+    ANN rerank downstream.
+
+    The quantized ints are BIGINT in the contract output purely for
+    cross-engine comparison; the storage form is array<tinyint>
+    (asserted separately in tests). Rounding is half-away-from-zero in
+    both engines (Spark HALF_UP on doubles == C round()), and every
+    arithmetic step is elementwise IEEE double, so the oracle matches
+    exactly — see the oracle comment.
+
+    pipeline role: compression stage between embedding generation and
+    sim_ann_* retrieval (SURVEY §2.3)."""
+    e = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))),
+        F.lit(1e-30),
+    )
+    d = e.select("vec_id", v.alias("v"), scale.alias("scale"))
+    q_of = lambda x: F.round((x * 127) / F.col("scale"), 0)  # noqa: E731
+    return d.select(
+        "vec_id",
+        F.size("v").alias("n_dims"),
+        "scale",
+        F.transform(
+            F.col("v"), lambda x: q_of(x).cast("long")
+        ).alias("q"),
+        F.array_max(
+            F.transform(
+                F.col("v"),
+                lambda x: F.abs(x - (q_of(x) * F.col("scale")) / 127),
+            )
+        ).alias("max_abs_err"),
+    )

@@ -689,3 +689,20 @@ def test_repetition_filter_flags_injected_repeats(spark, sf_dir):
     assert rows[3].keep              # varied text passes
     assert rows[4].n_bigrams == 0    # 1-word doc present, not dropped
     assert rows[2].dup_bigram_n == rows[2].n_bigrams - 2  # 'a b','b a'
+
+
+def test_embed_quantize_int8_bounds_and_jvm_only(spark, sf_dir):
+    """Quantized values fit int8, dequant error respects the
+    scale/254 bound (half-ulp of the quantization step), and the plan
+    is pure JVM (no Python stage, no shuffle)."""
+    df = T.QUERIES["embed_quantize_int8"](spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.n_dims == 64
+        assert all(-127 <= int(x) <= 127 for x in r.q)
+        # strict elementwise bound: |x - q*s/127| <= s/254 (+ tiny fp slack)
+        assert r.max_abs_err <= r.scale / 254 * (1 + 1e-9)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Exchange" not in plan  # map-side only, runs inside the scan
