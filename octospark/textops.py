@@ -2705,3 +2705,83 @@ def embed_quantize_int8(spark, sf):
             )
         ).alias("max_abs_err"),
     )
+
+
+@register(
+    "sim_ann_topk_int8",
+    # quantization formula identical to embed_quantize_int8; the dot
+    # product is pure int64 arithmetic so the ranking has NO float
+    # fold-order caveat at all — bit-exact on any engine, any
+    # partitioning
+    """
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             greatest(
+               list_max(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE)))),
+               1e-30) AS scale
+      FROM embeddings
+    ),
+    qn AS (
+      SELECT vec_id,
+             list_transform(v,
+               x -> CAST(round((x * 127) / scale) AS BIGINT)) AS q
+      FROM s
+    ),
+    query AS (SELECT q AS qv FROM qn WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id,
+             list_reduce(
+               list_transform(range(1, len(q) + 1), j -> q[j] * qv[j]),
+               (a, x) -> a + x) AS dot
+      FROM qn, query
+    )
+    SELECT rank, vec_id, dot FROM (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY dot DESC, vec_id)
+                  AS BIGINT) AS rank,
+             vec_id, dot
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def sim_ann_topk_int8(spark, sf):
+    """Top-k retrieval over the int8-QUANTIZED vectors — the rerank
+    shape a billion-vector corpus actually runs after
+    embed_quantize_int8 cuts storage 4x: the scored pass streams q
+    (int8) instead of float32, and the dot product is exact int64
+    arithmetic, so unlike every float scoring path the ranking is
+    bit-identical on any engine at any partitioning with no decimal
+    or fold-order mitigation needed.
+
+    Same distributed top-k discipline as sim_ann_topk: orderBy+limit
+    plans as TakeOrderedAndProject (per-partition top-k, k-row merge),
+    query row broadcast, no shuffle of the corpus."""
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", _as_double_arr("embedding").alias("v")
+    )
+    scale = F.greatest(
+        F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))),
+        F.lit(1e-30),
+    )
+    qn = e.select(
+        "vec_id",
+        F.transform(
+            F.col("v"),
+            lambda x: F.round((x * 127) / scale, 0).cast("long"),
+        ).alias("q"),
+    )
+    query = qn.filter(F.col("vec_id") == 0).select(F.col("q").alias("qv"))
+    scored = qn.crossJoin(F.broadcast(query)).select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(F.col("q"), F.col("qv"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot"),
+    )
+    top = scored.orderBy(F.col("dot").desc(), F.col("vec_id")).limit(10)
+    w = Window.orderBy(F.col("dot").desc(), F.col("vec_id"))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("rank", "vec_id", "dot")

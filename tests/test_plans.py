@@ -135,7 +135,8 @@ def test_ann_topk_is_take_ordered_not_global_window(spark):
     sort of the full scored scan — the 10^12-row scale-killer."""
     from octospark.textops import QUERIES as TQ
 
-    for key in ("sim_ann_topk", "sim_ann_lsh_bucketed", "sim_ann_ivf"):
+    for key in ("sim_ann_topk", "sim_ann_lsh_bucketed", "sim_ann_ivf",
+                "sim_ann_topk_int8"):
         plan = plan_of(TQ[key](spark, SF))
         assert "TakeOrderedAndProject" in plan, key
         # the only Window in the plan runs over the k-row limited input
@@ -317,6 +318,7 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         # ANN keys: the partitionless window ranks only the k rows that
         # survive TakeOrderedAndProject (asserted separately)
         "sim_ann_topk", "sim_ann_lsh_bucketed", "sim_ann_ivf",
+        "sim_ann_topk_int8",
     }
     ALLOW_CARTESIAN = set()
     failures = []

@@ -706,3 +706,22 @@ def test_embed_quantize_int8_bounds_and_jvm_only(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert "Exchange" not in plan  # map-side only, runs inside the scan
+
+
+def test_topk_int8_agrees_with_float_topk(spark, sf_dir):
+    """The quantized ranking must closely track the exact float
+    ranking: the float top-1 neighbor appears in the int8 top-3, and
+    at least 7 of the float top-10 ids survive into the int8 top-10
+    (int8 dot is a 1/254-per-element perturbation of the cosine
+    numerator, so ranks can swap only between near-ties)."""
+    f_ids = [
+        r.vec_id
+        for r in T.QUERIES["sim_ann_topk"](spark, sf_dir).collect()
+    ]
+    q_ids = [
+        r.vec_id
+        for r in T.QUERIES["sim_ann_topk_int8"](spark, sf_dir).collect()
+    ]
+    assert len(q_ids) == 10
+    assert f_ids[0] in q_ids[:3]
+    assert len(set(f_ids) & set(q_ids)) >= 7
