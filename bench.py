@@ -296,7 +296,7 @@ def scaling_runs() -> dict:
     noise is one-sided (it only slows), so min-across-passes converges
     on the quiet-machine number as passes grow."""
     levels = sorted({n for pair in SCALING_PAIRS for n in pair})
-    n_passes = int(os.environ.get("OCTOSPARK_SCALING_PASSES", "7"))
+    n_passes = int(os.environ.get("OCTOSPARK_SCALING_PASSES", "9"))
     # scaling runs use 2x the pages: the ratio is what matters, and a
     # longer run amortizes the ~2s fixed JVM/session overhead that
     # otherwise biases the 4N side down
