@@ -725,3 +725,117 @@ def test_topk_int8_agrees_with_float_topk(spark, sf_dir):
     assert len(q_ids) == 10
     assert f_ids[0] in q_ids[:3]
     assert len(set(f_ids) & set(q_ids)) >= 7
+
+
+# --- property-based laws (hypothesis) ---------------------------------------
+
+def _quantize_ref(vec):
+    """Reference int8 quantization (mirrors embed_quantize_int8)."""
+    import math
+
+    s = max(max(abs(x) for x in vec), 1e-30)
+    q = []
+    for x in vec:
+        y = (x * 127) / s
+        # round half away from zero (Spark HALF_UP == C round())
+        q.append(int(math.floor(y + 0.5) if y >= 0 else math.ceil(y - 0.5)))
+    return s, q
+
+
+def test_quantize_laws_roundtrip_and_scale_invariance():
+    """Laws of symmetric max-abs int8 quantization, engine-free:
+    (1) q in [-127, 127]; (2) dequant error <= scale/254 + eps;
+    (3) quantization is invariant under multiplication by a power of
+    two (scale doubles exactly, so every ratio x/scale is bit-identical)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    floats = st.floats(
+        min_value=-1e6, max_value=1e6,
+        allow_nan=False, allow_infinity=False, width=32,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(floats, min_size=1, max_size=64))
+    def law(vec):
+        s, q = _quantize_ref(vec)
+        assert all(-127 <= v <= 127 for v in q)
+        for x, v in zip(vec, q):
+            assert abs(x - (v * s) / 127) <= s / 254 * (1 + 1e-9)
+        s2, q2 = _quantize_ref([x * 4.0 for x in vec])
+        assert q2 == q  # power-of-two scaling leaves the codes unchanged
+
+    law()
+
+
+def test_repetition_gate_laws():
+    """Laws of the Gopher repetition gate, engine-free: all-distinct
+    words always keep; a single word repeated >= 2x total always
+    rejects on the top-word rule; permuting words never changes the
+    top-word fraction (it is order-free)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abcdefgh", min_size=1, max_size=5)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(word, min_size=2, max_size=40))
+    def law(words):
+        # top-word rule exactly as the operator computes it
+        def top_gate(ws):
+            c = Counter(ws)
+            return 2 * max(c.values()) <= len(ws)
+
+        distinct = list(dict.fromkeys(words))
+        if len(distinct) >= 2:
+            assert top_gate(distinct)  # all-distinct always passes
+        dominated = [words[0]] * len(words) + words
+        assert not top_gate(dominated)  # one word holds > half
+        import random
+
+        rng = random.Random(42)
+        shuffled = words[:]
+        rng.shuffle(shuffled)
+        assert top_gate(shuffled) == top_gate(words)  # order-free
+
+    law()
+
+
+def test_skew_salted_join_matches_plain_join(spark, sf_dir):
+    """The salt must never change the answer: the salted join's
+    aggregate equals a plain (unsalted) join computed independently."""
+    import pyspark.sql.functions as F
+
+    from octospark.relational import QUERIES as RQ
+    from octospark.sources import load_table
+
+    got = {
+        r.s_nationkey: (r.n, r.sum_qty)
+        for r in RQ["join_skew_salted"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit(0).cast("long"))
+        .otherwise(F.col("l_suppkey")).alias("skew_key"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("skew_key"), "s_nationkey"
+    )
+    dim = sup
+    if sup.filter(F.col("skew_key") == 0).limit(1).count() == 0:
+        dim = sup.unionByName(
+            spark.createDataFrame(
+                [(0, -1)], "skew_key long, s_nationkey long"
+            )
+        )
+    want = {
+        r.s_nationkey: (r.n, r.sum_qty)
+        for r in fact.join(dim, "skew_key")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n"), F.sum("qty").alias("sum_qty"))
+        .collect()
+    }
+    assert got == want
