@@ -2785,3 +2785,83 @@ def sim_ann_topk_int8(spark, sf):
     return top.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).select("rank", "vec_id", "dot")
+
+
+@register(
+    "filter_url_blocklist",
+    # same host synthesis + suffix expansion in SQL; blocked iff any
+    # dot-suffix of the host is on the (literal) blocklist
+    """
+    WITH hosts AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN 'cdn.' ELSE '' END)
+             || source || '.example.org' AS host
+      FROM documents
+    ),
+    sfx AS (
+      SELECT doc_id, host,
+             [array_to_string(string_split(host, '.')[i:], '.')
+              for i in range(1, len(string_split(host, '.')) + 1)]
+             AS suffixes
+      FROM hosts
+    )
+    SELECT doc_id, host,
+           len(list_intersect(
+             suffixes,
+             ['src3.example.org', 'src7.example.org', 'example.net']
+           )) > 0 AS blocked
+    FROM sfx
+    """,
+)
+def filter_url_blocklist(spark, sf):
+    """Domain-blocklist gate with SUFFIX semantics — the C4/RefinedWeb
+    pre-filter: a page is dropped when ANY registrable dot-suffix of
+    its host is on the blocklist, so blocking `src3.example.org` also
+    blocks `cdn.src3.example.org`. Exact string membership, no regex.
+
+    Scale shape: the host splits into its <=~8 labels and each
+    dot-suffix becomes a row (bounded fan-out, map-side); the
+    membership test is a broadcast hash join against the blocklist
+    (real blocklists are ~1M domains — still broadcast-sized); the
+    per-doc OR is a partial-agg groupBy on the unique doc_id. The doc
+    table itself never shuffles on a skewed key.
+
+    pipeline role: the corpus-assembly gate in front of extraction —
+    drop blocked hosts BEFORE the expensive DOM walk (predicate order
+    is the whole point at 10^12 pages)."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "source")
+    hosts = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("cdn.")).otherwise(
+                F.lit("")
+            ),
+            F.col("source"),
+            F.lit(".example.org"),
+        ).alias("host"),
+    )
+    labels = F.split(F.col("host"), "\\.")
+    sfx = hosts.select(
+        "doc_id",
+        "host",
+        F.posexplode(
+            F.transform(
+                labels,
+                lambda _, i: F.array_join(
+                    F.slice(labels, i + 1, F.size(labels) - i), "."
+                ),
+            )
+        ).alias("pos", "suffix"),
+    )
+    blocklist = spark.createDataFrame(
+        [("src3.example.org",), ("src7.example.org",), ("example.net",)],
+        "suffix string",
+    )
+    flagged = sfx.join(
+        F.broadcast(blocklist.withColumn("hit", F.lit(1))),
+        "suffix",
+        "left",
+    )
+    return flagged.groupBy("doc_id", "host").agg(
+        (F.max(F.coalesce("hit", F.lit(0))) > 0).alias("blocked")
+    )

@@ -839,3 +839,22 @@ def test_skew_salted_join_matches_plain_join(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_url_blocklist_suffix_semantics(spark, sf_dir):
+    """Suffix blocking: src3 hosts are blocked WITH their cdn
+    subdomains; unblocked sources never flag; every doc appears
+    exactly once."""
+    rows = T.QUERIES["filter_url_blocklist"](spark, sf_dir).collect()
+    seen = {}
+    for r in rows:
+        assert r.doc_id not in seen
+        seen[r.doc_id] = r
+        if r.host.endswith("src3.example.org") or r.host.endswith(
+            "src7.example.org"
+        ):
+            assert r.blocked, r.host  # subdomains blocked too
+        else:
+            assert not r.blocked, r.host
+    assert any(r.host.startswith("cdn.src3.") and r.blocked
+               for r in rows)
