@@ -2865,3 +2865,72 @@ def filter_url_blocklist(spark, sf):
     return flagged.groupBy("doc_id", "host").agg(
         (F.max(F.coalesce("hit", F.lit(0))) > 0).alias("blocked")
     )
+
+
+@register(
+    "corpus_dedup_priority",
+    # compose the exact transitive-closure labels with a quality-max
+    # canonical pick: per cluster keep the doc with the most chars,
+    # ties broken by the smaller doc_id (total order, engine-free)
+    _CC_EDGE_SQL + """,
+    sym AS (SELECT id1 AS a, id2 AS b FROM e UNION SELECT id2, id1 FROM e),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM base
+      UNION
+      SELECT sym.b, reach.r FROM reach JOIN sym ON sym.a = reach.id
+    ),
+    cc AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+           FROM reach GROUP BY id),
+    scored AS (
+      SELECT cc.doc_id, cc.cluster_id, d.n_chars
+      FROM cc JOIN documents d USING (doc_id)
+    ),
+    pick AS (
+      -- composite integer order key: doc_id < 150 in the cc subset, so
+      -- n_chars * 1000 - doc_id ranks by chars desc then doc_id asc
+      SELECT cluster_id,
+             arg_max(doc_id, n_chars * 1000 - doc_id) AS keep_id
+      FROM scored GROUP BY cluster_id
+    )
+    SELECT s.doc_id, s.cluster_id, s.n_chars,
+           s.doc_id = p.keep_id AS keep
+    FROM scored s JOIN pick p USING (cluster_id)
+    """,
+)
+def corpus_dedup_priority(spark, sf):
+    """The FINAL step of production corpus dedup: after
+    dedup_cluster_cc labels each document with its transitive
+    near-dup cluster, keep exactly ONE canonical document per cluster —
+    chosen by QUALITY (most characters here; any scalar score slots
+    in), not by arbitrary min-id, because the longest/cleanest copy of
+    a syndicated article is the one worth training on. Ties break by
+    the smaller doc_id so the pick is a total order (engine- and
+    partitioning-independent).
+
+    Scale shape on top of the cc labels: one broadcast-or-shuffled
+    join to attach the score (n_chars rides the label table — bytes,
+    not bodies), one partial-agg max_by per cluster (cluster count <<
+    doc count), one join back for the keep flag. The struct-ordered
+    max_by replaces a per-cluster sort window — no skew risk from a
+    giant cluster since max is a streaming aggregate.
+
+    pipeline role: the dedupe-commit step between clustering and
+    corpus assembly (SURVEY §2.3)."""
+    cc = QUERIES["dedup_cluster_cc"](spark, sf)
+    scored = cc.join(
+        load_table(spark, sf, "documents").select("doc_id", "n_chars"),
+        "doc_id",
+    )
+    # composite integer order key (doc_id < 150 in the cc subset):
+    # chars desc, then doc_id asc — a total order in one bigint
+    pick = scored.groupBy("cluster_id").agg(
+        F.max_by(
+            "doc_id", F.col("n_chars") * 1000 - F.col("doc_id")
+        ).alias("keep_id")
+    )
+    return scored.join(pick, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "n_chars",
+        (F.col("doc_id") == F.col("keep_id")).alias("keep"),
+    )

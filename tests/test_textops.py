@@ -858,3 +858,19 @@ def test_url_blocklist_suffix_semantics(spark, sf_dir):
             assert not r.blocked, r.host
     assert any(r.host.startswith("cdn.src3.") and r.blocked
                for r in rows)
+
+
+def test_dedup_priority_one_keeper_per_cluster(spark, sf_dir):
+    """Exactly one kept doc per cluster; the keeper has the cluster's
+    max n_chars (ties -> smaller doc_id); non-keepers never beat it."""
+    rows = T.QUERIES["corpus_dedup_priority"](spark, sf_dir).collect()
+    assert rows
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        keepers = [m for m in members if m.keep]
+        assert len(keepers) == 1, cid
+        k = keepers[0]
+        best = max(members, key=lambda m: (m.n_chars, -m.doc_id))
+        assert (k.doc_id, k.n_chars) == (best.doc_id, best.n_chars)
