@@ -2934,3 +2934,79 @@ def corpus_dedup_priority(spark, sf):
         "n_chars",
         (F.col("doc_id") == F.col("keep_id")).alias("keep"),
     )
+
+
+@register(
+    "corpus_assembly_funnel",
+    # the full corpus-assembly funnel's per-doc flags, composed from
+    # the SAME stage rules the individual oracles check: exact-dedup
+    # keeper, 5-gram decontamination vs the held-out benchmark docs,
+    # Gopher quality gate — one row per input doc, so the driver's
+    # hash check pins the END-TO-END pipeline, not just its stages
+    """
+    WITH bench AS (
+      SELECT DISTINCT unnest(
+        CASE WHEN len(string_split(text, ' ')) >= 5 THEN
+          [array_to_string(string_split(text, ' ')[i:i+4], ' ')
+           for i in range(1, len(string_split(text, ' ')) - 3)]
+        ELSE [] END) AS shingle
+      FROM documents WHERE doc_id % 97 = 0),
+    cand AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(string_split(text, ' ')) >= 5 THEN
+          [array_to_string(string_split(text, ' ')[i:i+4], ' ')
+           for i in range(1, len(string_split(text, ' ')) - 3)]
+        ELSE [] END)) AS shingle
+      FROM documents WHERE doc_id % 97 <> 0),
+    contam AS (
+      SELECT doc_id,
+             CAST(count(*) FILTER (
+               WHERE shingle IN (SELECT shingle FROM bench)) AS DOUBLE)
+               / count(*) AS contamination
+      FROM cand GROUP BY doc_id),
+    ded AS (
+      SELECT sha256(text) AS h, min(doc_id) AS keep_id
+      FROM documents GROUP BY sha256(text)),
+    gq AS (
+      SELECT doc_id,
+             (n_words >= 50 AND n_words <= 100000
+              AND CAST(n_alpha_chars AS DOUBLE) / n_words >= 3
+              AND CAST(n_alpha_chars AS DOUBLE) / n_words <= 10
+              AND CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8)
+             AS quality_pass
+      FROM (
+        SELECT doc_id,
+               len(string_split(lower(text), ' ')) AS n_words,
+               length(replace(lower(text), ' ', '')) AS n_alpha_chars,
+               len(list_filter(string_split(lower(text), ' '),
+                   w -> regexp_matches(w, '[a-z]'))) AS n_alpha_words
+        FROM documents
+      ))
+    SELECT d.doc_id, d.lang,
+           (d.doc_id = ded.keep_id) AS dedup_keep,
+           COALESCE(contam.contamination <= 0.5, FALSE) AS contam_ok,
+           COALESCE(gq.quality_pass, FALSE) AS quality_ok,
+           ((d.doc_id = ded.keep_id)
+            AND COALESCE(contam.contamination <= 0.5, FALSE)
+            AND COALESCE(gq.quality_pass, FALSE)) AS survives
+    FROM documents d
+    JOIN ded ON sha256(d.text) = ded.h
+    LEFT JOIN contam USING (doc_id)
+    LEFT JOIN gq USING (doc_id)
+    """,
+)
+def corpus_assembly_funnel(spark, sf):
+    """The END-TO-END corpus-assembly funnel flags — the exact
+    DataFrame jobs/corpus.py ships through dedup -> decontamination ->
+    quality before sampling/packing, exposed as an oracle-checked key
+    so the driver's hash comparison pins the composed pipeline (one
+    row per input doc with every stage verdict), not just the stages
+    in isolation. Reuses assemble_corpus verbatim: any drift between
+    the job and this contract is itself a test failure.
+
+    Scale notes live on the composed operators; composition adds only
+    doc_id-keyed joins of boolean flag tables (bytes per row)."""
+    from jobs.corpus import assemble_corpus
+
+    flags, _ = assemble_corpus(spark, sf)
+    return flags
