@@ -3010,3 +3010,41 @@ def corpus_assembly_funnel(spark, sf):
 
     flags, _ = assemble_corpus(spark, sf)
     return flags
+
+
+@register(
+    "extract_page_title",
+    # the generator writes '<title>Doc {id} - Example Site {source}'
+    # deterministically, so the oracle reconstructs it per doc
+    "SELECT doc_id, "
+    "'Doc ' || doc_id || ' - Example Site ' || source AS title, "
+    "length('Doc ' || doc_id || ' - Example Site ' || source) "
+    "AS title_len FROM documents",
+)
+def extract_page_title(spark, sf):
+    """Page-title extraction as a pure JVM field pull — the metadata
+    column every crawl index carries next to the extracted body text.
+    The <title> element is single, unnested, and never contains markup
+    (HTML spec: it is raw text), so regexp_extract over the decoded
+    html is CORRECT here, not a parser shortcut — unlike body content,
+    which gets the real DOM walk (extract_main_content). Pattern is
+    non-greedy and tolerant of attributes on the tag.
+
+    Scale shape: pages synthesis is the only Python stage (test
+    harness); on a real lake this is regexp_extract directly over the
+    html column inside the scan stage — codegen, zero shuffles,
+    runs alongside the size guards before the DOM walk."""
+    from octospark.sources import build_pages
+
+    pages = build_pages(spark, sf).select("url", "html")
+    ids = F.regexp_extract(F.col("url"), r"/doc/(\d+)$", 1).cast("long")
+    title = F.regexp_extract(
+        F.col("html").cast("string"),
+        r"(?i)<title[^>]*>\s*(.*?)\s*</title>",
+        1,
+    )
+    return pages.select(
+        ids.alias("doc_id"),
+        title.alias("title"),
+        F.length(title).alias("title_len"),
+    )

@@ -307,8 +307,8 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         # WARC gzip-member parse is inherently Python (binaryFile rows)
         "scan_warc",
         # page synthesis (build_pages) is the only Python stage here;
-        # the href pull itself is JVM regexp_extract_all
-        "extract_links",
+        # the href/title pulls themselves are JVM regexp_extract
+        "extract_links", "extract_page_title",
         "crawl_frontier",  # consumes extract_links' synthesized pages
         # the flagship DOM-walk extraction, as an oracle-checked key
         "extract_main_content",
