@@ -3048,3 +3048,71 @@ def extract_page_title(spark, sf):
         title.alias("title"),
         F.length(title).alias("title_len"),
     )
+
+
+@register(
+    "text_entity_spans",
+    # same deterministic injection as text_pii_mask; spans come back
+    # as ROWS (kind, position-within-kind, surface form) — DuckDB's
+    # regexp_extract_all + ordinality unnest mirrors Spark's
+    # regexp_extract_all + posexplode exactly (both leftmost-first)
+    """
+    WITH w AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@mail.example.com or +1-555-01' || lpad(CAST(doc_id % 100
+             AS VARCHAR), 2, '0') || ' now' AS text
+      FROM documents
+    ),
+    ent AS (
+      SELECT doc_id, 'email' AS kind,
+             regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.-]+') AS hits
+      FROM w
+      UNION ALL
+      SELECT doc_id, 'phone',
+             regexp_extract_all(text, '\\+[0-9][0-9-]{7,}')
+      FROM w
+    )
+    SELECT doc_id, kind, u.pos, u.surface FROM (
+      SELECT doc_id, kind,
+             unnest([{'pos': CAST(i - 1 AS INT), 'surface': hits[i]}
+                     for i in range(1, len(hits) + 1)]) AS u
+      FROM ent)
+    """,
+)
+def text_entity_spans(spark, sf):
+    """Typed entity extraction AS ROWS — the structured-span shape an
+    annotation/NER training pipeline consumes (one row per occurrence
+    with its within-kind ordinal), where text_pii_mask is the
+    destructive flipside of the same regexes. JVM regexp_extract_all
+    (codegen) pulls every match; posexplode turns the per-doc match
+    arrays into rows map-side — bounded fan-out, no shuffle at all.
+
+    pipeline role: R12's span-emission discipline (ordered spans per
+    unit, reference src/octopy/segment.py merge stage) applied to
+    entity occurrences instead of layout blocks."""
+    d = load_table(spark, sf, "documents")
+    w = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1-555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" now"),
+        ).alias("text"),
+    )
+    def spans(kind, pattern):
+        return w.select(
+            "doc_id",
+            F.lit(kind).alias("kind"),
+            F.posexplode(
+                F.regexp_extract_all(F.col("text"), F.lit(pattern), 0)
+            ).alias("pos", "surface"),
+        ).select("doc_id", "kind", F.col("pos").cast("int").alias("pos"),
+                 "surface")
+
+    return spans("email", "[a-z0-9._]+@[a-z0-9.-]+").unionByName(
+        spans("phone", r"\+[0-9][0-9-]{7,}")
+    )
