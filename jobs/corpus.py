@@ -34,103 +34,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def assemble_corpus(
-    spark: SparkSession,
-    sf_dir: str,
-    budget: int = 5000,
-    contam_max: float = 0.5,
-    sample_denom: int = 10,
-) -> tuple[DataFrame, DataFrame]:
-    """Return (flags, shards): ``flags`` carries one row per input doc
-    with per-stage booleans (the funnel, computable in one agg);
-    ``shards`` is the surviving sample packed into token-budget shards.
-    """
-    from octospark.sources import load_table
-    from octospark.textops import (
-        QUERIES,
-        _words,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-
-    # -- stage 1: exact dedup — keeper = min doc_id per content hash
-    keeper = (
-        docs.groupBy(F.sha2(F.col("text"), 256).alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id", F.lit(True).alias("dedup_keep"))
-    )
-
-    # -- stage 2: decontamination — reuse the §2.3 operator verbatim
-    contam = QUERIES["text_contamination_check"](spark, sf_dir).select(
-        "doc_id", (F.col("contamination") <= contam_max).alias("contam_ok")
-    )
-
-    # -- stage 3: Gopher quality gate
-    quality = QUERIES["text_gopher_quality"](spark, sf_dir).select(
-        "doc_id", F.col("quality_pass").alias("quality_ok")
-    )
-
-    flags = (
-        docs.select("doc_id", "lang")
-        .join(keeper, "doc_id", "left")
-        .join(contam, "doc_id", "left")
-        .join(quality, "doc_id", "left")
-        .select(
-            "doc_id", "lang",
-            F.coalesce("dedup_keep", F.lit(False)).alias("dedup_keep"),
-            # benchmark docs (doc_id % 97 == 0) are HELD OUT: absent
-            # from the contamination output and never shipped
-            F.coalesce("contam_ok", F.lit(False)).alias("contam_ok"),
-            F.coalesce("quality_ok", F.lit(False)).alias("quality_ok"),
-        )
-        .withColumn(
-            "survives",
-            F.col("dedup_keep") & F.col("contam_ok") & F.col("quality_ok"),
-        )
-    )
-
-    # -- stage 4: stratified sample over SURVIVORS (exact quotas)
-    surv = flags.filter("survives").select("doc_id", "lang")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
-    sampled = (
-        surv.select(
-            "doc_id", "lang",
-            F.row_number().over(w).alias("rk"),
-            F.count("*").over(Window.partitionBy("lang")).alias("n_lang"),
-        )
-        .filter(
-            F.col("rk") <= F.expr(f"(n_lang + {sample_denom - 1}) "
-                                  f"div {sample_denom}")
-        )
-        .select("doc_id", "lang")
-    )
-
-    # -- stage 5: token-budget shard packing over the sample
-    ntok = F.size(_words(F.col("text"))).cast("long")
-    wcum = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    shards = (
-        sampled.join(docs.select("doc_id", "text"), "doc_id")
-        .select(
-            "doc_id", "lang", "text",
-            ntok.alias("n_tokens"),
-            F.sum(ntok).over(wcum).alias("cum"),
-        )
-        .select(
-            "doc_id", "lang", "text", "n_tokens",
-            F.expr(f"(cum - n_tokens) div {budget}").alias("shard_id"),
-        )
-    )
-    return flags, shards
+from octospark.assembly import assemble_corpus  # noqa: E402
 
 
 def main(argv: list | None = None) -> int:

@@ -1468,21 +1468,30 @@ def join_bloom_filter_semi(spark, sf):
         "l_orderkey", "l_returnflag", "l_quantity"
     )
 
+    with_pos = fact.crossJoin(F.broadcast(bloom)).select(
+        "*",
+        *[
+            pos_of(F.col("l_orderkey"), s).alias(f"pos{s}")
+            for s in SEEDS
+        ],
+    )
+
     def probe(seed):
-        pos = pos_of(F.col("l_orderkey"), seed)
+        # word and mask both derive from the SAME pos column — the
+        # hash is evaluated once per (row, seed), and the two halves
+        # of the probe cannot drift apart
+        pos = F.col(f"pos{seed}")
         word = (pos / 64).cast("int")
         mask = F.expr(
-            f"shiftleft(CAST(1 AS BIGINT), "
-            f"CAST(pmod(xxhash64(l_orderkey, {seed}), {M_BITS}) "
-            f"% 64 AS INT))"
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pos{seed} % 64 AS INT))"
         )
         return (
             F.element_at(F.col("bits"), word + 1).bitwiseAND(mask)
             != F.lit(0).cast("long")
         )
 
-    pruned = fact.crossJoin(F.broadcast(bloom)).filter(
-        probe(1) & probe(2) & probe(3)
+    pruned = with_pos.filter(probe(1) & probe(2) & probe(3)).select(
+        "l_orderkey", "l_returnflag", "l_quantity"
     )
     exact = pruned.join(F.broadcast(urgent),
                         pruned.l_orderkey == urgent.o_orderkey,

@@ -74,6 +74,40 @@ def build_pages(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     return docs.mapInPandas(_gen_pages, PAGES_SCHEMA)
 
 
+def _staged_dir(
+    sf_dir: str,
+    src_table: str,
+    prefix: str,
+    suffix: str,
+    marker: str,
+    write_fn,
+) -> str:
+    """Shared staging contract for every simulated lake landing:
+    destination keyed on the source parquet's (mtime_ns, size)
+    fingerprint so a regenerated testdata dir can never be shadowed by
+    a stale copy (whole-second mtime can collide within one second);
+    idempotent via the marker file; older fingerprints of the same
+    (sf, table, suffix) evicted so superseded stagings don't accumulate
+    in /tmp indefinitely. ``write_fn(dest)`` materializes the copy."""
+    src = os.path.join(sf_dir, f"{src_table}.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        fingerprint = "0_0"
+    base = os.path.basename(sf_dir.rstrip("/"))
+    dest = f"/tmp/{prefix}_{base}_{fingerprint}_{suffix}"
+    if not os.path.exists(os.path.join(dest, marker)):
+        import glob
+        import shutil
+
+        for old in glob.glob(f"/tmp/{prefix}_{base}_*_{suffix}"):
+            if old != dest:
+                shutil.rmtree(old, ignore_errors=True)
+        write_fn(dest)
+    return dest
+
+
 def stage_format_copy(
     spark: SparkSession, sf_dir: str, name: str, fmt: str
 ) -> str:
@@ -82,26 +116,8 @@ def stage_format_copy(
     readers have real files to scan. Production analog: the engine
     ingests whatever landed in the lake; here the landing step is
     simulated from the parquet source of truth."""
-    src = os.path.join(sf_dir, f"{name}.parquet")
-    # key the staged copy on the source mtime_ns + size so a regenerated
-    # testdata dir can never be shadowed by a stale staging from an
-    # earlier run (whole-second mtime can collide within one second)
-    try:
-        st = os.stat(src)
-        fingerprint = f"{st.st_mtime_ns}_{st.st_size}"
-    except OSError:
-        fingerprint = "0_0"
-    base = os.path.basename(sf_dir.rstrip("/"))
-    dest = f"/tmp/octospark_src_{base}_{fingerprint}_{name}.{fmt}"
-    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
-        # evict older staged copies of the same (sf, table, fmt) so
-        # superseded stagings don't accumulate in /tmp indefinitely
-        import glob
-        import shutil
 
-        for old in glob.glob(f"/tmp/octospark_src_{base}_*_{name}.{fmt}"):
-            if old != dest:
-                shutil.rmtree(old, ignore_errors=True)
+    def write(dest: str) -> None:
         df = load_table(spark, sf_dir, name).coalesce(1)
         if fmt == "csv":
             df.write.mode("overwrite").option("header", True).csv(dest)
@@ -109,7 +125,10 @@ def stage_format_copy(
             df.write.mode("overwrite").orc(dest)
         else:
             df.write.mode("overwrite").json(dest)
-    return dest
+
+    return _staged_dir(
+        sf_dir, name, "octospark_src", f"{name}.{fmt}", "_SUCCESS", write
+    )
 
 
 def read_csv_table(
@@ -175,31 +194,21 @@ def stage_partitioned_copy(
 ) -> str:
     """Materialize one table as a hive-partitioned parquet layout
     (dir/<part_col>=value/...) so partition-pruned scans have a real
-    partitioned dataset to hit. Same idempotence/eviction contract as
-    stage_format_copy. Production analog: the pages lake is partitioned
-    by crawl date / host bucket, and queries that filter on the
-    partition key must never touch the other directories."""
-    src = os.path.join(sf_dir, f"{name}.parquet")
-    try:
-        st = os.stat(src)
-        fingerprint = f"{st.st_mtime_ns}_{st.st_size}"
-    except OSError:
-        fingerprint = "0_0"
-    base = os.path.basename(sf_dir.rstrip("/"))
-    dest = f"/tmp/octospark_part_{base}_{fingerprint}_{name}_{part_col}"
-    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
-        import glob
-        import shutil
+    partitioned dataset to hit. Same staging contract as
+    stage_format_copy (see _staged_dir). Production analog: the pages
+    lake is partitioned by crawl date / host bucket, and queries that
+    filter on the partition key must never touch the other
+    directories."""
 
-        for old in glob.glob(
-            f"/tmp/octospark_part_{base}_*_{name}_{part_col}"
-        ):
-            if old != dest:
-                shutil.rmtree(old, ignore_errors=True)
+    def write(dest: str) -> None:
         load_table(spark, sf_dir, name).write.mode(
             "overwrite"
         ).partitionBy(part_col).parquet(dest)
-    return dest
+
+    return _staged_dir(
+        sf_dir, name, "octospark_part", f"{name}_{part_col}",
+        "_SUCCESS", write,
+    )
 
 
 def stage_evolved_copy(spark: SparkSession, sf_dir: str) -> str:
@@ -207,32 +216,22 @@ def stage_evolved_copy(spark: SparkSession, sf_dir: str) -> str:
     versions — batch=1 was written before the c_acctbal column existed
     (even custkeys), batch=2 after (odd custkeys) — the add-a-column
     schema evolution every long-lived lake table goes through. Readers
-    must mergeSchema across file footers and null-fill the old files."""
-    src = os.path.join(sf_dir, "customer.parquet")
-    try:
-        st = os.stat(src)
-        fingerprint = f"{st.st_mtime_ns}_{st.st_size}"
-    except OSError:
-        fingerprint = "0_0"
-    base = os.path.basename(sf_dir.rstrip("/"))
-    dest = f"/tmp/octospark_evo_{base}_{fingerprint}_customer"
-    marker = os.path.join(dest, "_STAGED")
-    if not os.path.exists(marker):
-        import glob
-        import shutil
+    must mergeSchema across file footers and null-fill the old files.
+    Same staging contract as stage_format_copy (see _staged_dir)."""
 
-        for old in glob.glob(f"/tmp/octospark_evo_{base}_*_customer"):
-            if old != dest:
-                shutil.rmtree(old, ignore_errors=True)
-        cust = load_table(spark, sf_dir, "customer")
+    def write(dest: str) -> None:
         from pyspark.sql import functions as F
 
+        cust = load_table(spark, sf_dir, "customer")
         cust.filter(F.col("c_custkey") % 2 == 0).select(
             "c_custkey", "c_name"
         ).write.mode("overwrite").parquet(os.path.join(dest, "batch=1"))
         cust.filter(F.col("c_custkey") % 2 == 1).select(
             "c_custkey", "c_name", "c_acctbal"
         ).write.mode("overwrite").parquet(os.path.join(dest, "batch=2"))
-        with open(marker, "w") as f:
+        with open(os.path.join(dest, "_STAGED"), "w") as f:
             f.write("ok")
-    return dest
+
+    return _staged_dir(
+        sf_dir, "customer", "octospark_evo", "customer", "_STAGED", write
+    )

@@ -1281,30 +1281,31 @@ def text_pii_mask(spark, sf):
     )
 
 
-@register(
-    "text_gopher_quality",
-    # Gopher repetition/quality rules (public: Rae et al. 2021,
-    # "Scaling Language Models", App. A1.1) adapted to the available
-    # shallow features — all per-row arithmetic, IEEE-identical
-    """
-    SELECT doc_id,
-           n_words,
-           CAST(n_alpha_chars AS DOUBLE) / n_words AS mean_word_len,
-           CAST(n_alpha_words AS DOUBLE) / n_words AS alpha_word_ratio,
-           (n_words >= 50 AND n_words <= 100000
-            AND CAST(n_alpha_chars AS DOUBLE) / n_words >= 3
-            AND CAST(n_alpha_chars AS DOUBLE) / n_words <= 10
-            AND CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8)
-           AS quality_pass
-    FROM (
+# Gopher-gate SQL fragments — shared between the stage oracle and the
+# corpus_assembly_funnel oracle so the two can never drift
+_GOPHER_FEATS_SQL = """(
       SELECT doc_id,
              len(string_split(lower(text), ' ')) AS n_words,
              length(replace(lower(text), ' ', '')) AS n_alpha_chars,
              len(list_filter(string_split(lower(text), ' '),
                  w -> regexp_matches(w, '[a-z]'))) AS n_alpha_words
       FROM documents
-    )
-    """,
+    )"""
+_GOPHER_PASS_SQL = """(n_words >= 50 AND n_words <= 100000
+            AND CAST(n_alpha_chars AS DOUBLE) / n_words >= 3
+            AND CAST(n_alpha_chars AS DOUBLE) / n_words <= 10
+            AND CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8)"""
+
+
+@register(
+    "text_gopher_quality",
+    # Gopher repetition/quality rules (public: Rae et al. 2021,
+    # "Scaling Language Models", App. A1.1) adapted to the available
+    # shallow features — all per-row arithmetic, IEEE-identical
+    "SELECT doc_id, n_words, "
+    "CAST(n_alpha_chars AS DOUBLE) / n_words AS mean_word_len, "
+    "CAST(n_alpha_words AS DOUBLE) / n_words AS alpha_word_ratio, "
+    + _GOPHER_PASS_SQL + " AS quality_pass FROM " + _GOPHER_FEATS_SQL,
 )
 def text_gopher_quality(spark, sf):
     """Gopher-style document quality gate (word-count bounds, mean word
@@ -2077,8 +2078,9 @@ def extract_main_content(spark, sf):
     )
 
 
-_CONTAM_SQL = """
-    WITH bench AS (
+# bench/cand shingle CTE bodies — shared between the stage oracle and
+# the corpus_assembly_funnel oracle so the two can never drift
+_CONTAM_CTES_SQL = """bench AS (
       SELECT DISTINCT unnest(
         CASE WHEN len(string_split(text, ' ')) >= 5 THEN
           [array_to_string(string_split(text, ' ')[i:i+4], ' ')
@@ -2091,7 +2093,9 @@ _CONTAM_SQL = """
           [array_to_string(string_split(text, ' ')[i:i+4], ' ')
            for i in range(1, len(string_split(text, ' ')) - 3)]
         ELSE [] END)) AS shingle
-      FROM documents WHERE doc_id % 97 <> 0)
+      FROM documents WHERE doc_id % 97 <> 0)"""
+
+_CONTAM_SQL = "WITH " + _CONTAM_CTES_SQL + """
     SELECT doc_id,
            count(*) AS n_shingles,
            count(*) FILTER (WHERE shingle IN (SELECT shingle FROM bench))
@@ -2422,16 +2426,21 @@ def corpus_lang_rebalance(spark, sf):
                   ELSE 0 END AS n_distinct_bigrams
       FROM documents
     )
-    SELECT tw.doc_id,
-           tw.n_words,
-           tw.top_word_n,
-           bg.n_bigrams,
-           bg.n_distinct_bigrams,
-           (bg.n_bigrams - bg.n_distinct_bigrams) AS dup_bigram_n,
-           (2 * tw.top_word_n <= tw.n_words
-            AND 5 * (bg.n_bigrams - bg.n_distinct_bigrams)
-                <= 2 * bg.n_bigrams) AS keep
-    FROM tw JOIN bg USING (doc_id)
+    SELECT d.doc_id,
+           COALESCE(tw.n_words, 0) AS n_words,
+           COALESCE(tw.top_word_n, 0) AS top_word_n,
+           COALESCE(bg.n_bigrams, 0) AS n_bigrams,
+           COALESCE(bg.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+           (COALESCE(bg.n_bigrams, 0)
+            - COALESCE(bg.n_distinct_bigrams, 0)) AS dup_bigram_n,
+           (COALESCE(tw.n_words, 0) > 0
+            AND 2 * COALESCE(tw.top_word_n, 0) <= COALESCE(tw.n_words, 0)
+            AND 5 * (COALESCE(bg.n_bigrams, 0)
+                     - COALESCE(bg.n_distinct_bigrams, 0))
+                <= 2 * COALESCE(bg.n_bigrams, 0)) AS keep
+    FROM documents d
+    LEFT JOIN tw USING (doc_id)
+    LEFT JOIN bg USING (doc_id)
     """,
 )
 def text_repetition_filter(spark, sf):
@@ -2478,39 +2487,43 @@ def text_repetition_filter(spark, sf):
         F.count("*").alias("n_bigrams"),
         F.countDistinct("bigram").alias("n_distinct_bigrams"),
     )
-    # docs with < 2 words have no bigram rows: restore with zeros so
-    # the gate never silently drops them (never-drop discipline)
+    # never-drop discipline: EVERY input doc gets a verdict row. Docs
+    # with < 2 words have no bigram rows and docs with NULL text have
+    # no word rows at all — both sides are left-joined from the full
+    # doc_id base and zero-filled, and a doc with zero words is kept
+    # out via the explicit n_words > 0 guard instead of vanishing.
     base = docs.select("doc_id")
-    bg_full = base.join(bg, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-        F.coalesce("n_distinct_bigrams", F.lit(0)).alias(
-            "n_distinct_bigrams"
-        ),
-    )
-    return (
-        tw.join(bg_full, "doc_id")
+    full = (
+        base.join(tw, "doc_id", "left")
+        .join(bg, "doc_id", "left")
         .select(
             "doc_id",
-            "n_words",
-            "top_word_n",
-            "n_bigrams",
-            "n_distinct_bigrams",
-            (F.col("n_bigrams") - F.col("n_distinct_bigrams")).alias(
-                "dup_bigram_n"
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("top_word_n", F.lit(0)).alias("top_word_n"),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_distinct_bigrams", F.lit(0)).alias(
+                "n_distinct_bigrams"
             ),
-            (
-                (2 * F.col("top_word_n") <= F.col("n_words"))
-                & (
-                    5
-                    * (
-                        F.col("n_bigrams")
-                        - F.col("n_distinct_bigrams")
-                    )
-                    <= 2 * F.col("n_bigrams")
-                )
-            ).alias("keep"),
         )
+    )
+    return full.select(
+        "doc_id",
+        "n_words",
+        "top_word_n",
+        "n_bigrams",
+        "n_distinct_bigrams",
+        (F.col("n_bigrams") - F.col("n_distinct_bigrams")).alias(
+            "dup_bigram_n"
+        ),
+        (
+            (F.col("n_words") > 0)
+            & (2 * F.col("top_word_n") <= F.col("n_words"))
+            & (
+                5
+                * (F.col("n_bigrams") - F.col("n_distinct_bigrams"))
+                <= 2 * F.col("n_bigrams")
+            )
+        ).alias("keep"),
     )
 
 
@@ -2637,31 +2650,71 @@ def multimodal_audio_stats(spark, sf):
 # embedding compression
 # --------------------------------------------------------------------------
 
+# Shared symmetric max-abs int8 quantizer — ONE definition on each
+# engine side so embed_quantize_int8 and sim_ann_topk_int8 can never
+# drift apart (their agreement test assumes bit-identical codes).
+# DuckDB CTE fragment: (vec_id, v double[], scale, q bigint[]).
+_QUANT_CTE_SQL = """
+    qsrc AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             greatest(
+               list_max(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE)))),
+               1e-30) AS scale
+      FROM embeddings
+    ),
+    qn AS (
+      SELECT vec_id, v, scale,
+             list_transform(v,
+               x -> CAST(round((x * 127) / scale) AS BIGINT)) AS q
+      FROM qsrc
+    )"""
+
+
+def _quant_scale(v):
+    """max-abs scale of a double-array column, floored to avoid /0."""
+    return F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))),
+        F.lit(1e-30),
+    )
+
+
+def _quant_codes(v, scale):
+    """int8 codes: round half-away-from-zero (Spark HALF_UP on doubles
+    == C round(), matching DuckDB)."""
+    return F.transform(
+        v, lambda x: F.round((x * 127) / scale, 0).cast("long")
+    )
+
+
+def _quantized(spark, sf) -> DataFrame:
+    """(vec_id, v, scale, q) — the Spark twin of _QUANT_CTE_SQL."""
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", _as_double_arr("embedding").alias("v")
+    )
+    d = e.select("vec_id", "v", _quant_scale(F.col("v")).alias("scale"))
+    return d.select(
+        "vec_id", "v", "scale",
+        _quant_codes(F.col("v"), F.col("scale")).alias("q"),
+    )
+
+
 @register(
     "embed_quantize_int8",
     # identical arithmetic, elementwise: every step ((x*127)/s, round
     # half-away-from-zero, q*s/127, abs, max) is IEEE-double and both
     # engines evaluate it per element, so the comparison is exact. max
     # over elements is order-insensitive, so no fold-order caveat.
-    """
-    WITH s AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-             greatest(
-               list_max(list_transform(embedding,
-                                        x -> abs(CAST(x AS DOUBLE)))),
-               1e-30) AS scale
-      FROM embeddings
-    )
+    "WITH " + _QUANT_CTE_SQL + """
     SELECT vec_id,
            CAST(len(v) AS INT) AS n_dims,
            scale,
-           list_transform(v,
-             x -> CAST(round((x * 127) / scale) AS BIGINT)) AS q,
+           q,
            list_max(list_transform(v,
              x -> abs(x - (round((x * 127) / scale) * scale) / 127)))
              AS max_abs_err
-    FROM s
+    FROM qn
     """,
 )
 def embed_quantize_int8(spark, sf):
@@ -2676,32 +2729,29 @@ def embed_quantize_int8(spark, sf):
 
     The quantized ints are BIGINT in the contract output purely for
     cross-engine comparison; the storage form is array<tinyint>
-    (asserted separately in tests). Rounding is half-away-from-zero in
-    both engines (Spark HALF_UP on doubles == C round()), and every
-    arithmetic step is elementwise IEEE double, so the oracle matches
-    exactly — see the oracle comment.
+    (asserted separately in tests). Quantizer shared with
+    sim_ann_topk_int8 via _quantized/_QUANT_CTE_SQL on both engine
+    sides, so the two keys cannot drift apart.
 
     pipeline role: compression stage between embedding generation and
     sim_ann_* retrieval (SURVEY §2.3)."""
-    e = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    scale = F.greatest(
-        F.array_max(F.transform(v, lambda x: F.abs(x))),
-        F.lit(1e-30),
-    )
-    d = e.select("vec_id", v.alias("v"), scale.alias("scale"))
-    q_of = lambda x: F.round((x * 127) / F.col("scale"), 0)  # noqa: E731
+    d = _quantized(spark, sf)
     return d.select(
         "vec_id",
         F.size("v").alias("n_dims"),
         "scale",
-        F.transform(
-            F.col("v"), lambda x: q_of(x).cast("long")
-        ).alias("q"),
+        "q",
         F.array_max(
             F.transform(
                 F.col("v"),
-                lambda x: F.abs(x - (q_of(x) * F.col("scale")) / 127),
+                lambda x: F.abs(
+                    x
+                    - (
+                        F.round((x * 127) / F.col("scale"), 0)
+                        * F.col("scale")
+                    )
+                    / 127
+                ),
             )
         ).alias("max_abs_err"),
     )
@@ -2709,38 +2759,28 @@ def embed_quantize_int8(spark, sf):
 
 @register(
     "sim_ann_topk_int8",
-    # quantization formula identical to embed_quantize_int8; the dot
-    # product is pure int64 arithmetic so the ranking has NO float
-    # fold-order caveat at all — bit-exact on any engine, any
-    # partitioning
-    """
-    WITH s AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-             greatest(
-               list_max(list_transform(embedding,
-                                       x -> abs(CAST(x AS DOUBLE)))),
-               1e-30) AS scale
-      FROM embeddings
-    ),
-    qn AS (
-      SELECT vec_id,
-             list_transform(v,
-               x -> CAST(round((x * 127) / scale) AS BIGINT)) AS q
-      FROM s
-    ),
-    query AS (SELECT q AS qv FROM qn WHERE vec_id = 0),
+    # ranking is by the DEQUANTIZED dot (dot * s_c * s_q / 127^2): the
+    # raw int dot is NOT comparable across candidates because each
+    # vector carries its own scale — a candidate with a small max-abs
+    # gets a 127/s amplification that would systematically distort the
+    # ranking. The dequantized value approximates the true float dot
+    # within n * (s_c*|y|_max + s_q*|x|_max)/254, so ranks only swap
+    # between genuine near-ties. One IEEE multiply chain per row,
+    # identical in both engines; ties broken by vec_id.
+    "WITH " + _QUANT_CTE_SQL + """,
+    query AS (SELECT q AS qv, scale AS qscale FROM qn WHERE vec_id = 0),
     scored AS (
       SELECT vec_id,
              list_reduce(
                list_transform(range(1, len(q) + 1), j -> q[j] * qv[j]),
-               (a, x) -> a + x) AS dot
+               (a, x) -> a + x) AS dot,
+             scale * qscale / 16129.0 AS dq
       FROM qn, query
     )
-    SELECT rank, vec_id, dot FROM (
-      SELECT CAST(ROW_NUMBER() OVER (ORDER BY dot DESC, vec_id)
+    SELECT rank, vec_id, dot, sim FROM (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY dot * dq DESC, vec_id)
                   AS BIGINT) AS rank,
-             vec_id, dot
+             vec_id, dot, round(dot * dq, 6) AS sim
       FROM scored
     ) WHERE rank <= 10
     """,
@@ -2749,29 +2789,20 @@ def sim_ann_topk_int8(spark, sf):
     """Top-k retrieval over the int8-QUANTIZED vectors — the rerank
     shape a billion-vector corpus actually runs after
     embed_quantize_int8 cuts storage 4x: the scored pass streams q
-    (int8) instead of float32, and the dot product is exact int64
-    arithmetic, so unlike every float scoring path the ranking is
-    bit-identical on any engine at any partitioning with no decimal
-    or fold-order mitigation needed.
+    (int8) instead of float32. The candidate ordering uses the
+    DEQUANTIZED dot product (int dot x the two scales / 127^2) — raw
+    int dots are not cross-candidate comparable because every vector
+    has its own scale (see the oracle comment); the dequantized value
+    is a bounded-error estimate of the true float dot, and the int
+    dot itself stays exact int64 (no fold-order caveat).
 
     Same distributed top-k discipline as sim_ann_topk: orderBy+limit
     plans as TakeOrderedAndProject (per-partition top-k, k-row merge),
     query row broadcast, no shuffle of the corpus."""
-    e = load_table(spark, sf, "embeddings").select(
-        "vec_id", _as_double_arr("embedding").alias("v")
+    qn = _quantized(spark, sf)
+    query = qn.filter(F.col("vec_id") == 0).select(
+        F.col("q").alias("qv"), F.col("scale").alias("qscale")
     )
-    scale = F.greatest(
-        F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))),
-        F.lit(1e-30),
-    )
-    qn = e.select(
-        "vec_id",
-        F.transform(
-            F.col("v"),
-            lambda x: F.round((x * 127) / scale, 0).cast("long"),
-        ).alias("q"),
-    )
-    query = qn.filter(F.col("vec_id") == 0).select(F.col("q").alias("qv"))
     scored = qn.crossJoin(F.broadcast(query)).select(
         "vec_id",
         F.aggregate(
@@ -2779,12 +2810,17 @@ def sim_ann_topk_int8(spark, sf):
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ).alias("dot"),
+        (F.col("scale") * F.col("qscale") / F.lit(16129.0)).alias("dq"),
     )
-    top = scored.orderBy(F.col("dot").desc(), F.col("vec_id")).limit(10)
-    w = Window.orderBy(F.col("dot").desc(), F.col("vec_id"))
-    return top.withColumn(
-        "rank", F.row_number().over(w).cast("long")
-    ).select("rank", "vec_id", "dot")
+    ranked = scored.select(
+        "vec_id", "dot", (F.col("dot") * F.col("dq")).alias("deq")
+    )
+    top = ranked.orderBy(F.col("deq").desc(), F.col("vec_id")).limit(10)
+    w = Window.orderBy(F.col("deq").desc(), F.col("vec_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "vec_id", "dot", F.round("deq", 6).alias("sim"))
+    )
 
 
 @register(
@@ -2885,12 +2921,17 @@ def filter_url_blocklist(spark, sf):
       SELECT cc.doc_id, cc.cluster_id, d.n_chars
       FROM cc JOIN documents d USING (doc_id)
     ),
-    pick AS (
-      -- composite integer order key: doc_id < 150 in the cc subset, so
-      -- n_chars * 1000 - doc_id ranks by chars desc then doc_id asc
-      SELECT cluster_id,
-             arg_max(doc_id, n_chars * 1000 - doc_id) AS keep_id
+    best AS (
+      SELECT cluster_id, max(n_chars) AS best_chars
       FROM scored GROUP BY cluster_id
+    ),
+    pick AS (
+      -- exact two-stage total order with no magic bounds: max chars
+      -- first, then min doc_id among the tied members
+      SELECT s.cluster_id, min(s.doc_id) AS keep_id
+      FROM scored s JOIN best b
+        ON s.cluster_id = b.cluster_id AND s.n_chars = b.best_chars
+      GROUP BY s.cluster_id
     )
     SELECT s.doc_id, s.cluster_id, s.n_chars,
            s.doc_id = p.keep_id AS keep
@@ -2909,10 +2950,11 @@ def corpus_dedup_priority(spark, sf):
 
     Scale shape on top of the cc labels: one broadcast-or-shuffled
     join to attach the score (n_chars rides the label table — bytes,
-    not bodies), one partial-agg max_by per cluster (cluster count <<
-    doc count), one join back for the keep flag. The struct-ordered
-    max_by replaces a per-cluster sort window — no skew risk from a
-    giant cluster since max is a streaming aggregate.
+    not bodies), then an exact two-stage pick per cluster (max chars,
+    then min doc_id among the tied members) and one join back for the
+    keep flag. Both pick stages are streaming partial aggregates —
+    no per-cluster sort window, so a giant cluster cannot skew a
+    reducer, and no magic integer-packing bounds.
 
     pipeline role: the dedupe-commit step between clustering and
     corpus assembly (SURVEY §2.3)."""
@@ -2921,12 +2963,17 @@ def corpus_dedup_priority(spark, sf):
         load_table(spark, sf, "documents").select("doc_id", "n_chars"),
         "doc_id",
     )
-    # composite integer order key (doc_id < 150 in the cc subset):
-    # chars desc, then doc_id asc — a total order in one bigint
-    pick = scored.groupBy("cluster_id").agg(
-        F.max_by(
-            "doc_id", F.col("n_chars") * 1000 - F.col("doc_id")
-        ).alias("keep_id")
+    # exact two-stage total order with no magic bounds: max chars per
+    # cluster, then min doc_id among the tied members — both streaming
+    # partial aggregates, so a giant cluster still cannot skew a reducer
+    best = scored.groupBy("cluster_id").agg(
+        F.max("n_chars").alias("best_chars")
+    )
+    pick = (
+        scored.join(best, "cluster_id")
+        .filter(F.col("n_chars") == F.col("best_chars"))
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("keep_id"))
     )
     return scored.join(pick, "cluster_id").select(
         "doc_id",
@@ -2943,21 +2990,7 @@ def corpus_dedup_priority(spark, sf):
     # keeper, 5-gram decontamination vs the held-out benchmark docs,
     # Gopher quality gate — one row per input doc, so the driver's
     # hash check pins the END-TO-END pipeline, not just its stages
-    """
-    WITH bench AS (
-      SELECT DISTINCT unnest(
-        CASE WHEN len(string_split(text, ' ')) >= 5 THEN
-          [array_to_string(string_split(text, ' ')[i:i+4], ' ')
-           for i in range(1, len(string_split(text, ' ')) - 3)]
-        ELSE [] END) AS shingle
-      FROM documents WHERE doc_id % 97 = 0),
-    cand AS (
-      SELECT doc_id, unnest(list_distinct(
-        CASE WHEN len(string_split(text, ' ')) >= 5 THEN
-          [array_to_string(string_split(text, ' ')[i:i+4], ' ')
-           for i in range(1, len(string_split(text, ' ')) - 3)]
-        ELSE [] END)) AS shingle
-      FROM documents WHERE doc_id % 97 <> 0),
+    "WITH " + _CONTAM_CTES_SQL + """,
     contam AS (
       SELECT doc_id,
              CAST(count(*) FILTER (
@@ -2968,20 +3001,8 @@ def corpus_dedup_priority(spark, sf):
       SELECT sha256(text) AS h, min(doc_id) AS keep_id
       FROM documents GROUP BY sha256(text)),
     gq AS (
-      SELECT doc_id,
-             (n_words >= 50 AND n_words <= 100000
-              AND CAST(n_alpha_chars AS DOUBLE) / n_words >= 3
-              AND CAST(n_alpha_chars AS DOUBLE) / n_words <= 10
-              AND CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8)
-             AS quality_pass
-      FROM (
-        SELECT doc_id,
-               len(string_split(lower(text), ' ')) AS n_words,
-               length(replace(lower(text), ' ', '')) AS n_alpha_chars,
-               len(list_filter(string_split(lower(text), ' '),
-                   w -> regexp_matches(w, '[a-z]'))) AS n_alpha_words
-        FROM documents
-      ))
+      SELECT doc_id, """ + _GOPHER_PASS_SQL + """ AS quality_pass
+      FROM """ + _GOPHER_FEATS_SQL + """)
     SELECT d.doc_id, d.lang,
            (d.doc_id = ded.keep_id) AS dedup_keep,
            COALESCE(contam.contamination <= 0.5, FALSE) AS contam_ok,
@@ -3006,7 +3027,7 @@ def corpus_assembly_funnel(spark, sf):
 
     Scale notes live on the composed operators; composition adds only
     doc_id-keyed joins of boolean flag tables (bytes per row)."""
-    from jobs.corpus import assemble_corpus
+    from octospark.assembly import assemble_corpus
 
     flags, _ = assemble_corpus(spark, sf)
     return flags

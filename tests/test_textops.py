@@ -652,12 +652,13 @@ def test_repetition_filter_flags_injected_repeats(spark, sf_dir):
     docs = spark.createDataFrame(
         pd.DataFrame(
             {
-                "doc_id": [1, 2, 3, 4],
+                "doc_id": [1, 2, 3, 4, 5],
                 "text": [
                     "spam spam spam spam spam eggs",     # top-word 5/6
                     "a b a b a b a b a b a b",           # dup bigrams
                     "one two three four five six seven", # varied
                     "lonely",                            # single word
+                    None,                                # failed extract
                 ],
             }
         )
@@ -683,12 +684,15 @@ def test_repetition_filter_flags_injected_repeats(spark, sf_dir):
     finally:
         TT.load_table = orig
 
-    assert set(rows) == {1, 2, 3, 4}
+    assert set(rows) == {1, 2, 3, 4, 5}
     assert not rows[1].keep          # one word dominates
     assert not rows[2].keep          # all bigrams repeated
     assert rows[3].keep              # varied text passes
     assert rows[4].n_bigrams == 0    # 1-word doc present, not dropped
     assert rows[2].dup_bigram_n == rows[2].n_bigrams - 2  # 'a b','b a'
+    # NULL text (upstream extraction failure): verdict row still
+    # emitted (never-drop), gated out via n_words == 0
+    assert rows[5].n_words == 0 and not rows[5].keep
 
 
 def test_embed_quantize_int8_bounds_and_jvm_only(spark, sf_dir):
@@ -710,10 +714,12 @@ def test_embed_quantize_int8_bounds_and_jvm_only(spark, sf_dir):
 
 def test_topk_int8_agrees_with_float_topk(spark, sf_dir):
     """The quantized ranking must closely track the exact float
-    ranking: the float top-1 neighbor appears in the int8 top-3, and
-    at least 7 of the float top-10 ids survive into the int8 top-10
-    (int8 dot is a 1/254-per-element perturbation of the cosine
-    numerator, so ranks can swap only between near-ties)."""
+    ranking. Ranking is by the DEQUANTIZED dot (raw int dots are not
+    cross-candidate comparable — each vector has its own scale), whose
+    per-pair error is bounded by n*(s_c*|y|_max + s_q*|x|_max)/254, so
+    ranks only swap between genuine near-ties: top-1 must match
+    exactly and at least 9 of the float top-10 ids must survive
+    (currently 10/10 on the fixture; 9 leaves one near-tie of slack)."""
     f_ids = [
         r.vec_id
         for r in T.QUERIES["sim_ann_topk"](spark, sf_dir).collect()
@@ -723,8 +729,8 @@ def test_topk_int8_agrees_with_float_topk(spark, sf_dir):
         for r in T.QUERIES["sim_ann_topk_int8"](spark, sf_dir).collect()
     ]
     assert len(q_ids) == 10
-    assert f_ids[0] in q_ids[:3]
-    assert len(set(f_ids) & set(q_ids)) >= 7
+    assert f_ids[0] == q_ids[0]
+    assert len(set(f_ids) & set(q_ids)) >= 9
 
 
 # --- property-based laws (hypothesis) ---------------------------------------
