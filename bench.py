@@ -18,7 +18,10 @@ Default run (driver contract):
      BENCH/BASELINE.md.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32), OCTOSPARK_PAGES_MULT (default 10),
+     SPARK_GRAFT_CPUS (default 32), OCTOSPARK_PAGES_MULT (default 80,
+     i.e. 400k pages at sf0.1 — the PINNED headline config since r2;
+     scaling passes run the same 400k unless OCTOSPARK_SCALING_MULT
+     overrides),
      OCTOSPARK_SKIP_SCALING=1 to skip step 4,
      OCTOSPARK_NO_MD=1 to skip the BENCH/ doc rewrite (smoke runs).
 """
@@ -37,7 +40,9 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-PAGES_MULT = int(os.environ.get("OCTOSPARK_PAGES_MULT", "40"))
+# pinned headline config: 80 x 5000 sf0.1 docs = 400k pages, the same
+# count BENCH_r02 timed, so wall seconds stay round-comparable
+PAGES_MULT = int(os.environ.get("OCTOSPARK_PAGES_MULT", "80"))
 # Scaling pairs (N -> 4N). The primary pair is (2, 8): a pure-CPU
 # multiprocessing probe (hw_probe below) shows this VM delivers only
 # ~0.55-0.6 scaling efficiency from 8 to 32 PROCESSES on identical
@@ -297,11 +302,11 @@ def scaling_runs() -> dict:
     on the quiet-machine number as passes grow."""
     levels = sorted({n for pair in SCALING_PAIRS for n in pair})
     n_passes = int(os.environ.get("OCTOSPARK_SCALING_PASSES", "9"))
-    # scaling runs use 2x the pages: the ratio is what matters, and a
-    # longer run amortizes the ~2s fixed JVM/session overhead that
-    # otherwise biases the 4N side down
+    # scaling runs use the same 400k pages as the headline (the ratio
+    # is what matters; 400k is long enough to amortize the ~2s fixed
+    # JVM/session overhead that otherwise biases the 4N side down)
     scaling_mult = int(
-        os.environ.get("OCTOSPARK_SCALING_MULT", str(PAGES_MULT * 2))
+        os.environ.get("OCTOSPARK_SCALING_MULT", str(PAGES_MULT))
     )
     res = {}
     hw_raw: dict = {}

@@ -77,31 +77,13 @@ def dedup_exact(spark, sf):
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    f"""
-    WITH base AS (
-      SELECT doc_id, {_SHINGLE_SQL} AS sh
-      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-            WHERE doc_id < 100)
-    ),
-    s AS (SELECT doc_id, unnest(sh) AS shingle FROM base),
-    sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
-      FROM s a JOIN s b USING (shingle) WHERE a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT id1, id2,
-           CAST(n_inter AS DOUBLE) / (s1.n + s2.n - n_inter) AS jaccard
-    FROM inter JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
-    ORDER BY jaccard DESC, id1, id2 LIMIT 20
-    """,
-)
-def dedup_ngram_jaccard(spark, sf):
-    """Near-dup by word-3-gram Jaccard over a bounded id range: shingle
-    rows, equi-join on shingle (the scalable pattern — never an
-    all-pairs cross join), jaccard = |∩| / (|A|+|B|-|∩|).
+_SHINGLE_DF_CAP = 1024  # shingles in more docs carry no dedup signal
+
+
+def _jaccard_pair_counts(docs: DataFrame, df_cap: int = _SHINGLE_DF_CAP):
+    """(id1, n1, id2, n2, n_inter) word-3-gram co-occurrence counts —
+    the SHARED edge builder of dedup_ngram_jaccard and dedup_cluster_cc
+    (one definition so their graphs cannot drift apart).
 
     Plan shape: rows, not arrays (same lesson as dedup_minhash_lsh —
     exploding a higher-order-function array makes Catalyst re-evaluate
@@ -113,15 +95,24 @@ def dedup_ngram_jaccard(spark, sf):
     a shingle self-join — a self-join broadcasts one side and
     recomputes the whole shingle pipeline again (no exchange reuse);
     with the pair expansion the distinct's exchange is the shared
-    subtree for both the sizes agg and the pair agg."""
-    par = spark.sparkContext.defaultParallelism
-    words = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 100)
-        .repartition(par, "doc_id")
-        .select(
-            "doc_id", F.posexplode(_words(F.col("text"))).alias("pos", "w")
-        )
+    subtree for both the sizes agg and the pair agg.
+
+    Hot-shingle document-frequency cap (the 100 TB guard): a shingle
+    present in more than ``df_cap`` documents is dropped BEFORE the
+    collect_set — a stopword 3-gram shared by 10^6 docs would
+    otherwise buffer 10^6 structs in ONE aggregation row (executor
+    OOM) and expand ~10^12 pairs from that single bucket. Dropping it
+    is standard df-capping: a shingle that common carries no dedup
+    signal. The df count is a window over the SAME
+    hashpartitioning(shingle) the groupBy needs, so the cap costs a
+    sort but NO extra exchange, and it bounds the aggregation buffer
+    itself (not just the downstream expansion). Per-doc set sizes
+    n1/n2 stay uncapped, so capped-pair Jaccard is a conservative
+    underestimate for hot-shingle pairs and exact elsewhere. Pinned by
+    tests/test_textops.py::test_jaccard_hot_shingle_df_cap."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    words = docs.repartition(par, "doc_id").select(
+        "doc_id", F.posexplode(_words(F.col("text"))).alias("pos", "w")
     )
     win = Window.partitionBy("doc_id").orderBy("pos")
     s = (
@@ -148,8 +139,11 @@ def dedup_ngram_jaccard(spark, sf):
     sized = s.withColumn(
         "n", F.count("*").over(Window.partitionBy("doc_id"))
     )
+    capped = sized.withColumn(
+        "df", F.count("*").over(Window.partitionBy("shingle"))
+    ).filter(F.col("df") <= df_cap)
     shingle_ids = (
-        sized.groupBy("shingle")
+        capped.groupBy("shingle")
         .agg(
             F.sort_array(
                 F.collect_set(F.struct("doc_id", "n"))
@@ -166,12 +160,55 @@ def dedup_ngram_jaccard(spark, sf):
             ).alias("b"),
         )
     )
-    inter = pairs.groupBy(
+    return pairs.groupBy(
         F.col("a.doc_id").alias("id1"),
         F.col("a.n").alias("n1"),
         F.col("b.doc_id").alias("id2"),
         F.col("b.n").alias("n2"),
     ).agg(F.count("*").alias("n_inter"))
+
+
+# oracle twin of the df cap: restrict the intersection join to
+# shingles whose document frequency is within the cap (sizes stay
+# uncapped, mirroring _jaccard_pair_counts)
+_SHINGLE_CAP_SQL = f"""sc AS (
+      SELECT shingle FROM s GROUP BY shingle
+      HAVING COUNT(*) <= {_SHINGLE_DF_CAP}
+    )"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_SHINGLE_SQL} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE doc_id < 100)
+    ),
+    s AS (SELECT doc_id, unnest(sh) AS shingle FROM base),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    {_SHINGLE_CAP_SQL},
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+      FROM s a JOIN s b USING (shingle) JOIN sc USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id1, id2,
+           CAST(n_inter AS DOUBLE) / (s1.n + s2.n - n_inter) AS jaccard
+    FROM inter JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+    ORDER BY jaccard DESC, id1, id2 LIMIT 20
+    """,
+)
+def dedup_ngram_jaccard(spark, sf):
+    """Near-dup by word-3-gram Jaccard over a bounded id range: shingle
+    rows, equi-join on shingle (the scalable pattern — never an
+    all-pairs cross join), jaccard = |∩| / (|A|+|B|-|∩|). Edge
+    generation (plan shape + hot-shingle df cap) lives in
+    _jaccard_pair_counts, shared with dedup_cluster_cc."""
+    inter = _jaccard_pair_counts(
+        load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    )
     return (
         inter.select(
             "id1",
@@ -877,16 +914,43 @@ def _decode_fake_image(b: bytes):
     return w, h, float(px.mean())
 
 
-def _decode_image_real(data: bytes):  # pragma: no cover
-    """Real decode would use PIL/libvips — NOT available in this
-    container. Gated import keeps the plumbing testable."""
+def _load_image_backend():
+    """THE real-codec plug-point. Resolve an image decode backend and
+    return a callable ``bytes -> (width, height)``, or None when no
+    backend is installed (this sandbox: PIL/libvips absent, so the
+    deterministic OIMG fake carries the oracle-checked plumbing). The
+    day the deployment image gains codecs, ONLY this function changes —
+    decode_image_batches and every multimodal_* key pick it up via
+    _decode_image_real. Swap-in examples: libvips (pyvips.Image
+    .new_from_buffer) or turbojpeg for JPEG-only hot paths."""
     try:
         from PIL import Image  # type: ignore
         import io
 
-        return Image.open(io.BytesIO(data)).size
-    except ImportError as exc:
-        raise NotImplementedError("image decode backend not installed") from exc
+        return lambda data: Image.open(io.BytesIO(data)).size
+    except ImportError:
+        return None
+
+
+# lazily resolved once per process (executor workers re-resolve on
+# first use after fork/import; [] = not yet resolved)
+_IMAGE_BACKEND_CACHE: list = []
+
+
+def _image_backend():
+    if not _IMAGE_BACKEND_CACHE:
+        _IMAGE_BACKEND_CACHE.append(_load_image_backend())
+    return _IMAGE_BACKEND_CACHE[0]
+
+
+def _decode_image_real(data: bytes):
+    """Decode via the plugged real backend; NotImplementedError when
+    none is installed (callers fall back to the fake-format decode or
+    an error row — never a task failure)."""
+    backend = _image_backend()
+    if backend is None:
+        raise NotImplementedError("image decode backend not installed")
+    return backend(data)
 
 
 @register(
@@ -1406,9 +1470,11 @@ _CC_EDGE_SQL = f"""
     ),
     s AS (SELECT doc_id, unnest(sh) AS shingle FROM base),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    {_SHINGLE_CAP_SQL},
     inter AS (
       SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
-      FROM s a JOIN s b USING (shingle) WHERE a.doc_id < b.doc_id
+      FROM s a JOIN s b USING (shingle) JOIN sc USING (shingle)
+      WHERE a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     ),
     e AS (
@@ -1461,45 +1527,7 @@ def dedup_cluster_cc(spark, sf):
         .filter(F.col("doc_id") < 150)
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
-    words = docs.select(
-        "doc_id", F.posexplode(_words(F.col("text"))).alias("pos", "w")
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    s = (
-        words.select(
-            "doc_id",
-            F.concat_ws(
-                " ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)
-            ).alias("shingle"),
-            F.lead("w", 2).over(win).alias("w2"),
-        )
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", "shingle")
-        .distinct()
-    )
-    sized = s.withColumn(
-        "n", F.count("*").over(Window.partitionBy("doc_id"))
-    )
-    shingle_ids = (
-        sized.groupBy("shingle")
-        .agg(F.sort_array(F.collect_set(F.struct("doc_id", "n"))).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    pairs = (
-        shingle_ids.select(F.posexplode("ids").alias("i", "a"), "ids")
-        .select(
-            "a",
-            F.explode(
-                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
-            ).alias("b"),
-        )
-    )
-    inter = pairs.groupBy(
-        F.col("a.doc_id").alias("id1"),
-        F.col("a.n").alias("n1"),
-        F.col("b.doc_id").alias("id2"),
-        F.col("b.n").alias("n2"),
-    ).agg(F.count("*").alias("n_inter"))
+    inter = _jaccard_pair_counts(docs)
     edges = inter.filter(
         F.col("n_inter").cast("double")
         / (F.col("n1") + F.col("n2") - F.col("n_inter"))
@@ -1608,21 +1636,31 @@ def dedup_simhash_banded(spark, sf):
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    # hot-bucket sampling cap, applied BEFORE the aggregation: rank
+    # members by a keyed hash (deterministic pseudo-random sample) with
+    # a row_number over the SAME hashpartitioning(band, bucket) the
+    # groupBy needs — no extra exchange — and keep only `cap` rows per
+    # bucket. This bounds the collect_set buffer itself: a degenerate
+    # bucket (e.g. all-zero simhashes from boilerplate pages) can no
+    # longer build one unbounded aggregation row before a post-hoc
+    # slice. Selection set is identical to the old sort_array+slice
+    # (cap smallest by (hk, id)).
+    capwin = Window.partitionBy("band", "bucket").orderBy(
+        F.xxhash64("doc_id", "bucket").alias("hk"), "doc_id"
+    )
     buckets = (
-        bands.groupBy("band", "bucket")
+        bands.withColumn("rn", F.row_number().over(capwin))
+        .filter(F.col("rn") <= cap)
+        .groupBy("band", "bucket")
         .agg(
-            F.slice(
-                F.sort_array(
-                    F.collect_set(
-                        F.struct(
-                            F.xxhash64("doc_id", "bucket").alias("hk"),
-                            F.col("doc_id").alias("id"),
-                            F.col("simhash").alias("sh"),
-                        )
+            F.sort_array(
+                F.collect_set(
+                    F.struct(
+                        F.xxhash64("doc_id", "bucket").alias("hk"),
+                        F.col("doc_id").alias("id"),
+                        F.col("simhash").alias("sh"),
                     )
-                ),
-                1,
-                cap,
+                )
             ).alias("members")
         )
         .filter(F.size("members") >= 2)
@@ -2562,8 +2600,13 @@ def audio_stats_batches(batches):
     for pdf in batches:
         rows = []
         for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
-            b = bytes(blob)
             try:
+                # inside the try: a NULL media value (nullable binary
+                # column upstream) must yield an error row, not a
+                # TypeError that kills the task
+                if blob is None:
+                    raise ValueError("null media")
+                b = bytes(blob)
                 if b[:4] != _AUD_MAGIC:
                     raise ValueError("bad audio magic")
                 n = int.from_bytes(b[4:6], "big")
@@ -2654,20 +2697,25 @@ def multimodal_audio_stats(spark, sf):
 # engine side so embed_quantize_int8 and sim_ann_topk_int8 can never
 # drift apart (their agreement test assumes bit-identical codes).
 # DuckDB CTE fragment: (vec_id, v double[], scale, q bigint[]).
-_QUANT_CTE_SQL = """
+_QUANT_FLOOR = 1e-30  # below this max-abs a vector is numerically zero
+
+_QUANT_CTE_SQL = f"""
     qsrc AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-             greatest(
-               list_max(list_transform(embedding,
-                                       x -> abs(CAST(x AS DOUBLE)))),
-               1e-30) AS scale
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS m
       FROM embeddings
     ),
     qn AS (
-      SELECT vec_id, v, scale,
-             list_transform(v,
-               x -> CAST(round((x * 127) / scale) AS BIGINT)) AS q
+      SELECT vec_id, v,
+             greatest(m, {_QUANT_FLOOR}) AS scale,
+             CASE WHEN m < {_QUANT_FLOOR}
+                  THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v,
+                    x -> CAST(round((x * 127) / greatest(m, {_QUANT_FLOOR}))
+                              AS BIGINT))
+             END AS q
       FROM qsrc
     )"""
 
@@ -2676,15 +2724,21 @@ def _quant_scale(v):
     """max-abs scale of a double-array column, floored to avoid /0."""
     return F.greatest(
         F.array_max(F.transform(v, lambda x: F.abs(x))),
-        F.lit(1e-30),
+        F.lit(_QUANT_FLOOR),
     )
 
 
-def _quant_codes(v, scale):
+def _quant_codes(v, scale, m):
     """int8 codes: round half-away-from-zero (Spark HALF_UP on doubles
-    == C round(), matching DuckDB)."""
-    return F.transform(
-        v, lambda x: F.round((x * 127) / scale, 0).cast("long")
+    == C round(), matching DuckDB). Floor regime: a vector whose
+    max-abs is below _QUANT_FLOOR is numerically zero — it quantizes
+    to all-zero codes (NOT to round(x*127/floor), which would encode
+    sub-denormal noise and break scale invariance)."""
+    return F.when(
+        m < F.lit(_QUANT_FLOOR),
+        F.transform(v, lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(v, lambda x: F.round((x * 127) / scale, 0).cast("long"))
     )
 
 
@@ -2693,10 +2747,16 @@ def _quantized(spark, sf) -> DataFrame:
     e = load_table(spark, sf, "embeddings").select(
         "vec_id", _as_double_arr("embedding").alias("v")
     )
-    d = e.select("vec_id", "v", _quant_scale(F.col("v")).alias("scale"))
+    d = e.select(
+        "vec_id", "v",
+        F.array_max(F.transform("v", lambda x: F.abs(x))).alias("m"),
+    )
     return d.select(
-        "vec_id", "v", "scale",
-        _quant_codes(F.col("v"), F.col("scale")).alias("q"),
+        "vec_id", "v",
+        F.greatest(F.col("m"), F.lit(_QUANT_FLOOR)).alias("scale"),
+        _quant_codes(
+            F.col("v"), _quant_scale(F.col("v")), F.col("m")
+        ).alias("q"),
     )
 
 
@@ -2711,9 +2771,8 @@ def _quantized(spark, sf) -> DataFrame:
            CAST(len(v) AS INT) AS n_dims,
            scale,
            q,
-           list_max(list_transform(v,
-             x -> abs(x - (round((x * 127) / scale) * scale) / 127)))
-             AS max_abs_err
+           list_max(list_transform(range(1, len(v) + 1),
+             j -> abs(v[j] - (q[j] * scale) / 127))) AS max_abs_err
     FROM qn
     """,
 )
@@ -2721,7 +2780,10 @@ def embed_quantize_int8(spark, sf):
     """Symmetric max-abs int8 quantization of the embedding column —
     the standard 4x storage/bandwidth cut for billion-vector ANN
     corpora (q = round(x*127/max|x|), dequant error <= scale/254 per
-    element). All JVM higher-order functions: transform/array_max per
+    element). Floor regime: max-abs below 1e-30 means the vector is
+    numerically zero, so it quantizes to all-zero codes (dequant error
+    <= 1e-30); this keeps the power-of-two scale-invariance law exact
+    everywhere the codes are nonzero. All JVM higher-order functions: transform/array_max per
     row, zero shuffles, zero Python — at 10^12 vectors this runs
     map-side inside the scan stage and writes back a column 1/4 the
     size, which is the difference between an in-memory and a spilled
@@ -2742,16 +2804,10 @@ def embed_quantize_int8(spark, sf):
         "scale",
         "q",
         F.array_max(
-            F.transform(
+            F.zip_with(
                 F.col("v"),
-                lambda x: F.abs(
-                    x
-                    - (
-                        F.round((x * 127) / F.col("scale"), 0)
-                        * F.col("scale")
-                    )
-                    / 127
-                ),
+                F.col("q"),
+                lambda x, c: F.abs(x - (c * F.col("scale")) / 127),
             )
         ).alias("max_abs_err"),
     )
@@ -2998,8 +3054,12 @@ def corpus_dedup_priority(spark, sf):
                / count(*) AS contamination
       FROM cand GROUP BY doc_id),
     ded AS (
-      SELECT sha256(text) AS h, min(doc_id) AS keep_id
-      FROM documents GROUP BY sha256(text)),
+      -- null-safe hash key: the Spark side groupBy(sha2(text)) groups
+      -- NULL-text docs together (groupBy nulls compare equal) and
+      -- left-joins from the full doc base, one row per input doc; a
+      -- plain sha256(text)=h join would silently drop NULL-text docs
+      SELECT COALESCE(sha256(text), '') AS h, min(doc_id) AS keep_id
+      FROM documents GROUP BY COALESCE(sha256(text), '')),
     gq AS (
       SELECT doc_id, """ + _GOPHER_PASS_SQL + """ AS quality_pass
       FROM """ + _GOPHER_FEATS_SQL + """)
@@ -3011,7 +3071,7 @@ def corpus_dedup_priority(spark, sf):
             AND COALESCE(contam.contamination <= 0.5, FALSE)
             AND COALESCE(gq.quality_pass, FALSE)) AS survives
     FROM documents d
-    JOIN ded ON sha256(d.text) = ded.h
+    JOIN ded ON COALESCE(sha256(d.text), '') = ded.h
     LEFT JOIN contam USING (doc_id)
     LEFT JOIN gq USING (doc_id)
     """,

@@ -625,10 +625,12 @@ def test_audio_stats_exact_and_never_drop(spark, sf_dir):
     mixed = spark.createDataFrame(
         pd.DataFrame(
             {
-                "doc_id": [1, 2],
-                # bad magic; and truncated payload (claims 200 samples)
+                "doc_id": [1, 2, 3],
+                # bad magic; truncated payload (claims 200 samples);
+                # and a NULL blob (nullable binary column upstream)
                 "media": [b"WHAT\x00\x08abcdefgh",
-                          b"OAUD\x00\xc8short"],
+                          b"OAUD\x00\xc8short",
+                          None],
             }
         )
     )
@@ -640,6 +642,65 @@ def test_audio_stats_exact_and_never_drop(spark, sf_dir):
     }
     assert rows[1].error is not None and rows[1].energy is None
     assert rows[2].error is not None and rows[2].n_samples is None
+    assert rows[3].error is not None and rows[3].energy is None
+
+
+def test_image_backend_plug_point_mocked():
+    """The real-codec plug-point works end-to-end when a backend IS
+    present (mocked here, since the sandbox has no PIL): (a)
+    _load_image_backend resolves a mocked PIL module into a bytes ->
+    (w, h) callable; (b) decode_image_batches routes through a plugged
+    backend — width/height from the backend, mean_px None — and a blob
+    the backend rejects still yields an error row, never a task
+    failure. The day codecs land, only _load_image_backend changes."""
+    import sys
+    import types
+
+    import pandas as pd
+
+    import octospark.textops as TT
+
+    # (a) mocked PIL module resolves through the plug-point
+    class _Img:
+        size = (320, 200)
+
+    pil = types.ModuleType("PIL")
+    pil_image = types.ModuleType("PIL.Image")
+    pil_image.open = lambda fh: _Img()
+    pil.Image = pil_image
+    old = {k: sys.modules.get(k) for k in ("PIL", "PIL.Image")}
+    sys.modules["PIL"] = pil
+    sys.modules["PIL.Image"] = pil_image
+    try:
+        backend = TT._load_image_backend()
+        assert backend is not None and backend(b"anything") == (320, 200)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+    # (b) decode path uses the plugged backend, never-drop intact
+    def fake_backend(data):
+        if data.startswith(b"JUNK"):
+            raise ValueError("corrupt file")
+        return (640, 480)
+
+    TT._IMAGE_BACKEND_CACHE.clear()
+    TT._IMAGE_BACKEND_CACHE.append(fake_backend)
+    try:
+        frames = [pd.DataFrame(
+            {"doc_id": [1, 2], "media": [b"\x89PNG1234", b"JUNK5678"]}
+        )]
+        out = pd.concat(list(TT.decode_image_batches(iter(frames))))
+        r1 = out[out.doc_id == 1].iloc[0]
+        r2 = out[out.doc_id == 2].iloc[0]
+        assert (r1.width, r1.height) == (640, 480)
+        assert r1.mean_px is None and r1.error is None
+        assert r2.error is not None and "corrupt" in r2.error
+    finally:
+        TT._IMAGE_BACKEND_CACHE.clear()
 
 
 def test_repetition_filter_flags_injected_repeats(spark, sf_dir):
@@ -717,9 +778,13 @@ def test_topk_int8_agrees_with_float_topk(spark, sf_dir):
     ranking. Ranking is by the DEQUANTIZED dot (raw int dots are not
     cross-candidate comparable — each vector has its own scale), whose
     per-pair error is bounded by n*(s_c*|y|_max + s_q*|x|_max)/254, so
-    ranks only swap between genuine near-ties: top-1 must match
-    exactly and at least 9 of the float top-10 ids must survive
-    (currently 10/10 on the fixture; 9 leaves one near-tie of slack)."""
+    ranks only swap between genuine near-ties. Assertions honor that
+    bound instead of demanding exact agreement the function never
+    promised: the float top-1 must appear in the quantized top-2
+    (exact top-1 equality would be flaky if a regenerated fixture put
+    ranks 1-2 within the quantization error), and at least 9 of the
+    float top-10 ids must survive (currently 10/10 on the fixture;
+    9 leaves one near-tie of slack)."""
     f_ids = [
         r.vec_id
         for r in T.QUERIES["sim_ann_topk"](spark, sf_dir).collect()
@@ -729,17 +794,50 @@ def test_topk_int8_agrees_with_float_topk(spark, sf_dir):
         for r in T.QUERIES["sim_ann_topk_int8"](spark, sf_dir).collect()
     ]
     assert len(q_ids) == 10
-    assert f_ids[0] == q_ids[0]
+    assert f_ids[0] in q_ids[:2]
     assert len(set(f_ids) & set(q_ids)) >= 9
 
 
 # --- property-based laws (hypothesis) ---------------------------------------
 
+def test_jaccard_hot_shingle_df_cap(spark):
+    """The shared Jaccard edge builder must DROP shingles whose
+    document frequency exceeds the cap BEFORE aggregation — a stopword
+    3-gram shared by every doc must not produce C(n,2) pairs (at 100 TB
+    that bucket is an executor OOM + a ~10^12-pair expansion), while a
+    genuine duplicate pair with rare shingles must survive intact."""
+    from octospark.textops import _jaccard_pair_counts
+
+    # 30 docs all share the hot shingle "hot1 hot2 hot3"; their other
+    # shingles are unique. Docs 100/101 are true duplicates of each
+    # other with no hot shingle.
+    rows = [
+        (i, f"hot1 hot2 hot3 u{i}a u{i}b u{i}c") for i in range(30)
+    ] + [(100, "x1 x2 x3 x4 x5"), (101, "x1 x2 x3 x4 x5")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = _jaccard_pair_counts(docs, df_cap=8).collect()
+    assert [(r.id1, r.id2, r.n_inter) for r in capped] == [(100, 101, 3)]
+    # sizes stay UNCAPPED (conservative Jaccard denominator)
+    assert capped[0].n1 == 3 and capped[0].n2 == 3
+
+    # without the cap the hot shingle alone would emit C(30,2) pairs
+    uncapped = _jaccard_pair_counts(docs, df_cap=10**9).count()
+    assert uncapped == 30 * 29 // 2 + 1
+
+
+_QUANT_FLOOR = 1e-30
+
+
 def _quantize_ref(vec):
-    """Reference int8 quantization (mirrors embed_quantize_int8)."""
+    """Reference int8 quantization (mirrors embed_quantize_int8,
+    including the floor regime: max-abs < 1e-30 => all-zero codes)."""
     import math
 
-    s = max(max(abs(x) for x in vec), 1e-30)
+    m = max(abs(x) for x in vec)
+    s = max(m, _QUANT_FLOOR)
+    if m < _QUANT_FLOOR:
+        return s, [0] * len(vec)
     q = []
     for x in vec:
         y = (x * 127) / s
@@ -750,9 +848,13 @@ def _quantize_ref(vec):
 
 def test_quantize_laws_roundtrip_and_scale_invariance():
     """Laws of symmetric max-abs int8 quantization, engine-free:
-    (1) q in [-127, 127]; (2) dequant error <= scale/254 + eps;
-    (3) quantization is invariant under multiplication by a power of
-    two (scale doubles exactly, so every ratio x/scale is bit-identical)."""
+    (1) q in [-127, 127]; (2) dequant error <= scale/254 + eps in the
+    normal regime, <= the 1e-30 floor in the floored (numerically
+    zero) regime, where codes are all zero; (3) quantization is
+    invariant under multiplication by a power of two (scale doubles
+    exactly, so every ratio x/scale is bit-identical) — except when
+    the x4 crosses the floor boundary, where the sub-floor side is
+    pinned all-zero instead."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -764,12 +866,23 @@ def test_quantize_laws_roundtrip_and_scale_invariance():
     @settings(max_examples=200, deadline=None)
     @given(st.lists(floats, min_size=1, max_size=64))
     def law(vec):
+        m = max(abs(x) for x in vec)
         s, q = _quantize_ref(vec)
         assert all(-127 <= v <= 127 for v in q)
-        for x, v in zip(vec, q):
-            assert abs(x - (v * s) / 127) <= s / 254 * (1 + 1e-9)
+        if m < _QUANT_FLOOR:
+            assert q == [0] * len(vec)  # floored regime: all-zero codes
+            for x in vec:
+                assert abs(x) <= _QUANT_FLOOR
+        else:
+            for x, v in zip(vec, q):
+                assert abs(x - (v * s) / 127) <= s / 254 * (1 + 1e-9)
         s2, q2 = _quantize_ref([x * 4.0 for x in vec])
-        assert q2 == q  # power-of-two scaling leaves the codes unchanged
+        if (m < _QUANT_FLOOR) == (m * 4.0 < _QUANT_FLOOR):
+            # same regime on both sides of the x4: codes identical
+            assert q2 == q
+        else:
+            # x4 crossed the floor: the sub-floor side is all-zero
+            assert q == [0] * len(vec) and any(q2)
 
     law()
 
