@@ -42,6 +42,12 @@ def main() -> None:
                     help="salted url-hash repartition before the UDF")
     ap.add_argument("--salt-partitions", type=int, default=None)
     ap.add_argument(
+        "--detect-skew", action="store_true",
+        help="with --salted: first-pass giant-host census, then salt "
+        "those hosts' rows row-level so one hot host/url cannot "
+        "straggle a partition",
+    )
+    ap.add_argument(
         "--mode", choices=("full", "text-only", "spans-only"),
         default="full",
         help="projection of the read-back preview (R14/R15 analog)",
@@ -112,6 +118,7 @@ def main() -> None:
         spark, pages, args.out, n_buckets=args.n_buckets,
         run_id=args.run_id, max_bytes=args.max_bytes,
         salted=args.salted, salt_partitions=args.salt_partitions,
+        detect_skew=args.detect_skew,
         iceberg_table=args.iceberg_table,
         validate_every_k_buckets=args.validate_every_k_buckets,
         validate_fn=validate_fn,

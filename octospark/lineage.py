@@ -150,6 +150,7 @@ def run_extract(
     max_bytes: int | None = None,
     salted: bool = False,
     salt_partitions: int | None = None,
+    detect_skew: bool = False,
     iceberg_table: str | None = None,
     validate_every_k_buckets: int | None = None,
     validate_fn=None,
@@ -210,11 +211,20 @@ def run_extract(
         for r in todo.groupBy("part_key").agg(F.count("*").alias("n")).collect()
     }
 
+    skewed_hosts = None
+    if salted and detect_skew:
+        # first-pass giant-host census (url-only column-pruned scan);
+        # see tests/test_pipeline.py::test_skewed_host_branch_spreads_
+        # giant_host for the partition-spread guarantee it buys
+        from octospark.pipeline import find_skewed_hosts
+
+        skewed_hosts = find_skewed_hosts(todo) or None
     extracted = extract_pages(
         todo.drop("part_key"),
         max_bytes=max_bytes,
         salted=salted,
         num_partitions=salt_partitions,
+        skewed_hosts=skewed_hosts,
     )
     writer = choose_writer(spark, iceberg_table)
     extracted = with_part_key(extracted, n_buckets).persist()

@@ -162,6 +162,7 @@ def extract_pages(
     salted: bool = False,
     num_partitions: int | None = None,
     guard_mode: str = "inline",
+    skewed_hosts: list | None = None,
 ) -> DataFrame:
     """pages -> extracted(url, warc_ts, text, spans, lang, n_blocks, error).
 
@@ -181,13 +182,17 @@ def extract_pages(
     if guard_mode == "split":
         ok, oversized = split_size_guard(src, max_bytes)
         if salted:
-            ok = salted_repartition(ok, num_partitions=num_partitions)
+            ok = salted_repartition(
+                ok, num_partitions=num_partitions, skewed_hosts=skewed_hosts
+            )
         extracted = ok.mapInPandas(
             _make_extract_batches(max_bytes), EXTRACTED_SCHEMA
         )
         return extracted.unionByName(oversized)
     if salted:
-        src = salted_repartition(src, num_partitions=num_partitions)
+        src = salted_repartition(
+            src, num_partitions=num_partitions, skewed_hosts=skewed_hosts
+        )
     return src.mapInPandas(_make_extract_batches(max_bytes), EXTRACTED_SCHEMA)
 
 
@@ -483,16 +488,25 @@ def salted_repartition(
 ) -> DataFrame:
     """Repartition by url-hash with salt for skewed hosts.
 
-    Base key is ``xxhash64(url)`` (uniform). When ``skewed_hosts`` is
-    given, their rows get an extra salt column so one giant host spreads
-    over ``salt_buckets`` partitions even if downstream re-keys by host.
-    Safe for extraction because the unit of work is one page (spans never
-    split across salts) — SURVEY.md §7.3."""
+    Base key is ``xxhash64(url)`` (uniform across DISTINCT urls). When
+    ``skewed_hosts`` is given, their rows get a ROW-LEVEL salt — not a
+    function of url alone — so even a single hot url repeated millions
+    of times (a re-crawl dump, the worst real crawl skew) spreads over
+    ``salt_buckets`` partitions; a url-keyed salt would send every
+    replica of one url back to one partition. The salt uses
+    monotonically_increasing_id, deterministic given the input
+    partitioning; placement never affects results because extraction
+    is a pure per-row UDF (the byte-identity checksum is asserted
+    across local[2/8/32]). Safe for extraction because the unit of
+    work is one page (spans never split across salts) — SURVEY.md §7.3."""
     key = F.xxhash64(F.col("url"))
     if skewed_hosts:
         salt = F.when(
             host_of(F.col("url")).isin(*skewed_hosts),
-            F.pmod(F.xxhash64(F.col("url"), F.lit("salt")), F.lit(salt_buckets)),
+            F.pmod(
+                F.xxhash64(F.col("url"), F.monotonically_increasing_id()),
+                F.lit(salt_buckets),
+            ),
         ).otherwise(F.lit(0))
         df = df.withColumn("_salt", salt)
         out = (

@@ -47,6 +47,15 @@ CASES: list = [
     ("main_entirely_tables", b"<html><body><nav><a href='/h'>home</a></nav><main><table><tr><td><p>The entire main element of this page is one big layout table and this first cell paragraph carries more than sixteen words.</p></td></tr><tr><td><p>The second table cell paragraph likewise carries comfortably more than sixteen words of genuine page content for extraction.</p></td></tr></table></main><footer><a href='/p'>privacy</a></footer></body></html>"),
     ("processing_instruction_doctype", b"<?xml version='1.0'?><!DOCTYPE html PUBLIC '-//W3C//DTD XHTML 1.0//EN'><html><body><?php echo 'server side leftover'; ?><p>Paragraph after processing instructions and a legacy doctype holding definitely more than sixteen words of readable page content text.</p></body></html>"),
     ("comment_with_markup", b"<html><body><!-- <p>commented out fake paragraph that must never surface in output</p> --><p>Live paragraph following an html comment that itself contains markup and this live text has more than sixteen words total.</p><!--[if IE]><p>conditional comment content for ancient browsers</p><![endif]--></body></html>"),
+    # cases 32-33: round-4 additions (VERDICT r3 #8) — CDATA hidden
+    # inside a script element (raw-text parsing, not markup), and
+    # nested <template> subtrees (inert DOM browsers never render).
+    # The 10 MB single-block size-guard-boundary case lives in
+    # tests/test_extractor.py::test_huge_block_at_size_guard_boundary
+    # (procedural — a 10 MB golden.json entry would bloat the repo and
+    # slow the R25 validation cadence that replays CASES).
+    ("cdata_in_script", b"<html><body><p>Real leading paragraph with comfortably more than sixteen words of genuine readable content text for the extractor to keep.</p><script>/*<![CDATA[*/ var fake = '<p>markup-looking payload inside script cdata that must never surface</p>'; /*]]>*/</script><p>Real trailing paragraph also with comfortably more than sixteen words of genuine readable content text for the extractor.</p></body></html>"),
+    ("nested_template", b"<html><body><p>Visible article paragraph before any template holding comfortably more than sixteen words of real readable content text.</p><template><p>Outer template paragraph that browsers never render and that also has more than sixteen words inside it total.</p><template><p>Inner nested template paragraph likewise unrendered by browsers with more than sixteen words of text inside it.</p></template></template><p>Visible closing paragraph after the templates holding comfortably more than sixteen words of real readable content text.</p></body></html>"),
 ]
 
 NAMES = [c[0] for c in CASES]

@@ -229,3 +229,39 @@ try:
 
 except ImportError:  # pragma: no cover — hypothesis absent
     pass
+
+
+def test_huge_block_at_size_guard_boundary():
+    """VERDICT r3 #8: a 10 MB single-block page driven to the size-guard
+    boundary. (a) under the default 20 MB guard the block extracts
+    exactly (expectation computed analytically — a 10 MB golden.json
+    entry would bloat the repo); (b) through the inline per-row guard,
+    max_bytes == len(html) still parses (the guard is strictly
+    greater-than) while max_bytes == len(html) - 1 yields the
+    size_guard error row — never an exception, never a dropped row."""
+    import pandas as pd
+
+    from octospark.pipeline import _make_extract_batches
+
+    html = b"<html><body><p>" + b"word " * 2_000_000 + b"</p></body></html>"
+    assert len(html) > 10_000_000
+
+    expected = ("word " * 2_000_000).strip()
+    r = extract(html)
+    assert r["error"] is None
+    assert r["n_blocks"] == 1
+    assert r["text"] == expected
+    assert r["spans"][0]["start"] == 0
+    assert r["spans"][0]["end"] == len(expected)
+
+    def run(max_bytes):
+        frames = [pd.DataFrame({
+            "url": ["u"], "warc_ts": [None], "html": [html], "lang": ["en"],
+        })]
+        out = pd.concat(list(_make_extract_batches(max_bytes)(iter(frames))))
+        return out.iloc[0]
+
+    at = run(len(html))  # == boundary: still parsed (guard is >)
+    assert at["error"] is None and at["text"] == expected
+    over = run(len(html) - 1)  # just over the guard: error row
+    assert over["error"] == "size_guard" and over["text"] == ""
