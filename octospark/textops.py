@@ -3197,3 +3197,204 @@ def text_entity_spans(spark, sf):
     return spans("email", "[a-z0-9._]+@[a-z0-9.-]+").unionByName(
         spans("phone", r"\+[0-9][0-9-]{7,}")
     )
+
+
+# --------------------------------------------------------------------------
+# line-level dedup (C4/RefinedWeb-style) + storage layout clustering
+# --------------------------------------------------------------------------
+
+# deterministic boilerplate header injected on every page: the shape of
+# real web boilerplate a line-level dedup must strip corpus-wide
+_BOILER_LINE = "Home | About | Contact | Privacy | Terms"
+_LINE_WORDS = 10  # content line = 10-word chunk (docs carry no newlines)
+
+
+@register(
+    "dedup_line_level",
+    f"""
+    WITH base AS (
+      SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w
+      FROM documents
+    ),
+    la AS (
+      SELECT doc_id,
+             list_prepend('{_BOILER_LINE}',
+               list_transform(
+                 range(0, CAST(ceil(len(w) / {_LINE_WORDS}.0) AS INT)),
+                 i -> array_to_string(
+                   w[i*{_LINE_WORDS}+1 : i*{_LINE_WORDS}+{_LINE_WORDS}],
+                   ' '))) AS ls
+      FROM base
+    ),
+    l AS (
+      SELECT doc_id, u.pos, u.ln FROM (
+        SELECT doc_id,
+               unnest([{{'pos': i - 1, 'ln': ls[i]}}
+                       for i in range(1, len(ls) + 1)]) AS u
+        FROM la)
+    ),
+    canon AS (
+      SELECT ln, min(doc_id * 1000000 + pos) AS ck FROM l GROUP BY ln
+    ),
+    fl AS (
+      SELECT l.doc_id, l.pos, l.ln,
+             (l.doc_id * 1000000 + l.pos = c.ck) AS keep
+      FROM l JOIN canon c USING (ln)
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_lines,
+           COUNT(*) FILTER (WHERE keep) AS n_kept,
+           -- COALESCE: a fully-duplicated doc keeps 0 lines; DuckDB's
+           -- array_to_string([]) is NULL, Spark's array_join([]) is ''
+           COALESCE(array_to_string(
+             list_transform(
+               list_filter(
+                 list_sort(list({{'pos': pos, 'keep': keep, 'ln': ln}})),
+                 s -> s.keep),
+               s -> s.ln),
+             chr(10)), '') AS text_dedup
+    FROM fl GROUP BY doc_id
+    """,
+)
+def dedup_line_level(spark, sf):
+    """C4/RefinedWeb-style LINE-level dedup: the corpus keeps exactly
+    one occurrence of every line of text (canonical = lowest
+    (doc_id, line_pos)), so boilerplate shared across millions of
+    pages — nav bars, cookie banners, footers — is stripped everywhere
+    but its first sighting while unique prose survives untouched.
+    Document-level dedup (dedup_exact) cannot do this: two pages that
+    share a footer but differ in the article are NOT doc-duplicates.
+
+    Line definition here: a deterministic injected boilerplate header
+    (every page gets _BOILER_LINE, the known corpus-wide duplicate the
+    oracle must strip to one survivor) plus 10-word chunks of the text
+    (the fixture docs carry no newlines; on real pages the split is
+    '\\n'). Identical on both engine sides.
+
+    Scale shape (100 TB): canonical selection is groupBy(line) ->
+    min(encoded doc_id*1e6+pos) — a partial-aggregable min, so a
+    boilerplate line in 10^8 docs folds map-side and never buffers a
+    hot reducer (the same reason dedup_exact scales); the flag-back
+    join re-keys by line with AQE skew-join splitting hot lines
+    (word_rarity's broadcast-head/shuffle-tail idiom is the manual
+    fallback). Rebuild is one doc_id-keyed agg over (pos, keep, line)
+    structs — per-doc bounded. Reference analog: per-unit resolve +
+    reading-order merge (src/octopy/segment.py) applied corpus-wide.
+    """
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("t")
+    )
+    words = F.split(F.col("t"), " ")
+    nchunks = F.ceil(F.size(words) / F.lit(_LINE_WORDS)).cast("int")
+    content = F.transform(
+        F.sequence(F.lit(0), nchunks - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(words, i * _LINE_WORDS + 1, _LINE_WORDS), " "
+        ),
+    )
+    lines = d.select(
+        "doc_id",
+        F.posexplode(
+            F.concat(F.array(F.lit(_BOILER_LINE)), content)
+        ).alias("pos", "ln"),
+    )
+    key = F.col("doc_id") * 1000000 + F.col("pos")
+    canon = lines.groupBy("ln").agg(F.min(key).alias("ck"))
+    flagged = lines.join(canon, "ln").withColumn(
+        "keep", key == F.col("ck")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.count_if(F.col("keep")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "keep", "ln"))
+                    ),
+                    lambda s: s["keep"],
+                ),
+                lambda s: s["ln"],
+            ),
+            "\n",
+        ).alias("text_dedup"),
+    )
+
+
+def _zorder_sql(x: str, y: str, bits: int = 16) -> str:
+    """SQL bit-interleave of two ints into a Z-order (Morton) value —
+    identical operator set (>>, &, <<) on both engines."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "layout_zorder_cluster",
+    f"""
+    WITH src AS (
+      SELECT CAST(event_id AS BIGINT) & 65535 AS x,
+             CAST(hour(ts) * 60 + minute(ts) AS BIGINT) & 65535 AS y
+      FROM events
+    ),
+    z AS (SELECT x, y, {_zorder_sql('x', 'y')} AS zval FROM src)
+    SELECT zval >> 20 AS file_id,
+           COUNT(*) AS n_events,
+           min(x) AS x_min, max(x) AS x_max,
+           min(y) AS y_min, max(y) AS y_max,
+           max(x) - min(x) AS x_span,
+           max(y) - min(y) AS y_span
+    FROM z GROUP BY zval >> 20
+    """,
+)
+def layout_zorder_cluster(spark, sf):
+    """Z-order (Morton) clustering key + per-file min/max stats — the
+    Delta/Iceberg OPTIMIZE ZORDER layout primitive that makes
+    multi-dimensional data skipping work: interleaving the bits of two
+    dimensions gives a 1-D sort key whose fixed-width prefixes map to
+    files with NARROW ranges in BOTH dimensions, so a predicate on
+    either column prunes most files from min/max footer stats alone.
+    Output = per-file stats table (the skipping index itself): n, min,
+    max, span per dimension. Fixing the top 12 z-bits (the 20-bit
+    shift) pins bits >= 10 of BOTH dims, so every file's x_span and
+    y_span are <= 1023 by construction — the pinned locality law
+    (tests/test_textops.py::test_zorder_locality_law).
+
+    All integer bit arithmetic (shift/and/add), bit-identical across
+    engines; one map-side projection + one groupBy on the 12-bit file
+    prefix. Scale path (100 TB): the write would rangepartition by the
+    full z-value instead of the fixed prefix (documented trade-off:
+    fixed prefixes avoid the global sort and AQE balances residual
+    skew; a range partitioner gives equal-size files at the cost of a
+    sampling pass). Reference analog: R16's per-doc sink layout,
+    upgraded to a layout a 1000-executor scan can prune."""
+    e = load_table(spark, sf, "events").select(
+        (F.col("event_id").cast("long").bitwiseAND(F.lit(65535))).alias("x"),
+        (
+            (F.hour("ts") * 60 + F.minute("ts")).cast("long")
+            .bitwiseAND(F.lit(65535))
+        ).alias("y"),
+    )
+    z = F.lit(0).cast("long")
+    for b in range(16):
+        z = z + F.shiftleft(
+            F.shiftright(F.col("x"), b).bitwiseAND(F.lit(1)), 2 * b
+        )
+        z = z + F.shiftleft(
+            F.shiftright(F.col("y"), b).bitwiseAND(F.lit(1)), 2 * b + 1
+        )
+    return (
+        e.withColumn("zval", z)
+        .groupBy(F.shiftright("zval", 20).alias("file_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+            (F.max("x") - F.min("x")).alias("x_span"),
+            (F.max("y") - F.min("y")).alias("y_span"),
+        )
+    )

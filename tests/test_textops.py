@@ -993,3 +993,77 @@ def test_dedup_priority_one_keeper_per_cluster(spark, sf_dir):
         k = keepers[0]
         best = max(members, key=lambda m: (m.n_chars, -m.doc_id))
         assert (k.doc_id, k.n_chars) == (best.doc_id, best.n_chars)
+
+
+def test_dedup_line_level_strips_boilerplate(spark, sf_dir):
+    """Line-level dedup contract: every doc yields one row; the
+    injected corpus-wide boilerplate header survives in EXACTLY one
+    document (the canonical min-doc_id one) and is stripped everywhere
+    else; kept lines are always a subset of the doc's original lines
+    in original order."""
+    from octospark.textops import _BOILER_LINE, _LINE_WORDS
+
+    rows = T.QUERIES["dedup_line_level"](spark, sf_dir).collect()
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*), min(doc_id) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()
+    assert len(rows) == n_docs[0]
+    with_boiler = [r.doc_id for r in rows
+                   if _BOILER_LINE in r.text_dedup.split("\n")]
+    assert with_boiler == [n_docs[1]]  # canonical = min doc_id only
+    texts = dict(duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall())
+    for r in rows:
+        # a fully-duplicated doc (exact copy of an earlier one) keeps 0
+        assert 0 <= r.n_kept <= r.n_lines
+        w = (texts[r.doc_id] or "").split(" ")
+        orig = [_BOILER_LINE] + [
+            " ".join(w[i:i + _LINE_WORDS])
+            for i in range(0, len(w), _LINE_WORDS)
+        ]
+        assert r.n_lines == len(orig)
+        kept = r.text_dedup.split("\n") if r.text_dedup else []
+        # kept lines appear in the original, in order (subsequence)
+        it = iter(orig)
+        assert all(ln in it for ln in kept)
+
+
+def test_zorder_locality_law(spark, sf_dir):
+    """Z-order law: fixing the top 12 bits of the interleaved value
+    pins bits >= 10 of BOTH dimensions, so every file's x_span and
+    y_span are <= 1023 by construction — the property that makes
+    min/max footer stats prune on either column. Also: files partition
+    the table (counts sum to the full event count) and the z value
+    matches a pure-Python Morton reference on a sample."""
+    import duckdb
+
+    rows = T.QUERIES["layout_zorder_cluster"](spark, sf_dir).collect()
+    n_events = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_events for r in rows) == n_events
+    assert len(rows) > 1  # real spread, not one degenerate bucket
+    for r in rows:
+        assert 0 <= r.x_span <= 1023 and 0 <= r.y_span <= 1023
+        assert r.x_max - r.x_min == r.x_span
+        assert r.y_max - r.y_min == r.y_span
+
+    # python Morton reference on a sample of events
+    def morton(x, y):
+        z = 0
+        for b in range(16):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    sample = duckdb.sql(
+        f"SELECT event_id, hour(ts)*60+minute(ts) AS m "
+        f"FROM '{sf_dir}/events.parquet' LIMIT 100"
+    ).fetchall()
+    file_of = {}
+    for eid, m in sample:
+        file_of.setdefault(morton(eid & 65535, m & 65535) >> 20, 0)
+    assert set(file_of) <= {r.file_id for r in rows}
