@@ -1756,10 +1756,10 @@ def crawl_snapshot_diff(spark, sf):
 
 
 _LINKS_NAV = "['/', '/news', '/about', '/contact', '/login', '/signup']"
-_LINKS_SQL = """
-    SELECT url, unnest(hrefs) AS href FROM (
-      SELECT 'https://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
-        CASE doc_id % 6
+# the exact href multiset per page is a pure function of doc_id % 6
+# (octospark/htmlgen.py boilerplate templates) — shared by the
+# extract_links and graph_link_census oracles
+_HREFS_CASE_SQL = """CASE doc_id % 6
           WHEN 1 THEN ['/', '/news', '/about', '/contact', '/login', '/signup',
                        '/topics', '/deal1', '/deal2', '/deal3',
                        '/r1', '/r2', '/r3', '/r4', '/r5',
@@ -1770,7 +1770,12 @@ _LINKS_SQL = """
                        '/privacy', '/terms', '/sitemap']
           ELSE ['/', '/news', '/about', '/contact', '/login', '/signup',
                 '/topics', '/privacy', '/terms', '/sitemap']
-        END AS hrefs
+        END"""
+
+_LINKS_SQL = f"""
+    SELECT url, unnest(hrefs) AS href FROM (
+      SELECT 'https://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        {_HREFS_CASE_SQL} AS hrefs
       FROM documents)
     """
 
@@ -3396,5 +3401,220 @@ def layout_zorder_cluster(spark, sf):
             F.max("y").alias("y_max"),
             (F.max("x") - F.min("x")).alias("x_span"),
             (F.max("y") - F.min("y")).alias("y_span"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus-wide censuses + data-mixing expansion (round 4)
+# --------------------------------------------------------------------------
+
+_LINK_CENSUS_SQL = f"""
+    WITH e AS (
+      SELECT source, url, unnest(hrefs) AS href FROM (
+        SELECT source,
+               'https://' || source || '.example.org/doc/' ||
+                 CAST(doc_id AS VARCHAR) AS url,
+               {_HREFS_CASE_SQL} AS hrefs
+        FROM documents)),
+    t AS (SELECT count(DISTINCT source) AS tot_hosts FROM e)
+    SELECT href,
+           COUNT(*) AS n_inlinks,
+           COUNT(DISTINCT source) AS n_hosts,
+           min(url) AS first_src_url,
+           tot_hosts,
+           COUNT(DISTINCT source) * 2 >= tot_hosts AS is_nav_boilerplate
+    FROM e CROSS JOIN t
+    GROUP BY href, tot_hosts
+    """
+
+
+@register("graph_link_census", _LINK_CENSUS_SQL)
+def graph_link_census(spark, sf):
+    """Corpus-wide link-target census — the table behind nav-boilerplate
+    LINK detection: a target linked from at least half of all hosts
+    ('/privacy', '/terms', sitewide footers) is chrome, not content, so
+    the extractor's link-density features can be calibrated against it
+    and the crawl frontier can deprioritize it. Per target: in-link
+    count, distinct linking hosts, deterministic exemplar source url
+    (min), and the >= 50%-of-hosts flag as an exact integer
+    cross-multiply (n_hosts * 2 >= tot_hosts — no FP ratio).
+
+    Scale shape (100 TB): the href pull is the same single JVM
+    regexp scan as extract_links (page synthesis is the only Python
+    stage here; on a real lake the pages table is already
+    materialized); count/min fold map-side, count(DISTINCT host) is
+    Spark's standard two-phase expand — the hot keys ('/', footer
+    links, linked from every page) are exactly the partial-aggregable
+    ones, so no reducer buffers raw rows. tot_hosts is a one-row
+    broadcast of width 1. Reference analog: R27's class-frequency
+    stats applied to the link graph."""
+    from octospark.sources import build_pages
+
+    pages = build_pages(spark, sf).select("url", "html")
+    edges = pages.select(
+        "url",
+        F.regexp_extract("url", r"https://([^.]+)\.", 1).alias("host"),
+        F.explode(
+            F.regexp_extract_all(
+                F.decode(F.col("html"), "UTF-8"),
+                F.lit('href="([^"]*)"'),
+                1,
+            )
+        ).alias("href"),
+    )
+    tot = edges.agg(F.countDistinct("host").alias("tot_hosts"))
+    census = edges.groupBy("href").agg(
+        F.count("*").alias("n_inlinks"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.min("url").alias("first_src_url"),
+    )
+    return census.crossJoin(F.broadcast(tot)).select(
+        "href",
+        "n_inlinks",
+        "n_hosts",
+        "first_src_url",
+        "tot_hosts",
+        (F.col("n_hosts") * 2 >= F.col("tot_hosts"))
+        .alias("is_nav_boilerplate"),
+    )
+
+
+_BOILER_CENSUS_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, source, string_split(COALESCE(text, ''), ' ') AS w
+      FROM documents
+    ),
+    la AS (
+      SELECT doc_id, source,
+             list_prepend('{_BOILER_LINE}',
+               list_transform(
+                 range(0, CAST(ceil(len(w) / {_LINE_WORDS}.0) AS INT)),
+                 i -> array_to_string(
+                   w[i*{_LINE_WORDS}+1 : i*{_LINE_WORDS}+{_LINE_WORDS}],
+                   ' '))) AS ls
+      FROM base
+    ),
+    l AS (SELECT doc_id, source, unnest(ls) AS ln FROM la),
+    t AS (SELECT count(DISTINCT doc_id) AS tot_docs FROM documents)
+    SELECT ln,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS df_docs,
+           COUNT(DISTINCT source) AS n_hosts,
+           tot_docs,
+           COUNT(DISTINCT doc_id) * 20 >= tot_docs AS is_boilerplate
+    FROM l CROSS JOIN t
+    GROUP BY ln, tot_docs
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """
+
+
+@register("extract_boilerplate_census", _BOILER_CENSUS_SQL)
+def extract_boilerplate_census(spark, sf):
+    """Corpus-wide repeated-LINE census — the learned-boilerplate table
+    (CCNet / trafilatura's corpus-frequency prior): every line of text
+    that appears in >= 2 documents, with its occurrence count, document
+    frequency, host spread, and a >= 5%-of-docs boilerplate flag as an
+    exact integer cross-multiply (df * 20 >= tot_docs). This is the
+    SIGNAL table dedup_line_level acts on: line dedup keeps one
+    occurrence mechanically; the census tells you which lines are
+    sitewide chrome (high df, many hosts) vs legitimate quotation
+    (low df, few hosts). Line definition (injected header + 10-word
+    chunks) is shared with dedup_line_level, so the two keys compose.
+
+    Scale shape (100 TB): one explode + one groupBy(line) where every
+    aggregate is partial-aggregable (count folds map-side;
+    count(DISTINCT ...) is the two-phase expand over (line, doc) /
+    (line, host) pairs — already distinct-bounded per doc, no
+    collect_* buffers anywhere); the df >= 2 filter bounds the output
+    to the duplicated tail, and tot_docs is a width-1 broadcast.
+    Reference analog: R27 class stats over segmentation labels,
+    lifted to corpus text lines."""
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", "source", F.coalesce("text", F.lit("")).alias("t")
+    )
+    words = F.split(F.col("t"), " ")
+    nchunks = F.ceil(F.size(words) / F.lit(_LINE_WORDS)).cast("int")
+    content = F.transform(
+        F.sequence(F.lit(0), nchunks - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(words, i * _LINE_WORDS + 1, _LINE_WORDS), " "
+        ),
+    )
+    lines = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.concat(F.array(F.lit(_BOILER_LINE)), content)
+        ).alias("ln"),
+    )
+    tot = d.agg(F.countDistinct("doc_id").alias("tot_docs"))
+    census = lines.groupBy("ln").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("df_docs"),
+        F.countDistinct("source").alias("n_hosts"),
+    ).filter(F.col("df_docs") >= 2)
+    return census.crossJoin(F.broadcast(tot)).select(
+        "ln",
+        "n_occurrences",
+        "df_docs",
+        "n_hosts",
+        "tot_docs",
+        (F.col("df_docs") * 20 >= F.col("tot_docs")).alias("is_boilerplate"),
+    )
+
+
+_UPSAMPLE_SQL = """
+    WITH lc AS (
+      SELECT lang, count(*) AS lang_docs FROM documents GROUP BY lang),
+    mx AS (SELECT max(lang_docs) AS max_docs FROM lc),
+    k AS (
+      SELECT d.doc_id, d.lang, l.lang_docs,
+             CAST(least(4, (m.max_docs + l.lang_docs - 1) // l.lang_docs)
+                  AS INT) AS n_epochs
+      FROM documents d JOIN lc l USING (lang) CROSS JOIN mx m)
+    SELECT doc_id, lang, lang_docs, n_epochs, CAST(u.e AS INT) AS epoch
+    FROM k, LATERAL unnest(range(1, n_epochs + 1)) AS u(e)
+    """
+
+
+@register("corpus_upsample_epochs", _UPSAMPLE_SQL)
+def corpus_upsample_epochs(spark, sf):
+    """Epoch-based upsampling expansion — the data-MIXING complement of
+    corpus_lang_rebalance's downsampling: instead of dropping
+    high-resource docs, low-resource languages are repeated
+    ceil(max_docs / lang_docs) epochs (capped at 4, the
+    LLaMA/Gopher-style repeat budget beyond which duplicated text hurts
+    more than it helps), emitting one (doc, epoch) row per planned
+    pass so the training shard writer downstream sees the final
+    mixture as plain rows. All arithmetic is exact integer
+    (ceil-div via (a + b - 1) DIV b — no FP), so the expansion is
+    bit-identical across engines and partitionings.
+
+    Scale shape (100 TB): groupBy(lang) is a handful of rows, joined
+    back via broadcast (zero doc-table shuffles); the explode of
+    sequence(1, n_epochs) is a narrow generator bounded by the epoch
+    cap, so the output is at most 4x input rows and never skews — the
+    repeats of one doc stay in its partition until the shard writer's
+    own shuffle. Reference analog: R20's train split + the class
+    rebalancing a segmentation trainer applies per label."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang")
+    lc = docs.groupBy("lang").agg(F.count("*").alias("lang_docs"))
+    mx = lc.agg(F.max("lang_docs").alias("max_docs"))
+    n_epochs = F.least(
+        F.lit(4).cast("long"),
+        F.expr("(max_docs + lang_docs - 1) DIV lang_docs"),
+    ).cast("int")
+    return (
+        docs.join(F.broadcast(lc), "lang")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "doc_id",
+            "lang",
+            "lang_docs",
+            n_epochs.alias("n_epochs"),
+            F.explode(
+                F.sequence(F.lit(1), n_epochs)
+            ).alias("epoch"),
         )
     )

@@ -310,6 +310,7 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         # the href/title pulls themselves are JVM regexp_extract
         "extract_links", "extract_page_title",
         "crawl_frontier",  # consumes extract_links' synthesized pages
+        "graph_link_census",  # same synthesized-pages scan as extract_links
         # the flagship DOM-walk extraction, as an oracle-checked key
         "extract_main_content",
     }

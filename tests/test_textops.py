@@ -1067,3 +1067,74 @@ def test_zorder_locality_law(spark, sf_dir):
     for eid, m in sample:
         file_of.setdefault(morton(eid & 65535, m & 65535) >> 20, 0)
     assert set(file_of) <= {r.file_id for r in rows}
+
+
+def test_link_census_flags_universal_nav(spark, sf_dir):
+    """Link census law: hrefs present in EVERY template ('/privacy',
+    '/terms', '/topics', '/sitemap') are linked from every host, so
+    n_hosts == tot_hosts and the nav flag is on; '/deal1' exists only
+    in the doc_id%6==1 template, so its in-link count is exactly that
+    residue-class size; in-link counts sum to the full edge count."""
+    import duckdb
+
+    rows = {r.href: r for r in
+            T.QUERIES["graph_link_census"](spark, sf_dir).collect()}
+    n_docs, n_deal = duckdb.sql(
+        f"SELECT count(*), count(*) FILTER (WHERE doc_id % 6 = 1) "
+        f"FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()
+    for universal in ["/privacy", "/terms", "/topics", "/sitemap"]:
+        r = rows[universal]
+        assert r.n_hosts == r.tot_hosts and r.is_nav_boilerplate
+        assert r.n_inlinks == n_docs
+    if n_deal:
+        assert rows["/deal1"].n_inlinks == n_deal
+    edges = T.QUERIES["extract_links"](spark, sf_dir).count()
+    assert sum(r.n_inlinks for r in rows.values()) == edges
+
+
+def test_boilerplate_census_finds_injected_header(spark, sf_dir):
+    """Line census law: the injected header appears once per doc, so
+    its row has df_docs == tot_docs == n_occurrences and the >= 5%
+    flag on; every row clears the df >= 2 output bound; df never
+    exceeds occurrences or tot_docs."""
+    from octospark.textops import _BOILER_LINE
+
+    rows = T.QUERIES["extract_boilerplate_census"](
+        spark, sf_dir
+    ).collect()
+    by_ln = {r.ln: r for r in rows}
+    hdr = by_ln[_BOILER_LINE]
+    assert hdr.df_docs == hdr.tot_docs == hdr.n_occurrences
+    assert hdr.is_boilerplate
+    for r in rows:
+        assert r.df_docs >= 2
+        assert r.df_docs <= r.n_occurrences
+        assert r.df_docs <= r.tot_docs
+        assert 1 <= r.n_hosts <= r.df_docs
+
+
+def test_upsample_epochs_exact_expansion(spark, sf_dir):
+    """Upsampling laws: every doc appears exactly n_epochs times with
+    epochs 1..n_epochs; the max-resource language gets exactly 1
+    epoch; no language exceeds the cap of 4; n_epochs is the exact
+    ceil-div of max_docs by lang_docs (capped)."""
+    import duckdb
+    from collections import Counter
+
+    rows = T.QUERIES["corpus_upsample_epochs"](spark, sf_dir).collect()
+    lang_docs = dict(duckdb.sql(
+        f"SELECT lang, count(*) FROM '{sf_dir}/documents.parquet' "
+        f"GROUP BY lang"
+    ).fetchall())
+    max_docs = max(lang_docs.values())
+    per_doc = Counter()
+    for r in rows:
+        expect = min(4, -(-max_docs // lang_docs[r.lang]))
+        assert r.n_epochs == expect
+        assert 1 <= r.epoch <= r.n_epochs
+        per_doc[r.doc_id] += 1
+    for r in rows:
+        assert per_doc[r.doc_id] == r.n_epochs
+    assert all(1 <= n <= 4 for n in
+               (min(4, -(-max_docs // v)) for v in lang_docs.values()))
