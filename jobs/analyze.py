@@ -1,7 +1,7 @@
 """spark-submit entry point: block-level corpus analysis (staged path).
 
     python jobs/analyze.py --sf-dir /root/testdata/sf0.001 --out /tmp/an
-        [--strategy heuristic|scored] [--merge alias=target ...]
+        [--strategy heuristic|scored|scored-distributed] [--merge alias=target ...]
         [--input pages_parquet]
 
 Runs the staged pipeline (segment -> classify -> label stats) and writes
@@ -29,7 +29,8 @@ def main() -> None:
     ap.add_argument("--input", help="pages parquet path")
     ap.add_argument("--sf-dir", help="testdata dir to synthesize pages from")
     ap.add_argument("--out", required=True)
-    ap.add_argument("--strategy", choices=("heuristic", "scored"),
+    ap.add_argument("--strategy",
+                    choices=("heuristic", "scored", "scored-distributed"),
                     default="heuristic")
     ap.add_argument("--merge", nargs="*", default=[],
                     help="label merge rules alias=target (target '-' drops)")
@@ -59,6 +60,13 @@ def main() -> None:
         from octospark.scorer import fit_scorer
 
         model = fit_scorer(classify(blocks), epochs=100, max_rows=50_000)
+        labeled = classify_with(blocks, "scored", model)
+    elif args.strategy == "scored-distributed":
+        # the scale path: no driver-side sample, bit-identical at any
+        # parallelism (octospark/trainer.py)
+        from octospark.scorer import fit_scorer_distributed
+
+        model = fit_scorer_distributed(classify(blocks), steps=60)
         labeled = classify_with(blocks, "scored", model)
     else:
         labeled = classify_with(blocks, "heuristic")

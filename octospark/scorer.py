@@ -13,13 +13,16 @@ Training protocol (reference analogs cited):
 - on-exception checkpoint (train.py:76-79);
 - resume / warm-start from a checkpoint (train.py:89-97, 140-162).
 
-Scale design: feature/label sufficient statistics are computed
-DISTRIBUTED (one pass of map-side partial aggregation per GD step is
-the textbook approach); here gradient steps run over a driver-side
-bounded deterministic sample (cap `max_rows`) because full-batch GD
-iterations over 10^12 blocks would be I/O-bound madness — production
-would sample the same way. Scoring is a constant-folded JVM expression:
-no Python anywhere in the inference path.
+Two trainers:
+- :func:`fit_scorer` — driver-side bounded deterministic sample (cap
+  `max_rows`), numpy GD: the cheap path when a 100k-row sample is
+  statistically enough;
+- :func:`fit_scorer_distributed` — the SCALE path: full-batch GD where
+  each step is ONE distributed aggregation (octospark/trainer.py exact
+  fixed-point design), bit-identical at any parallelism, nothing
+  row-shaped on the driver; 10^12 blocks train like 10^3.
+Scoring is a constant-folded JVM expression either way: no Python
+anywhere in the inference path.
 """
 
 from __future__ import annotations
@@ -142,6 +145,74 @@ def fit_scorer(
     return model
 
 
+def fit_scorer_distributed(
+    labeled_blocks: DataFrame,
+    partition: float = 0.9,
+    steps: int = 30,
+    lr: float = 0.5,
+    checkpoint_dir: str | None = None,
+) -> dict:
+    """The SCALE path for scorer training (upgrades :func:`fit_scorer`'s
+    bounded driver-side sample): full-batch gradient descent where each
+    step is ONE distributed aggregation over every labeled block — see
+    octospark/trainer.py for the exact fixed-point design that makes
+    the result bit-identical at any parallelism. Nothing row-shaped
+    reaches the driver; 10^12 blocks train the same way 10^3 do.
+
+    Double-valued block features (link_density, text_density) are
+    quantized once to 2^-20 integer units at ingest — floor is
+    order-independent, and standardization absorbs the scaling, so the
+    quantization costs < 1e-6 relative feature precision.
+
+    The train/val split is CONTENT-stable (hash of the feature tuple
+    mod 10 vs ``partition``), not randomSplit, so split membership
+    does not depend on partitioning either. Reference analog: the
+    epoch loop + partition split of /root/reference/src/octopy/cli/
+    train.py:64-77,243-286."""
+    from octospark.trainer import fit_logistic_exact
+
+    q = F.lit(1048576.0)  # 2**20
+    df = _with_context(labeled_blocks)
+    feats = [f"i_{name}" for name in FEATURES]
+    # split on the ROW-unique (url, block_id) key: iid at row level (a
+    # hash of the feature tuple would send every duplicate tuple to one
+    # side — distribution shift), yet stable under any partitioning
+    bucket = F.pmod(F.xxhash64("url", "block_id"), F.lit(10))
+    frame = df.select(
+        *[
+            F.floor(F.col(name).cast("double") * q).cast("long").alias(f"i_{name}")
+            for name in FEATURES
+        ],
+        F.col("label").isin("content", "heading").cast("int").alias("y"),
+        (bucket < F.lit(int(round(partition * 10)))).alias("is_train"),
+    )
+    model = fit_logistic_exact(
+        frame, feats, steps=steps, lr=lr, link="logistic"
+    )
+    model["features"] = list(FEATURES)
+    model["quantize_unit"] = 1048576.0
+    if checkpoint_dir:
+        _save_ckpt(
+            checkpoint_dir, "best_distributed", model["weights"],
+            model["bias"], model["mu"], model["sigma"], model["val_acc"],
+        )
+    return model
+
+
+def score_expr_distributed(model: dict) -> Column:
+    """Inference for a distributed-trained model: quantize features with
+    the SAME floor the trainer used, then the standardized linear form —
+    still a pure-JVM constant-folded expression."""
+    q = F.lit(model["quantize_unit"])
+    z = F.lit(model["bias"])
+    for name, w, m, s in zip(
+        model["features"], model["weights"], model["mu"], model["sigma"]
+    ):
+        xi = F.floor(F.col(name).cast("double") * q).cast("double")
+        z = z + F.lit(w) * ((xi - F.lit(m)) / F.lit(s))
+    return z
+
+
 def _save_ckpt(d, name, w, b, mu, sigma, val_acc) -> None:
     os.makedirs(d, exist_ok=True)
     with open(os.path.join(d, f"{name}.json"), "w") as f:
@@ -179,7 +250,13 @@ def score_blocks(blocks: DataFrame, model: dict, threshold: float = 0.0) -> Data
     src/octopy/segment.py:52-57 — strategy chosen by config, plain
     function dispatch instead of a monkeypatch)."""
     enriched = _with_context(blocks)
-    z = score_expr(model)
+    # distributed-trained models carry the quantize unit and need the
+    # matching floor at inference; driver-fit models score raw features
+    z = (
+        score_expr_distributed(model)
+        if "quantize_unit" in model
+        else score_expr(model)
+    )
     return enriched.withColumn("score", z).withColumn(
         "scored_label",
         F.when(z > threshold, "content").otherwise("noise"),

@@ -3618,3 +3618,182 @@ def corpus_upsample_epochs(spark, sf):
             ).alias("epoch"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# distributed exact trainer (round 4)
+# --------------------------------------------------------------------------
+
+_TRAIN_STEPS = 4
+_TRAIN_LR = "0.25"
+_TRAIN_SCALE = "1073741824.0"  # 2**30 — must match octospark.trainer.SCALE
+# (name, DuckDB expr) — char-count features of the documents table; the
+# Spark side computes the same integer counts with translate/length
+_TRAIN_FEATS = [
+    ("f1", "length(coalesce(text, ''))"),
+    ("f2", "length(coalesce(text, '')) - "
+           "length(replace(coalesce(text, ''), ' ', ''))"),
+    ("f3", "length(coalesce(text, '')) - "
+           "length(replace(coalesce(text, ''), 'a', ''))"),
+    ("f4", "length(coalesce(text, '')) - "
+           "length(replace(coalesce(text, ''), 'e', ''))"),
+    ("f5", "length(coalesce(text, '')) - "
+           "length(replace(coalesce(text, ''), 't', ''))"),
+]
+
+
+def _train_z_sql(wref: str) -> str:
+    """Left-fold z — same fold order as octospark.trainer._z_col."""
+    z = f"{wref}.b"
+    for j in range(len(_TRAIN_FEATS)):
+        z = f"({z} + {wref}.w{j + 1} * x{j + 1})"
+    return z
+
+
+def _train_logistic_sql(steps: int) -> str:
+    """Unrolled full-batch-GD oracle: replays the exact fixed-point
+    training loop of octospark/trainer.py in SQL (rational sigmoid +
+    floor-quantized gradient sums make every intermediate either an
+    exact integer or a correctly-rounded double, so the engines agree
+    bitwise; see trainer.py module docstring)."""
+    nf = len(_TRAIN_FEATS)
+    feat_sel = ", ".join(f"{expr} AS {name}" for name, expr in _TRAIN_FEATS)
+    ctes = [
+        f"""t AS (
+          SELECT doc_id, {', '.join(n for n, _ in _TRAIN_FEATS)},
+                 CASE WHEN f1 > 250 AND f2 * 7 > f1 THEN 1 ELSE 0 END AS y,
+                 (doc_id % 10) < 8 AS is_train
+          FROM (SELECT doc_id, {feat_sel} FROM documents))""",
+        "s0 AS (SELECT count(*) AS n, "
+        + ", ".join(
+            f"sum(f{j}) AS s{j}, sum(f{j} * f{j}) AS q{j}"
+            for j in range(1, nf + 1)
+        )
+        + " FROM t WHERE is_train)",
+        "sm AS (SELECT n, "
+        + ", ".join(
+            f"CAST(s{j} AS DOUBLE) / CAST(n AS DOUBLE) AS m{j}, "
+            f"CAST(q{j} AS DOUBLE) / CAST(n AS DOUBLE) AS e{j}"
+            for j in range(1, nf + 1)
+        )
+        + " FROM s0)",
+        "s AS (SELECT n, "
+        + ", ".join(
+            f"m{j}, CASE WHEN e{j} - m{j} * m{j} > 0.0 "
+            f"THEN sqrt(e{j} - m{j} * m{j}) ELSE 1.0 END AS sg{j}"
+            for j in range(1, nf + 1)
+        )
+        + " FROM sm)",
+        "tx AS (SELECT "
+        + ", ".join(
+            f"(CAST(f{j} AS DOUBLE) - s.m{j}) / s.sg{j} AS x{j}"
+            for j in range(1, nf + 1)
+        )
+        + ", CAST(y AS DOUBLE) AS yd, is_train FROM t, s)",
+        "w0 AS (SELECT "
+        + ", ".join(f"0.0 AS w{j}" for j in range(1, nf + 1))
+        + ", 0.0 AS b)",
+    ]
+    xs = ", ".join(f"x{j}" for j in range(1, nf + 1))
+    for k in range(1, steps + 1):
+        ctes.append(f"""p{k} AS (
+          SELECT {xs}, yd,
+                 0.5 + z / (2.0 * (1.0 + abs(z))) AS p
+          FROM (SELECT {xs}, yd, {_train_z_sql('w')} AS z
+                FROM tx, w{k - 1} w WHERE tx.is_train))""")
+        ctes.append(
+            f"g{k} AS (SELECT "
+            + ", ".join(
+                f"sum(CAST(floor(((p - yd) * x{j}) * {_TRAIN_SCALE}) "
+                f"AS BIGINT)) AS g{j}"
+                for j in range(1, nf + 1)
+            )
+            + f", sum(CAST(floor((p - yd) * {_TRAIN_SCALE}) AS BIGINT))"
+            f" AS gb FROM p{k})"
+        )
+        ctes.append(
+            f"w{k} AS (SELECT "
+            + ", ".join(
+                f"w.w{j} - {_TRAIN_LR} * ((CAST(g.g{j} AS DOUBLE) / "
+                f"{_TRAIN_SCALE}) / CAST(s.n AS DOUBLE)) AS w{j}"
+                for j in range(1, nf + 1)
+            )
+            + f", w.b - {_TRAIN_LR} * ((CAST(g.gb AS DOUBLE) / "
+            f"{_TRAIN_SCALE}) / CAST(s.n AS DOUBLE)) AS b "
+            f"FROM w{k - 1} w, g{k} g, s)"
+        )
+    ctes.append(f"""val AS (
+      SELECT count(*) AS val_total,
+             sum(CASE WHEN (z > 0.0) = (yd > 0.5) THEN 1 ELSE 0 END)
+               AS val_correct
+      FROM (SELECT yd, {_train_z_sql('w')} AS z
+            FROM tx, w{steps} w WHERE NOT tx.is_train))""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + " SELECT "
+        + ", ".join(f"w.w{j} AS w{j}" for j in range(1, nf + 1))
+        + ", w.b AS bias, CAST(s.n AS BIGINT) AS n_train, "
+        "CAST(val.val_correct AS BIGINT) AS val_correct, "
+        "CAST(val.val_total AS BIGINT) AS val_total "
+        f"FROM w{steps} w, s, val"
+    )
+
+
+@register("train_quality_classifier", _train_logistic_sql(_TRAIN_STEPS))
+def train_quality_classifier(spark, sf):
+    """Train a document-quality logistic classifier END-TO-END on the
+    cluster and return the fitted model row — the distributed upgrade
+    of the reference's ``train`` loop (/root/reference/src/octopy/cli/
+    train.py:64-77: epoch-wise gradient refinement over the full set),
+    re-expressed as one exact DataFrame aggregation per GD step (see
+    octospark/trainer.py for the fixed-point + rational-sigmoid
+    exactness design; the oracle replays the SAME training loop
+    unrolled in SQL and agrees bitwise).
+
+    Features are integer char-count statistics of each document (the
+    CCNet-style cheap quality signals); the label is a deterministic
+    quality rule, so the classifier is a self-training distillation of
+    the rule — exactly how the reference bootstraps its scorer from
+    heuristic labels. Split is content-stable (doc_id % 10), NOT
+    randomSplit, so train membership does not depend on partitioning.
+
+    Scale shape: steps+2 full passes (stats, steps gradients, val),
+    each a map-side partial aggregation producing ~12 numbers; nothing
+    row-shaped ever reaches the driver. The frame is persisted across
+    passes (at 100 TB: a cached/checkpointed projection of just the 7
+    needed columns)."""
+    from octospark.trainer import fit_logistic_exact
+
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    f1 = F.length(txt)
+    feats = {
+        "f1": f1,
+        "f2": f1 - F.length(F.translate(txt, " ", "")),
+        "f3": f1 - F.length(F.translate(txt, "a", "")),
+        "f4": f1 - F.length(F.translate(txt, "e", "")),
+        "f5": f1 - F.length(F.translate(txt, "t", "")),
+    }
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", *[c.alias(n) for n, c in feats.items()]
+    )
+    frame = d.select(
+        *feats,
+        ((F.col("f1") > 250) & (F.col("f2") * 7 > F.col("f1")))
+        .cast("long")
+        .alias("y"),
+        ((F.col("doc_id") % 10) < 8).alias("is_train"),
+    )
+    m = fit_logistic_exact(
+        frame, list(feats), steps=_TRAIN_STEPS, lr=float(_TRAIN_LR)
+    )
+    row = {f"w{j + 1}": m["weights"][j] for j in range(len(feats))}
+    row.update(
+        bias=m["bias"], n_train=m["n_train"],
+        val_correct=m["val_correct"], val_total=m["val_total"],
+    )
+    return spark.createDataFrame(
+        [row],
+        schema="w1 double, w2 double, w3 double, w4 double, w5 double, "
+        "bias double, n_train bigint, val_correct bigint, "
+        "val_total bigint",
+    )

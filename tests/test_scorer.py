@@ -110,3 +110,29 @@ def test_fit_empty_training_frame_clear_error(spark, labeled):
     ValueError, not a cryptic IndexError from 1-D slicing."""
     with pytest.raises(ValueError, match="no training rows"):
         fit_scorer(labeled.filter(F.lit(False)), epochs=5)
+
+
+def test_distributed_scorer_partitioning_invariant_and_learns(spark, labeled):
+    """The scale path (fit_scorer_distributed) is bit-identical at any
+    partitioning and reproduces the heuristic cascade about as well as
+    the driver-side trainer does."""
+    from octospark.scorer import fit_scorer_distributed, score_expr_distributed
+    from pyspark.sql import functions as F
+
+    m1 = fit_scorer_distributed(labeled.coalesce(1), steps=20)
+    m2 = fit_scorer_distributed(labeled.repartition(7), steps=20)
+    assert m1["weights"] == m2["weights"] and m1["bias"] == m2["bias"]
+    assert m1["val_total"] > 0 and m1["val_acc"] >= 0.75
+    # inference path stays pure-JVM: scoring agrees with training labels
+    from octospark.scorer import _with_context, training_frame
+
+    scored = _with_context(labeled).withColumn(
+        "z", score_expr_distributed(m1)
+    )
+    agree = scored.select(
+        (
+            (F.col("z") > 0)
+            == F.col("label").isin("content", "heading")
+        ).cast("int").alias("ok")
+    ).agg(F.avg("ok")).collect()[0][0]
+    assert agree >= 0.75
