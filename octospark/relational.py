@@ -1656,3 +1656,86 @@ def join_skew_salted(spark, sf):
     return joined.groupBy("s_nationkey").agg(
         F.count("*").alias("n"), F.sum("qty").alias("sum_qty")
     )
+
+
+@register(
+    "table_merge_upsert",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS okey, o_totalprice AS price,
+             o_orderstatus AS status, 0 AS version, 'U' AS op
+      FROM orders),
+    cdc AS (
+      SELECT o_orderkey AS okey, o_totalprice + 100.0 AS price,
+             'P' AS status, 1 AS version,
+             CASE WHEN o_orderkey % 21 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000 AS okey, o_totalprice AS price,
+             'N' AS status, 1 AS version, 'U' AS op
+      FROM orders WHERE o_orderkey % 11 = 0),
+    merged AS (
+      SELECT okey,
+             arg_max(price, version) AS price,
+             arg_max(status, version) AS status,
+             arg_max(op, version) AS op,
+             max(version) AS version
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM cdc)
+      GROUP BY okey)
+    SELECT okey, price, status, version FROM merged WHERE op <> 'D'
+    """,
+)
+def table_merge_upsert(spark, sf):
+    """MERGE INTO emulation (latest-wins upsert + delete) over a base
+    table and a CDC batch — the Iceberg/Delta merge-on-read compaction
+    primitive the lineage/resume story needs for mutable corpora
+    (re-crawls correcting earlier extractions). CDC rows are derived
+    deterministically from orders: updates (+100 price) for key%3==0,
+    deletes for key%21==0, inserts (key+1e8) for key%11==0.
+
+    Scale shape: latest-per-key via ``max_by(struct, version)`` — a
+    PARTIAL-AGGREGABLE reducer (map-side combine folds each partition's
+    candidates to one row per key before the exchange), deliberately
+    NOT a row_number window, which would sort every key group through
+    the shuffle. One union + one groupBy; deletes filtered after the
+    merge. At 10^12 rows the base side would be bucketed by key so
+    only the (much smaller) CDC batch shuffles. Reference analog:
+    resume-from-checkpoint overwrite semantics, /root/reference/src/
+    octopy/cli/train.py:89-97 re-imagined as table maintenance."""
+    o = load_table(spark, sf, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(0).alias("version"),
+        F.lit("U").alias("op"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("okey"),
+        (F.col("o_totalprice") + F.lit(100.0)).alias("price"),
+        F.lit("P").alias("status"),
+        F.lit(1).alias("version"),
+        F.when(F.col("o_orderkey") % 21 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + F.lit(100000000)).alias("okey"),
+        F.col("o_totalprice").alias("price"),
+        F.lit("N").alias("status"),
+        F.lit(1).alias("version"),
+        F.lit("U").alias("op"),
+    )
+    allrows = base.unionByName(upd).unionByName(ins)
+    winner = F.max_by(
+        F.struct("price", "status", "op"), F.col("version")
+    ).alias("w")
+    merged = allrows.groupBy("okey").agg(
+        winner, F.max("version").alias("version")
+    )
+    return merged.filter(F.col("w.op") != "D").select(
+        "okey",
+        F.col("w.price").alias("price"),
+        F.col("w.status").alias("status"),
+        "version",
+    )

@@ -179,3 +179,32 @@ def run_stream_to_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_page_counts(
+    pages: DataFrame,
+    watermark: str = "5 minutes",
+    window: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window page counts in APPEND mode — the
+    real late-data contract (the oracle-checked batch twin is
+    ``stream_tumbling_window``): a window row is emitted exactly once,
+    when the event-time watermark passes its end, and rows arriving
+    behind the watermark are DROPPED rather than mutating an
+    already-final window. tests/test_streamops.py drives three
+    micro-batches through this and pins both halves of the contract.
+
+    Scale shape: the streaming agg state is per-window partial counts
+    (the same partial-aggregable sum as batch); the watermark bounds
+    state size — without it the window store grows forever on a
+    10^12-page crawl stream."""
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"))
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n_pages",
+        )
+    )

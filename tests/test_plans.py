@@ -446,3 +446,12 @@ def test_skew_salted_join_spreads_hot_key(spark):
     assert "hashpartitioning(skew_key" in plan
     assert "salt" in plan.split("hashpartitioning(skew_key")[1].split(")")[0]
     assert "Generate explode" in plan or "explode" in plan
+
+
+def test_merge_upsert_partial_aggregates_before_exchange(spark):
+    """table_merge_upsert must reduce to one candidate per key map-side
+    (partial_max_by below the exchange) rather than sorting every key
+    group through the shuffle with a row_number window."""
+    plan = plan_of(QUERIES["table_merge_upsert"](spark, SF))
+    assert "partial_max_by" in plan
+    assert "Window" not in plan

@@ -205,3 +205,66 @@ def test_stream_dedup_within_watermark(spark, pages, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 40
     assert got.select("url").distinct().count() == 40
+
+
+def test_watermark_finalizes_windows_and_drops_late_rows(spark, tmp_path):
+    """The REAL late-data contract across multiple micro-batches
+    (append mode): a window is emitted exactly once when the watermark
+    passes its end, and a row arriving BEHIND the watermark is dropped
+    instead of mutating the already-final window."""
+    import time
+
+    from octospark.streamops import windowed_page_counts
+
+    src_dir = str(tmp_path / "wm_in")
+    ckpt = str(tmp_path / "wm_ckpt")
+
+    def land(name, ts_list):
+        # one file per call == one micro-batch (maxFilesPerTrigger=1)
+        spark.createDataFrame(
+            [(f"https://h/{name}/{i}", ts) for i, ts in enumerate(ts_list)],
+            "url string, warc_ts string",
+        ).select(
+            "url", F.col("warc_ts").cast("timestamp").alias("warc_ts")
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    # batch 1: two rows in window A [10:00,10:05) + one in B [10:20,10:25)
+    land("b1", ["2026-01-01 10:00:30", "2026-01-01 10:01:00",
+                "2026-01-01 10:20:00"])
+
+    stream = (
+        spark.readStream.schema("url string, warc_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        windowed_page_counts(stream)
+        .writeStream.format("memory")
+        .queryName("wm_counts")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark is now 10:20 - 5min = 10:15 (updated post-batch)
+
+        # batch 2: one LATE row for window A (behind the watermark — must
+        # be dropped) + one at 10:40 advancing the watermark to 10:35,
+        # which finalizes A and B
+        land("b2", ["2026-01-01 10:02:00", "2026-01-01 10:40:00"])
+        q.processAllAvailable()
+
+        # batch 3: advance watermark past 10:45 to flush window C too
+        land("b3", ["2026-01-01 11:00:00"])
+        q.processAllAvailable()
+
+        got = {
+            r["win_start"].strftime("%H:%M"): r["n_pages"]
+            for r in spark.sql("SELECT * FROM wm_counts").collect()
+        }
+    finally:
+        q.stop()
+    # window A emitted ONCE with the on-time rows only (late row dropped);
+    # B and C finalized with their single rows; 11:00 window still open
+    assert got == {"10:00": 2, "10:20": 1, "10:40": 1}
