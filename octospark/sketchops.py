@@ -110,3 +110,97 @@ def agg_sketch_hll_two_level(spark, sf):
         F.count("source").alias("n_sources"),
         F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("n_docs_est"),
     )
+
+
+_CMS_D = 4          # hash rows
+_CMS_W = 512        # buckets per row
+_CMS_P = 2147483647  # Mersenne prime 2^31-1
+# (a, b) pairs per row — small constants keep every product < 2^62 so
+# int64 arithmetic is exact (never wraps) in BOTH engines
+_CMS_AB = [(31, 7), (131, 3), (1777, 11), (65537, 19)]
+
+
+def _cms_bucket_sql(j: int, key: str) -> str:
+    a, b = _CMS_AB[j]
+    return f"((({key} * {a} + {b}) % {_CMS_P}) % {_CMS_W})"
+
+
+_CMS_SQL = f"""
+    WITH keyed AS (
+      SELECT user_id % 97 AS k FROM events),
+    sketch AS (
+      SELECT j, bucket, count(*) AS counter
+      FROM (SELECT k, j,
+                   CASE j {' '.join(f'WHEN {j} THEN ' + _cms_bucket_sql(j, 'k') for j in range(_CMS_D))} END AS bucket
+            FROM keyed, (SELECT unnest(range({_CMS_D})) AS j))
+      GROUP BY j, bucket),
+    truth AS (SELECT k, count(*) AS true_n FROM keyed GROUP BY k),
+    probe AS (
+      SELECT t.k, t.true_n, min(s.counter) AS est_n
+      FROM truth t
+      JOIN (SELECT unnest(range({_CMS_D})) AS j) js ON TRUE
+      JOIN sketch s
+        ON s.j = js.j
+       AND s.bucket = CASE js.j {' '.join(f'WHEN {j} THEN ' + _cms_bucket_sql(j, 't.k') for j in range(_CMS_D))} END
+      GROUP BY t.k, t.true_n)
+    SELECT k, true_n, est_n FROM probe
+"""
+
+
+@register("agg_sketch_countmin", _CMS_SQL)
+def agg_sketch_countmin(spark, sf):
+    """Count-min sketch build + probe — the frequency-estimation sketch
+    completing the theta (set ops) / HLL (distinct) / CMS (per-key
+    counts) triple a corpus census needs when the key space (urls,
+    shingles) is too wide to count exactly: d x w integer counters
+    replace a billion-row count table; estimates are upper bounds
+    (min over d rows), exact when a key's buckets are collision-free.
+
+    Both the build (explode each row into d (row, bucket) increments →
+    partial-agg count) and the probe (broadcast the kilobyte sketch,
+    min over d lookups) are one-shuffle shapes; the sketch itself is
+    d*w = 2048 counters regardless of input size. Deterministic
+    multiply-shift bucket hash (constants sized so int64 products
+    never overflow) makes the DuckDB replay EXACT — including any
+    collisions, which both engines reproduce identically.
+
+    Reference analog: R27's class statistics at a key cardinality
+    where exact groupBy counts stop being storable."""
+    ev = load_table(spark, sf, "events").select(
+        (F.col("user_id") % 97).alias("k")
+    )
+
+    def bucket(j: int, key):
+        a, b = _CMS_AB[j]
+        return ((key * a + b) % _CMS_P) % _CMS_W
+
+    increments = ev.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"), bucket(j, F.col("k")).alias("bucket")
+                )
+                for j in range(_CMS_D)
+            ])
+        ).alias("jb")
+    ).select("jb.j", "jb.bucket")
+    sketch = increments.groupBy("j", "bucket").agg(
+        F.count("*").alias("counter")
+    )
+    truth = ev.groupBy("k").agg(F.count("*").alias("true_n"))
+    probes = truth.select(
+        "k", "true_n",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"), bucket(j, F.col("k")).alias("bucket")
+                )
+                for j in range(_CMS_D)
+            ])
+        ).alias("jb"),
+    ).select("k", "true_n", "jb.j", "jb.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("k", "true_n")
+        .agg(F.min("counter").alias("est_n"))
+    )

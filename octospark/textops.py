@@ -3797,3 +3797,68 @@ def train_quality_classifier(spark, sf):
         "bias double, n_train bigint, val_correct bigint, "
         "val_total bigint",
     )
+
+
+_ROBOTS_SQL = """
+    WITH urls AS (
+      SELECT doc_id, source AS host,
+             '/doc/' || CAST(doc_id AS VARCHAR) AS path,
+             'https://' || source || '.example.org/doc/' ||
+               CAST(doc_id AS VARCHAR) AS url
+      FROM documents),
+    rules AS (
+      SELECT host, disallow FROM (
+        SELECT DISTINCT source AS host FROM documents) h,
+      LATERAL (
+        SELECT unnest(CASE WHEN length(h.host) % 2 = 0
+                           THEN ['/doc/1', '/doc/3']
+                           ELSE ['/doc/1'] END) AS disallow) r)
+    SELECT u.doc_id, u.url
+    FROM urls u
+    WHERE NOT EXISTS (
+      SELECT 1 FROM rules r
+      WHERE r.host = u.host AND starts_with(u.path, r.disallow))
+"""
+
+
+@register("crawl_robots_filter", _ROBOTS_SQL)
+def crawl_robots_filter(spark, sf):
+    """robots.txt Disallow filtering — the crawl-politeness gate every
+    corpus ingest runs before fetching/keeping a url: a per-host rule
+    table of path prefixes, a url survives iff NO rule of its host
+    prefixes its path. Rules are synthesized deterministically (every
+    host disallows '/doc/1'; even-length hosts also '/doc/3' — prefix
+    semantics are real: '/doc/1' kills doc 1, 10-19, 100-199, ...).
+
+    Scale shape: the rule table is tiny (hosts x few rules) and
+    BROADCAST; the filter is a left_anti broadcast join with an
+    equi-host + startswith compound condition — zero shuffle of the
+    url table, no regex. At 10^12 urls this is a map-side filter.
+    Reference analog: R2's pre-decode guard (drop before the expensive
+    stage), applied at the crawl frontier."""
+    d = load_table(spark, sf, "documents")
+    urls = d.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.concat(F.lit("/doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    hosts = d.select(F.col("source").alias("host")).distinct()
+    rules = hosts.select(
+        "host",
+        F.explode(
+            F.when(
+                F.length("host") % 2 == 0,
+                F.array(F.lit("/doc/1"), F.lit("/doc/3")),
+            ).otherwise(F.array(F.lit("/doc/1")))
+        ).alias("disallow"),
+    )
+    blocked = (urls["host"] == rules["host"]) & urls["path"].startswith(
+        rules["disallow"]
+    )
+    return urls.join(F.broadcast(rules), blocked, "left_anti").select(
+        "doc_id", "url"
+    )

@@ -455,3 +455,24 @@ def test_merge_upsert_partial_aggregates_before_exchange(spark):
     plan = plan_of(QUERIES["table_merge_upsert"](spark, SF))
     assert "partial_max_by" in plan
     assert "Window" not in plan
+
+
+def test_robots_filter_is_broadcast_anti_join(spark):
+    """crawl_robots_filter must filter the url table with a broadcast
+    LeftAnti hash join on host (startswith as residual) — never
+    shuffling the 10^12-row url side."""
+    from octospark.textops import QUERIES as TQ
+
+    plan = plan_of(TQ["crawl_robots_filter"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_countmin_probe_broadcasts_the_sketch(spark):
+    """agg_sketch_countmin's probe joins against the kilobyte sketch as
+    a broadcast — the sketch, not the keys, moves."""
+    from octospark.sketchops import QUERIES as SQ
+
+    plan = plan_of(SQ["agg_sketch_countmin"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
