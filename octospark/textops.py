@@ -3650,12 +3650,16 @@ def _train_z_sql(wref: str) -> str:
     return z
 
 
-def _train_logistic_sql(steps: int) -> str:
+def _train_logistic_sql(steps: int, emit: str = "model") -> str:
     """Unrolled full-batch-GD oracle: replays the exact fixed-point
     training loop of octospark/trainer.py in SQL (rational sigmoid +
     floor-quantized gradient sums make every intermediate either an
     exact integer or a correctly-rounded double, so the engines agree
-    bitwise; see trainer.py module docstring)."""
+    bitwise; see trainer.py module docstring).
+
+    ``emit='model'`` returns the fitted weights row; ``emit='scores'``
+    additionally replays inference and returns the docs the trained
+    classifier keeps (z > 0) with their scores."""
     nf = len(_TRAIN_FEATS)
     feat_sel = ", ".join(f"{expr} AS {name}" for name, expr in _TRAIN_FEATS)
     ctes = [
@@ -3684,7 +3688,7 @@ def _train_logistic_sql(steps: int) -> str:
             for j in range(1, nf + 1)
         )
         + " FROM sm)",
-        "tx AS (SELECT "
+        "tx AS (SELECT doc_id, "
         + ", ".join(
             f"(CAST(f{j} AS DOUBLE) - s.m{j}) / s.sg{j} AS x{j}"
             for j in range(1, nf + 1)
@@ -3722,6 +3726,14 @@ def _train_logistic_sql(steps: int) -> str:
             f"{_TRAIN_SCALE}) / CAST(s.n AS DOUBLE)) AS b "
             f"FROM w{k - 1} w, g{k} g, s)"
         )
+    if emit == "scores":
+        return (
+            "WITH " + ",\n".join(ctes)
+            + f""" SELECT doc_id, z AS score
+            FROM (SELECT doc_id, {_train_z_sql('w')} AS z
+                  FROM tx, w{steps} w)
+            WHERE z > 0.0"""
+        )
     ctes.append(f"""val AS (
       SELECT count(*) AS val_total,
              sum(CASE WHEN (z > 0.0) = (yd > 0.5) THEN 1 ELSE 0 END)
@@ -3737,6 +3749,36 @@ def _train_logistic_sql(steps: int) -> str:
         "CAST(val.val_total AS BIGINT) AS val_total "
         f"FROM w{steps} w, s, val"
     )
+
+
+
+
+
+def _train_feature_frame(spark, sf):
+    """Shared trainer input: doc_id + integer char-count features + the
+    deterministic quality label + the content-stable split flag."""
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    f1 = F.length(txt)
+    feats = {
+        "f1": f1,
+        "f2": f1 - F.length(F.translate(txt, " ", "")),
+        "f3": f1 - F.length(F.translate(txt, "a", "")),
+        "f4": f1 - F.length(F.translate(txt, "e", "")),
+        "f5": f1 - F.length(F.translate(txt, "t", "")),
+    }
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", *[c.alias(n) for n, c in feats.items()]
+    )
+    frame = d.select(
+        "doc_id",
+        *feats,
+        ((F.col("f1") > 250) & (F.col("f2") * 7 > F.col("f1")))
+        .cast("long")
+        .alias("y"),
+        ((F.col("doc_id") % 10) < 8).alias("is_train"),
+    )
+    return frame, list(feats)
+
 
 
 @register("train_quality_classifier", _train_logistic_sql(_TRAIN_STEPS))
@@ -3764,27 +3806,9 @@ def train_quality_classifier(spark, sf):
     needed columns)."""
     from octospark.trainer import fit_logistic_exact
 
-    txt = F.coalesce(F.col("text"), F.lit(""))
-    f1 = F.length(txt)
-    feats = {
-        "f1": f1,
-        "f2": f1 - F.length(F.translate(txt, " ", "")),
-        "f3": f1 - F.length(F.translate(txt, "a", "")),
-        "f4": f1 - F.length(F.translate(txt, "e", "")),
-        "f5": f1 - F.length(F.translate(txt, "t", "")),
-    }
-    d = load_table(spark, sf, "documents").select(
-        "doc_id", *[c.alias(n) for n, c in feats.items()]
-    )
-    frame = d.select(
-        *feats,
-        ((F.col("f1") > 250) & (F.col("f2") * 7 > F.col("f1")))
-        .cast("long")
-        .alias("y"),
-        ((F.col("doc_id") % 10) < 8).alias("is_train"),
-    )
+    frame, feats = _train_feature_frame(spark, sf)
     m = fit_logistic_exact(
-        frame, list(feats), steps=_TRAIN_STEPS, lr=float(_TRAIN_LR)
+        frame, feats, steps=_TRAIN_STEPS, lr=float(_TRAIN_LR)
     )
     row = {f"w{j + 1}": m["weights"][j] for j in range(len(feats))}
     row.update(
@@ -3861,4 +3885,35 @@ def crawl_robots_filter(spark, sf):
     )
     return urls.join(F.broadcast(rules), blocked, "left_anti").select(
         "doc_id", "url"
+    )
+
+
+@register(
+    "corpus_classifier_filter",
+    _train_logistic_sql(_TRAIN_STEPS, emit="scores"),
+)
+def corpus_classifier_filter(spark, sf):
+    """Model-based corpus quality filtering (the DCLM/fasttext-classifier
+    gate): train the quality classifier end-to-end on the cluster
+    (identical loop to ``train_quality_classifier``), then score EVERY
+    document with the fitted weights as a constant-folded JVM
+    expression and keep the docs the model accepts (z > 0). The oracle
+    replays training AND inference in SQL — the kept set and the
+    scores agree bitwise, so the key pins that a model-filtered corpus
+    is reproducible across engines and parallelism.
+
+    Scale shape: training as in train_quality_classifier (steps+1
+    bounded-output passes); inference is one map-side projection +
+    filter over the feature frame — no shuffle, no Python, the exact
+    shape a 10^12-doc quality gate needs."""
+    from octospark.trainer import fit_logistic_exact, score_expr_exact
+
+    frame, feats = _train_feature_frame(spark, sf)
+    m = fit_logistic_exact(
+        frame, feats, steps=_TRAIN_STEPS, lr=float(_TRAIN_LR)
+    )
+    z = score_expr_exact(m)
+    return (
+        frame.select("doc_id", z.alias("score"))
+        .filter(F.col("score") > 0.0)
     )
