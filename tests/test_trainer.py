@@ -126,3 +126,19 @@ def test_quality_key_output_invariants(spark):
     assert all(
         isinstance(row[c], float) for c in ("w1", "w2", "w3", "w4", "w5")
     )
+
+
+def test_constant_feature_uses_unit_sigma_not_nan(spark):
+    """A constant feature (variance 0) must hit the sigma=1.0 guard on
+    both engines' op sequence — weights stay finite and the constant
+    feature's standardized value is a harmless constant."""
+    df = spark.range(200).select(
+        (F.col("id") % 13).alias("f1"),
+        F.lit(7).alias("f2"),  # constant
+        ((F.col("id") % 13) > 6).cast("long").alias("y"),
+        ((F.col("id") % 10) < 8).alias("is_train"),
+    )
+    m = fit_logistic_exact(df, ["f1", "f2"], steps=6)
+    assert m["sigma"][1] == 1.0
+    assert all(math.isfinite(x) for x in m["weights"] + [m["bias"]])
+    assert m["val_correct"] > m["val_total"] // 2
