@@ -3917,3 +3917,70 @@ def corpus_classifier_filter(spark, sf):
         frame.select("doc_id", z.alias("score"))
         .filter(F.col("score") > 0.0)
     )
+
+
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+_CHUNK_SQL = f"""
+    WITH w AS (
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS words
+      FROM documents),
+    n AS (SELECT doc_id, words, len(words) AS n_tok FROM w),
+    c AS (
+      SELECT doc_id, n_tok,
+             unnest(range(0, greatest(n_tok, 1), {_CHUNK_STRIDE}))
+               AS start_tok,
+             words
+      FROM n)
+    SELECT doc_id,
+           start_tok // {_CHUNK_STRIDE} AS chunk_id,
+           start_tok,
+           least(start_tok + {_CHUNK_SIZE}, n_tok) AS end_tok,
+           array_to_string(
+             words[start_tok + 1 : start_tok + {_CHUNK_SIZE}], ' ')
+             AS chunk_text
+    FROM c
+"""
+
+
+@register("text_chunk_spans", _CHUNK_SQL)
+def text_chunk_spans(spark, sf):
+    """Overlapping fixed-size token chunking (size 32, stride 24) —
+    the RAG/embedding-ingest shape: each document becomes deterministic
+    (doc_id, chunk_id, start_tok, end_tok, chunk_text) windows so
+    downstream embedding stays row-parallel and any chunk is
+    re-derivable from its offsets (the provenance contract the
+    extraction spans already follow).
+
+    Scale shape: one map-side projection (split + sequence + explode +
+    slice, all JVM builtins) — no shuffle, no Python; output rows
+    ~= n_tokens/stride per doc, bounded by construction. Reference
+    analog: stage-1 segmentation emits bounded per-unit windows
+    (R3/R7), applied at token granularity."""
+    d = load_table(spark, sf, "documents")
+    words = _words(F.coalesce(F.col("text"), F.lit("")))
+    n = F.size(words)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(_CHUNK_STRIDE)
+    )
+    return (
+        d.select(
+            "doc_id",
+            n.alias("n_tok"),
+            words.alias("words"),
+            F.explode(starts).alias("start_tok"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start_tok") / _CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            "start_tok",
+            F.least(
+                F.col("start_tok") + _CHUNK_SIZE, F.col("n_tok")
+            ).alias("end_tok"),
+            F.array_join(
+                F.slice(F.col("words"), F.col("start_tok") + 1, _CHUNK_SIZE),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )

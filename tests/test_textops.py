@@ -1138,3 +1138,69 @@ def test_upsample_epochs_exact_expansion(spark, sf_dir):
         assert per_doc[r.doc_id] == r.n_epochs
     assert all(1 <= n <= 4 for n in
                (min(4, -(-max_docs // v)) for v in lang_docs.values()))
+
+
+def test_countmin_estimate_is_upper_bound_and_mostly_exact(spark):
+    """CMS law: min-over-rows estimate can only over-count (est >=
+    true for every key); with 97 keys in 4x512 buckets most keys are
+    collision-free so est == true for the vast majority."""
+    from octospark.sketchops import QUERIES as SQ
+
+    rows = SQ["agg_sketch_countmin"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert all(r.est_n >= r.true_n for r in rows)
+    exact = sum(1 for r in rows if r.est_n == r.true_n)
+    assert exact >= int(0.9 * len(rows))
+
+
+def test_robots_filter_kept_urls_never_match_a_rule(spark):
+    """Direct prefix-semantics law: no surviving url's path starts with
+    a disallow rule of its host; and blocked docs actually exist."""
+    kept = {
+        r.doc_id
+        for r in T.QUERIES["crawl_robots_filter"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source").collect()
+    assert 0 < len(kept) < len(docs)
+    for r in docs:
+        path = f"/doc/{r.doc_id}"
+        rules = ["/doc/1", "/doc/3"] if len(r.source) % 2 == 0 else ["/doc/1"]
+        blocked = any(path.startswith(p) for p in rules)
+        assert (r.doc_id in kept) == (not blocked)
+
+
+def test_chunk_spans_cover_and_rebuild_documents(spark):
+    """Chunk law: per doc, chunks tile the token range with the pinned
+    stride/overlap, and stride-aligned reassembly reproduces the
+    original text exactly."""
+    out = T.QUERIES["text_chunk_spans"](spark, "/root/testdata/sf0.001")
+    docs = {
+        r.doc_id: (r.text or "")
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).collect()
+    }
+    by_doc: dict = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        words = docs[doc_id].split(" ")
+        chunks.sort(key=lambda r: r.start_tok)
+        assert [c.start_tok for c in chunks] == list(
+            range(0, max(len(words), 1), 24)
+        )
+        for c in chunks:
+            assert c.chunk_text == " ".join(words[c.start_tok:c.start_tok + 32])
+            assert c.end_tok == min(c.start_tok + 32, len(words))
+        # stride-aligned reassembly: first 24 tokens of each chunk +
+        # the full tail of the last one
+        rebuilt: list = []
+        for c in chunks[:-1]:
+            rebuilt.extend(c.chunk_text.split(" ")[:24])
+        rebuilt.extend(chunks[-1].chunk_text.split(" "))
+        assert " ".join(rebuilt) == docs[doc_id]
