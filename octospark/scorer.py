@@ -58,11 +58,17 @@ def _with_context(blocks: DataFrame) -> DataFrame:
     )
 
 
+def content_target() -> Column:
+    """The binary training target: labels the scorer treats as
+    content-ish. ONE definition shared by both trainers so they can
+    never silently diverge."""
+    return F.col("label").isin("content", "heading").cast("int")
+
+
 def training_frame(labeled_blocks: DataFrame) -> DataFrame:
     """blocks+label -> features + binary target (content-ish or not)."""
     return _with_context(labeled_blocks).select(
-        *FEATURES,
-        F.col("label").isin("content", "heading").cast("int").alias("y"),
+        *FEATURES, content_target().alias("y")
     )
 
 
@@ -80,28 +86,48 @@ def fit_scorer(
 
     Deterministic: seeded sample + seeded split + full-batch gradient
     descent (no minibatch RNG)."""
-    df = training_frame(labeled_blocks)
-    total = df.count()
-    if total > max_rows:
-        df = df.sample(fraction=max_rows / total, seed=SEED)
-    train_df, val_df = df.randomSplit([partition, 1 - partition], seed=SEED)
-    tr = np.asarray(train_df.collect(), dtype="float64")
-    va = np.asarray(val_df.collect(), dtype="float64")
+    # persist: count + the two split collects would otherwise recompute
+    # the expensive upstream (segment/classify mapInPandas) three times
+    base = training_frame(labeled_blocks).persist()
+    try:
+        total = base.count()
+        df = (
+            base.sample(fraction=max_rows / total, seed=SEED)
+            if total > max_rows
+            else base
+        )
+        train_df, val_df = df.randomSplit(
+            [partition, 1 - partition], seed=SEED
+        )
+        tr = np.asarray(train_df.collect(), dtype="float64")
+        va = np.asarray(val_df.collect(), dtype="float64")
+    finally:
+        base.unpersist()
     if tr.ndim != 2 or len(tr) == 0:
         raise ValueError(
             "no training rows for scored strategy (empty/too-small input)"
         )
-    if len(va) == 0:
+    val_is_train_fallback = len(va) == 0
+    if val_is_train_fallback:
         va = tr
     Xt, yt = tr[:, :-1], tr[:, -1]
     Xv, yv = va[:, :-1], va[:, -1]
-    # feature standardization (stats kept with the model)
-    mu, sigma = Xt.mean(axis=0), Xt.std(axis=0) + 1e-9
+    if resume_from:
+        # warm start (R24): reuse the checkpoint's weights AND its
+        # standardization stats — weights are only meaningful in the
+        # feature space they were trained in
+        ckpt = load_model(resume_from)
+        w = np.asarray(ckpt["weights"], dtype="float64")
+        b = float(ckpt["bias"])
+        mu = np.asarray(ckpt["mu"], dtype="float64")
+        sigma = np.asarray(ckpt["sigma"], dtype="float64")
+    else:
+        # feature standardization (stats kept with the model)
+        mu, sigma = Xt.mean(axis=0), Xt.std(axis=0) + 1e-9
+        w = np.zeros(Xt.shape[1])
+        b = 0.0
     Xt = (Xt - mu) / sigma
     Xv = (Xv - mu) / sigma
-
-    w = np.zeros(Xt.shape[1])
-    b = 0.0
     best: list = []  # (val_acc, epoch, weights, bias) top-k
     history = []
     try:
@@ -135,6 +161,9 @@ def fit_scorer(
         "mu": [float(x) for x in mu],
         "sigma": [float(x) for x in sigma],
         "val_acc": round(val_acc, 5),
+        # visible when the split produced no held-out rows: val_acc is
+        # then TRAIN accuracy and must not be read as generalization
+        "val_is_train_fallback": val_is_train_fallback,
         "best_epoch": epoch,
         "history": history,
         "seed": SEED,
@@ -177,14 +206,16 @@ def fit_scorer_distributed(
     # split on the ROW-unique (url, block_id) key: iid at row level (a
     # hash of the feature tuple would send every duplicate tuple to one
     # side — distribution shift), yet stable under any partitioning
-    bucket = F.pmod(F.xxhash64("url", "block_id"), F.lit(10))
+    # 1000-bucket granularity: int(round(p*10)) would turn 0.85 into
+    # an 80% split and 0.95 into a degenerate no-validation split
+    bucket = F.pmod(F.xxhash64("url", "block_id"), F.lit(1000))
     frame = df.select(
         *[
             F.floor(F.col(name).cast("double") * q).cast("long").alias(f"i_{name}")
             for name in FEATURES
         ],
-        F.col("label").isin("content", "heading").cast("int").alias("y"),
-        (bucket < F.lit(int(round(partition * 10)))).alias("is_train"),
+        content_target().alias("y"),
+        (bucket < F.lit(int(round(partition * 1000)))).alias("is_train"),
     )
     model = fit_logistic_exact(
         frame, feats, steps=steps, lr=lr, link="logistic"
@@ -259,5 +290,5 @@ def score_blocks(blocks: DataFrame, model: dict, threshold: float = 0.0) -> Data
     )
     return enriched.withColumn("score", z).withColumn(
         "scored_label",
-        F.when(z > threshold, "content").otherwise("noise"),
+        F.when(F.col("score") > threshold, "content").otherwise("noise"),
     )

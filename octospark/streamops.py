@@ -54,11 +54,33 @@ def extract_stream(
     return src.mapInPandas(_make_extract_batches(max_bytes), EXTRACTED_SCHEMA)
 
 
-def throughput_metrics(extracted: DataFrame, window: str = "1 hour") -> DataFrame:
-    """Windowed pages/window metric over the stream (append-mode safe:
-    aggregation keyed on the watermarked event-time window)."""
+def throughput_metrics(
+    pages: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Windowed pages/window metric (append-mode safe: aggregation
+    keyed on a watermarked event-time window).
+
+    Feed this the RAW pages stream (or extracted output re-streamed
+    from its sink), NOT ``extract_stream``'s in-flight output: Spark
+    allows exactly ONE ``withWatermark`` per query lineage, and the
+    mapInPandas extraction both consumes the upstream mark (for url
+    dedup) and strips the event-time metadata from its output — so an
+    aggregation over the in-flight extracted stream can neither reuse
+    nor redefine a watermark (tests pin the working composition).
+    Metrics over raw pages are equivalent for this corpus contract:
+    extracted text is byte-identical per url to the golden ``text``
+    column. The watermark is applied here only when the input does not
+    already carry one (batch DataFrames pass through untouched)."""
+    field = pages.schema["warc_ts"]
+    if (
+        pages.isStreaming
+        and "spark.watermarkDelayMs" not in (field.metadata or {})
+    ):
+        pages = pages.withWatermark("warc_ts", watermark)
     return (
-        extracted.groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        pages.groupBy(F.window("warc_ts", window).alias("w"), "lang")
         .agg(
             F.count("*").alias("n_pages"),
             F.sum(F.length("text")).alias("n_chars"),
@@ -119,13 +141,23 @@ def sessionize_stream(
 
         ts: list[int] = []
         for pdf in pdfs:
-            ts.extend(
-                pdf["warc_ts"].astype("datetime64[us]").astype("int64")
-            )
+            col = pdf["warc_ts"].astype("datetime64[us]")
+            # null event times would become NaT -> INT64_MIN garbage
+            ts.extend(col.dropna().astype("int64"))
         ts.sort()
         start, last, n = state.get if state.exists else (None, None, 0)
         out = []
         for t in ts:
+            if last is not None and t <= last:
+                # late-but-within-watermark event from an earlier batch:
+                # it belongs to the CURRENT session (true gap vs its
+                # neighbors is <= the gap we already accepted) — extend
+                # bounds, never regress `last` (that would fabricate
+                # splits against the next on-time event)
+                n += 1
+                if t < start:
+                    start = t
+                continue
             if last is not None and t - last > gap_us:
                 out.append(session_row(start, last, n))
                 start, n = t, 0
@@ -133,6 +165,10 @@ def sessionize_stream(
                 start = t
             last = t
             n += 1
+        if last is None:
+            # batch carried only null timestamps and no prior state
+            # exists — nothing to track, leave state untouched
+            return
         state.update((start, last, n))
         # event-time timeout must stay ahead of the current watermark
         timeout_ms = max(
@@ -142,10 +178,11 @@ def sessionize_stream(
         for df in out:
             yield df
 
-    host = F.regexp_extract("url", r"https?://([^/]+)", 1).alias("host")
+    from octospark.pipeline import host_of
+
     return (
         pages.withWatermark("warc_ts", watermark)
-        .select(host, "warc_ts")
+        .select(host_of(F.col("url")).alias("host"), "warc_ts")
         .groupBy("host")
         .applyInPandasWithState(
             fn,

@@ -136,3 +136,24 @@ def test_distributed_scorer_partitioning_invariant_and_learns(spark, labeled):
         ).cast("int").alias("ok")
     ).agg(F.avg("ok")).collect()[0][0]
     assert agree >= 0.75
+
+
+def test_resume_from_actually_warm_starts(spark, labeled, tmp_path):
+    """Code-review regression: resume_from was accepted but ignored. A
+    resumed 1-epoch fit must start from the checkpoint's weights and
+    standardization stats, not from zeros."""
+    import json
+
+    ckpt = str(tmp_path / "warm")
+    m0 = fit_scorer(labeled, epochs=60, checkpoint_dir=ckpt)
+    m1 = fit_scorer(
+        labeled, epochs=1, resume_from=str(tmp_path / "warm" / "best.json")
+    )
+    # stats are inherited from the checkpoint, not recomputed
+    assert m1["mu"] == m0["mu"] and m1["sigma"] == m0["sigma"]
+    # one epoch from the trained weights stays near the checkpoint's
+    # quality; one epoch from zeros does not
+    cold = fit_scorer(labeled, epochs=1)
+    assert m1["val_acc"] >= m0["val_acc"] - 0.05
+    assert m1["val_acc"] > cold["val_acc"]
+    assert m0["val_is_train_fallback"] is False

@@ -268,3 +268,105 @@ def test_watermark_finalizes_windows_and_drops_late_rows(spark, tmp_path):
     # window A emitted ONCE with the on-time rows only (late row dropped);
     # B and C finalized with their single rows; 11:00 window still open
     assert got == {"10:00": 2, "10:20": 1, "10:40": 1}
+
+
+def test_sessionize_late_event_extends_session_without_regressing_end(
+    spark, tmp_path
+):
+    """Code-review regression: a late-but-within-watermark event must
+    join the current session (count + possibly earlier start) WITHOUT
+    moving session_end backwards (the old `last = t` regression
+    fabricated gap splits), and null warc_ts rows must be ignored
+    instead of becoming INT64_MIN timestamps.
+
+    Batches (gap 30 min, watermark 10 min):
+      A: h1 @ 10:00, 10:20            (wm after A = 10:10)
+      B: h1 @ 10:15 (late, admitted), h1 @ null, h9 @ 11:30
+                                      (wm after B = 11:20)
+      C: h9 @ 23:00 -> h1 times out (10:50 < 11:20); h9 splits in the
+         trailing no-data batch (deadline 12:00 < 22:50)."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    import pandas as pd
+
+    from octospark.sources import PAGES_SCHEMA
+    from octospark.streamops import sessionize_stream
+
+    d = pd.Timestamp("2024-03-01")
+
+    def page(host, hh, mm):
+        ts = None if hh is None else d + pd.Timedelta(hours=hh, minutes=mm)
+        return (f"https://{host}/p{hh}{mm}", ts, b"<html></html>", "", "en")
+
+    in_dir = tmp_path / "late_in"
+    in_dir.mkdir()
+    batches = [
+        [page("h1", 10, 0), page("h1", 10, 20)],
+        [page("h1", 10, 15), page("h1", None, None), page("h9", 11, 30)],
+        [page("h9", 23, 0)],
+    ]
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            rows, columns=["url", "warc_ts", "html", "text", "lang"]
+        )
+        f = str(tmp_path / f"late_stage_{i}")
+        spark.createDataFrame(pdf, PAGES_SCHEMA).coalesce(1).write.parquet(f)
+        src = glob.glob(f"{f}/part-*.parquet")[0]
+        dst = str(in_dir / f"b{i}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (_time.time() + i, _time.time() + i))
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        sessionize_stream(stream, gap="30 minutes", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("late_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.host, r.session_start.strftime("%H:%M"),
+         r.session_end.strftime("%H:%M"), r.n_pages)
+        for r in spark.sql("SELECT * FROM late_sessions").collect()
+    }
+    assert ("h1", "10:00", "10:20", 3) in got, got  # end NOT regressed
+    assert ("h9", "11:30", "11:30", 1) in got, got
+
+
+def test_throughput_metrics_append_mode_over_pages_stream(
+    spark, pages, tmp_path
+):
+    """Code-review regression: the documented composition must actually
+    run in append mode. Spark permits ONE watermark per query lineage
+    and mapInPandas strips event-time metadata, so metrics consume the
+    RAW pages stream (equivalent: extracted text is byte-identical to
+    the golden text column) and throughput_metrics applies the single
+    watermark itself."""
+    from octospark.streamops import read_pages_stream, throughput_metrics
+
+    p = str(tmp_path / "tp_in")
+    pages.orderBy("url").limit(30).write.parquet(p)
+    metrics = throughput_metrics(
+        read_pages_stream(spark, p), window="5 minutes"
+    )
+    q = (
+        metrics.writeStream.format("memory")
+        .queryName("tp_metrics")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # pages span ~30 min of event time; the trailing no-data batch
+    # advances the watermark to max_ts - 10 min, flushing at least the
+    # first three 5-minute windows
+    assert spark.sql("SELECT * FROM tp_metrics").count() >= 3
