@@ -1671,7 +1671,7 @@ def join_skew_salted(spark, sf):
              CASE WHEN o_orderkey % 21 = 0 THEN 'D' ELSE 'U' END AS op
       FROM orders WHERE o_orderkey % 3 = 0
       UNION ALL
-      SELECT o_orderkey + 100000000 AS okey, o_totalprice AS price,
+      SELECT -(o_orderkey + 1) AS okey, o_totalprice AS price,
              'N' AS status, 1 AS version, 'U' AS op
       FROM orders WHERE o_orderkey % 11 = 0),
     merged AS (
@@ -1691,7 +1691,10 @@ def table_merge_upsert(spark, sf):
     primitive the lineage/resume story needs for mutable corpora
     (re-crawls correcting earlier extractions). CDC rows are derived
     deterministically from orders: updates (+100 price) for key%3==0,
-    deletes for key%21==0, inserts (key+1e8) for key%11==0.
+    deletes for key%21==0, inserts (-(key+1)) for key%11==0 — strictly negative
+    keys can NEVER collide with genuine positive orderkeys at ANY
+    scale factor (a fixed additive offset would collide with real keys
+    at SF >= ~17 and create version ties).
 
     Scale shape: latest-per-key via ``max_by(struct, version)`` — a
     PARTIAL-AGGREGABLE reducer (map-side combine folds each partition's
@@ -1720,7 +1723,7 @@ def table_merge_upsert(spark, sf):
         .alias("op"),
     )
     ins = o.filter(F.col("o_orderkey") % 11 == 0).select(
-        (F.col("o_orderkey") + F.lit(100000000)).alias("okey"),
+        (-(F.col("o_orderkey") + 1)).alias("okey"),
         F.col("o_totalprice").alias("price"),
         F.lit("N").alias("status"),
         F.lit(1).alias("version"),

@@ -86,6 +86,9 @@ def fit_scorer(
 
     Deterministic: seeded sample + seeded split + full-batch gradient
     descent (no minibatch RNG)."""
+    if epochs < 1:
+        raise ValueError("epochs must be >= 1 (use load_model to read "
+                         "a checkpoint without training)")
     # persist: count + the two split collects would otherwise recompute
     # the expensive upstream (segment/classify mapInPandas) three times
     base = training_frame(labeled_blocks).persist()
@@ -193,9 +196,10 @@ def fit_scorer_distributed(
     order-independent, and standardization absorbs the scaling, so the
     quantization costs < 1e-6 relative feature precision.
 
-    The train/val split is CONTENT-stable (hash of the feature tuple
-    mod 10 vs ``partition``), not randomSplit, so split membership
-    does not depend on partitioning either. Reference analog: the
+    The train/val split hashes the ROW-unique (url, block_id) key into
+    1000 buckets vs ``partition`` — iid at row level yet stable under
+    any partitioning (a feature-tuple hash would send every duplicate
+    tuple to one side: distribution shift). Reference analog: the
     epoch loop + partition split of /root/reference/src/octopy/cli/
     train.py:64-77,243-286."""
     from octospark.trainer import fit_logistic_exact
@@ -223,11 +227,30 @@ def fit_scorer_distributed(
     model["features"] = list(FEATURES)
     model["quantize_unit"] = 1048576.0
     if checkpoint_dir:
-        _save_ckpt(
-            checkpoint_dir, "best_distributed", model["weights"],
-            model["bias"], model["mu"], model["sigma"], model["val_acc"],
-        )
+        # persist the FULL model dict: _save_ckpt's reduced shape would
+        # drop features/quantize_unit, making the reload unusable (and
+        # its 2^20-space mu/sigma poisonous to a raw-feature warm start)
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        with open(
+            os.path.join(checkpoint_dir, "best_distributed.json"), "w"
+        ) as f:
+            json.dump(model, f, indent=1)
     return model
+
+
+def _linear_fold(model: dict, transform=None) -> Column:
+    """The shared standardized linear form b + sum(w*(x'-mu)/sigma),
+    where x' is the raw column or ``transform`` of it — ONE fold used
+    by both model formats so they cannot drift."""
+    z = F.lit(model["bias"])
+    for name, w, m, s in zip(
+        model["features"], model["weights"], model["mu"], model["sigma"]
+    ):
+        x = F.col(name).cast("double")
+        if transform is not None:
+            x = transform(x)
+        z = z + F.lit(w) * ((x - F.lit(m)) / F.lit(s))
+    return z
 
 
 def score_expr_distributed(model: dict) -> Column:
@@ -235,13 +258,9 @@ def score_expr_distributed(model: dict) -> Column:
     the SAME floor the trainer used, then the standardized linear form —
     still a pure-JVM constant-folded expression."""
     q = F.lit(model["quantize_unit"])
-    z = F.lit(model["bias"])
-    for name, w, m, s in zip(
-        model["features"], model["weights"], model["mu"], model["sigma"]
-    ):
-        xi = F.floor(F.col(name).cast("double") * q).cast("double")
-        z = z + F.lit(w) * ((xi - F.lit(m)) / F.lit(s))
-    return z
+    return _linear_fold(
+        model, transform=lambda x: F.floor(x * q).cast("double")
+    )
 
 
 def _save_ckpt(d, name, w, b, mu, sigma, val_acc) -> None:
@@ -265,12 +284,7 @@ def load_model(path: str) -> dict:
 def score_expr(model: dict) -> Column:
     """The inference path: w·x + b as a constant-folded JVM expression
     over context-enriched blocks — zero Python per row."""
-    z = F.lit(model["bias"])
-    for name, w, m, s in zip(
-        model["features"], model["weights"], model["mu"], model["sigma"]
-    ):
-        z = z + F.lit(w) * ((F.col(name) - F.lit(m)) / F.lit(s))
-    return z
+    return _linear_fold(model)
 
 
 def score_blocks(blocks: DataFrame, model: dict, threshold: float = 0.0) -> DataFrame:

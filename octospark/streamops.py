@@ -118,6 +118,15 @@ def sessionize_stream(
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    if pd.Timedelta(watermark) > pd.Timedelta(gap):
+        # the late-event merge branch assumes any admitted late event
+        # falls inside the still-open session; that only holds when
+        # late-ness is bounded by the gap itself
+        raise ValueError(
+            f"sessionize_stream requires watermark <= gap "
+            f"({watermark!r} > {gap!r}): a late event older than the "
+            f"gap would be merged into a session it does not belong to"
+        )
     gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
 
     def fn(key, pdfs, state: GroupState):

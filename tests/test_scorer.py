@@ -157,3 +157,23 @@ def test_resume_from_actually_warm_starts(spark, labeled, tmp_path):
     assert m1["val_acc"] >= m0["val_acc"] - 0.05
     assert m1["val_acc"] > cold["val_acc"]
     assert m0["val_is_train_fallback"] is False
+
+
+def test_distributed_checkpoint_roundtrips_full_model(spark, labeled, tmp_path):
+    """Code-review regression: the distributed checkpoint previously
+    dropped features/quantize_unit, so a reloaded model crashed
+    score_blocks (or silently warm-started in the wrong feature
+    space). The persisted file must round-trip the FULL model."""
+    from octospark.scorer import (
+        fit_scorer_distributed,
+        load_model,
+        score_blocks,
+    )
+
+    ckpt = str(tmp_path / "dist_ckpt")
+    m = fit_scorer_distributed(labeled, steps=5, checkpoint_dir=ckpt)
+    reloaded = load_model(f"{ckpt}/best_distributed.json")
+    assert reloaded["features"] == list(m["features"])
+    assert reloaded["quantize_unit"] == m["quantize_unit"]
+    scored = score_blocks(labeled, reloaded)
+    assert scored.filter(F.col("scored_label").isNull()).count() == 0
