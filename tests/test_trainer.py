@@ -142,3 +142,42 @@ def test_constant_feature_uses_unit_sigma_not_nan(spark):
     assert m["sigma"][1] == 1.0
     assert all(math.isfinite(x) for x in m["weights"] + [m["bias"]])
     assert m["val_correct"] > m["val_total"] // 2
+
+
+def test_property_bitwise_replica_on_random_frames(spark):
+    """Hypothesis generalization of the bitwise-replica law: for random
+    integer feature frames (including degenerate labels and constant
+    columns), the distributed trainer equals the pure-Python loop
+    EXACTLY — weights, bias, mu, sigma. Few examples because each draw
+    is a real Spark fit; the fixed-frame tests carry the fast path."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rows_st = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=-500, max_value=500),
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=5,
+        max_size=60,
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(rows_st)
+    def law(raw):
+        rows = [
+            (f1, f2, 0, y, i % 4 != 3)  # f3 constant: sigma guard path
+            for i, (f1, f2, y) in enumerate(raw)
+        ]
+        if not any(r[4] for r in rows):
+            return
+        df = spark.createDataFrame(
+            rows, "f1 long, f2 long, f3 long, y long, is_train boolean"
+        )
+        m = fit_logistic_exact(df.repartition(5), FEATS, steps=3)
+        w, b, mu, sg = _fit_python(rows, steps=3)
+        assert m["weights"] == w and m["bias"] == b
+        assert m["mu"] == mu and m["sigma"] == sg
+
+    law()
