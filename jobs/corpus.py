@@ -2,7 +2,8 @@
 
     spark-submit --py-files octospark.zip jobs/corpus.py \
         --sf-dir /root/testdata/sf0.001 --out /tmp/corpus \
-        [--budget 5000] [--contam-max 0.5] [--sample-denom 10]
+        [--budget 5000] [--contam-max 0.5] [--sample-denom 10] \
+        [--classifier-gate]
 
 Composes the §2.3 operators into the funnel every LLM corpus ships
 through before training:
@@ -47,6 +48,8 @@ def main(argv: list | None = None) -> int:
     ap.add_argument("--budget", type=int, default=5000)
     ap.add_argument("--contam-max", type=float, default=0.5)
     ap.add_argument("--sample-denom", type=int, default=10)
+    ap.add_argument("--classifier-gate", action="store_true",
+                    help="add the trained-model quality gate (clf_ok)")
     args = ap.parse_args(argv)
 
     from octospark.session import get_spark
@@ -56,15 +59,27 @@ def main(argv: list | None = None) -> int:
     flags, shards = assemble_corpus(
         spark, args.sf_dir, budget=args.budget,
         contam_max=args.contam_max, sample_denom=args.sample_denom,
+        classifier_gate=args.classifier_gate,
     )
     # funnel in ONE aggregation pass (never a count() job per stage)
-    funnel = flags.agg(
+    stage_aggs = [
         F.count("*").alias("input"),
         F.sum(F.col("dedup_keep").cast("long")).alias("after_dedup"),
         F.sum((F.col("dedup_keep") & F.col("contam_ok")).cast("long"))
         .alias("after_decontam"),
-        F.sum(F.col("survives").cast("long")).alias("after_quality"),
-    ).collect()[0]
+        F.sum(
+            (
+                F.col("dedup_keep") & F.col("contam_ok")
+                & F.col("quality_ok")
+            ).cast("long")
+        ).alias("after_quality"),
+    ]
+    if args.classifier_gate:
+        # survives == rule gates AND clf_ok when the gate is on
+        stage_aggs.append(
+            F.sum(F.col("survives").cast("long")).alias("after_classifier")
+        )
+    funnel = flags.agg(*stage_aggs).collect()[0]
 
     data_dir = os.path.join(args.out, "shards")
     shards.write.mode("overwrite").partitionBy("lang", "shard_id").parquet(
@@ -86,6 +101,11 @@ def main(argv: list | None = None) -> int:
             "after_dedup": funnel["after_dedup"],
             "after_decontam": funnel["after_decontam"],
             "after_quality": funnel["after_quality"],
+            **(
+                {"after_classifier": funnel["after_classifier"]}
+                if args.classifier_gate
+                else {}
+            ),
             "sampled": stats["sampled_docs"],
         },
         "n_shards": stats["n_shards"],

@@ -20,11 +20,18 @@ def assemble_corpus(
     budget: int = 5000,
     contam_max: float = 0.5,
     sample_denom: int = 10,
+    classifier_gate: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Return (flags, shards): ``flags`` carries one row per input doc
     with per-stage booleans (the funnel, computable in one agg);
     ``shards`` is the surviving sample packed into token-budget shards.
-    """
+
+    ``classifier_gate=True`` adds the model-based quality stage (the
+    DCLM/fasttext-style gate): train the distributed classifier on the
+    corpus itself (octospark/trainer.py — deterministic at any
+    parallelism) and require its acceptance (``clf_ok``) alongside the
+    rule gates. Off by default so the rule-only funnel stays the
+    oracle-checked contract (`corpus_assembly_funnel`)."""
     from octospark.sources import load_table
     from octospark.textops import (
         QUERIES,
@@ -63,10 +70,21 @@ def assemble_corpus(
             F.coalesce("contam_ok", F.lit(False)).alias("contam_ok"),
             F.coalesce("quality_ok", F.lit(False)).alias("quality_ok"),
         )
-        .withColumn(
-            "survives",
-            F.col("dedup_keep") & F.col("contam_ok") & F.col("quality_ok"),
+    )
+    if classifier_gate:
+        # stage 3b: trained-model gate — doc kept iff the classifier
+        # scores it positive (scoring is a map-side projection; the
+        # bounded training passes run once up front)
+        clf = QUERIES["corpus_classifier_filter"](spark, sf_dir).select(
+            "doc_id", F.lit(True).alias("clf_ok")
         )
+        flags = flags.join(clf, "doc_id", "left").withColumn(
+            "clf_ok", F.coalesce("clf_ok", F.lit(False))
+        )
+    flags = flags.withColumn(
+        "survives",
+        F.col("dedup_keep") & F.col("contam_ok") & F.col("quality_ok")
+        & (F.col("clf_ok") if classifier_gate else F.lit(True)),
     )
 
     # -- stage 4: stratified sample over SURVIVORS (exact quotas)

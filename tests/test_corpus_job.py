@@ -66,3 +66,25 @@ def test_corpus_job_cli_writes_manifest_and_shards(spark, tmp_path):
         f"read_parquet({files!r}, hive_partitioning=true)"
     ).fetchone()
     assert got[0] == got[1] == f["sampled"]
+
+
+def test_corpus_job_classifier_gate_tightens_funnel(spark, tmp_path):
+    """--classifier-gate adds the trained-model stage: after_classifier
+    is monotone inside the funnel, the manifest gains the stage, and
+    the shipped docs are exactly the fully-gated survivors."""
+    from jobs.corpus import main
+
+    out = str(tmp_path / "corpus_clf")
+    rc = main(["--sf-dir", SF, "--out", out, "--classifier-gate"])
+    assert rc == 0
+    man = json.load(open(os.path.join(out, "_corpus_manifest.json")))
+    f = man["funnel"]
+    assert (
+        f["after_quality"] >= f["after_classifier"] >= f["sampled"] > 0
+    )
+    # un-gated run for comparison: same rule funnel, no clf stage
+    out2 = str(tmp_path / "corpus_plain")
+    assert main(["--sf-dir", SF, "--out", out2]) == 0
+    man2 = json.load(open(os.path.join(out2, "_corpus_manifest.json")))
+    assert "after_classifier" not in man2["funnel"]
+    assert man2["funnel"]["after_quality"] == f["after_quality"]
