@@ -3984,3 +3984,119 @@ def text_chunk_spans(spark, sf):
             ).alias("chunk_text"),
         )
     )
+
+
+_SEMDEDUP_TAU = "0.95"
+
+
+def _semdedup_oracle_sql() -> str:
+    """Oracle for dedup_semantic_semdedup: cell assignment replays the
+    IVF tie-breaks (higher k wins dot ties), the dominance rule and the
+    sequential-fold cosines are bitwise-identical across engines."""
+    dvc = _sql_dot("v.v", "c.cv")
+    dab = _sql_dot("a.v", "b.v")
+    return f"""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000,
+             list_transform(embedding, x -> CAST(x AS DOUBLE))
+      FROM embeddings WHERE vec_id < 40
+    ),
+    c AS (SELECT vec_id - 1 AS k0, v AS cv FROM base
+          WHERE vec_id BETWEEN 1 AND 8),
+    assign AS (
+      SELECT vec_id, v,
+             sqrt({_sql_dot("base2.v", "base2.v")}) AS norm, cell
+      FROM (
+        SELECT vec_id, v, k0 AS cell FROM (
+          SELECT v.vec_id, v.v, c.k0,
+                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                    ORDER BY {dvc} DESC, c.k0 DESC) AS rn
+          FROM base v, c
+        ) WHERE rn = 1
+      ) base2
+    ),
+    dom AS (
+      SELECT a.vec_id, min(b.vec_id) AS dup_of
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND b.vec_id < a.vec_id
+       AND {dab} / (a.norm * b.norm) > {_SEMDEDUP_TAU}
+      GROUP BY a.vec_id
+    )
+    SELECT s.vec_id, s.cell, d.dup_of,
+           d.dup_of IS NULL AS kept
+    FROM assign s LEFT JOIN dom d ON s.vec_id = d.vec_id
+    """
+
+
+@register("dedup_semantic_semdedup", _semdedup_oracle_sql())
+def dedup_semantic_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    clustering embeddings and dropping within-cluster near-duplicates —
+    the dedup tier that catches paraphrases exact/minhash dedup cannot.
+    Cells come from the same coarse-centroid assignment as sim_ann_ivf
+    (K=8 deterministic seed vectors; a k-means job slots in without
+    changing the plan shape); within a cell, a vector is dropped when a
+    LOWER-id cell-mate has cosine > 0.95 (a deterministic dominance
+    rule — order-free, unlike greedy sweep, so the kept set is unique
+    and engine-reproducible). Injected exact copies (vec_id+10000 of
+    vec_id<40) are the known duplicates the key must drop.
+
+    Scale shape: assignment is a map-side argmax over K broadcast
+    centroid literals (zero shuffle); the quadratic pair step is
+    CONFINED to one cell per pair — the SemDeDup design point: K scales
+    with corpus size so cells stay bounded, and the self-join shuffles
+    on cell. Output: every vector with its cell, its dominating
+    duplicate (if any), and the kept flag."""
+    e0 = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    dup = e0.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    base = e0.unionByName(dup).select(
+        "vec_id", _as_double_arr("embedding").alias("v")
+    )
+    seed_rows = (
+        base.filter(F.col("vec_id").isin(list(range(1, _IVF_CELLS + 1))))
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents = [list(r["v"]) for r in seed_rows]
+    cell = F.greatest(
+        *[
+            F.struct(
+                _dot(F.col("v"), F.array(*[F.lit(x) for x in c])).alias("s"),
+                F.lit(k).alias("k"),
+            )
+            for k, c in enumerate(cents)
+        ]
+    )["k"]
+    assign = base.select(
+        "vec_id", "v",
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("norm"),
+        cell.alias("cell"),
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    tau = float(_SEMDEDUP_TAU)
+    dom = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(
+            _dot(F.col("a.v"), F.col("b.v"))
+            / (F.col("a.norm") * F.col("b.norm"))
+            > tau
+        )
+        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("b.vec_id")).alias("dup_of"))
+    )
+    return (
+        assign.join(dom, "vec_id", "left")
+        .select(
+            "vec_id", "cell", "dup_of",
+            F.col("dup_of").isNull().alias("kept"),
+        )
+    )

@@ -1204,3 +1204,22 @@ def test_chunk_spans_cover_and_rebuild_documents(spark):
             rebuilt.extend(c.chunk_text.split(" ")[:24])
         rebuilt.extend(chunks[-1].chunk_text.split(" "))
         assert " ".join(rebuilt) == docs[doc_id]
+
+
+def test_semdedup_drops_every_injected_copy_and_keeps_originals(spark):
+    """SemDeDup law: each injected exact copy (vec_id+10000) is dropped
+    with its original as the dominating duplicate; originals are all
+    kept (the synthetic embeddings have no natural >0.95 neighbors)."""
+    rows = T.QUERIES["dedup_semantic_semdedup"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_id = {r.vec_id: r for r in rows}
+    copies = [r for r in rows if r.vec_id >= 10000]
+    assert copies
+    for r in copies:
+        assert r.kept is False and r.dup_of == r.vec_id - 10000
+    originals = [r for r in rows if r.vec_id < 10000]
+    assert all(r.kept for r in originals)
+    # copies land in the same cell as their original (same vector)
+    for r in copies:
+        assert r.cell == by_id[r.vec_id - 10000].cell
