@@ -120,6 +120,13 @@ def fit_scorer(
         # standardization stats — weights are only meaningful in the
         # feature space they were trained in
         ckpt = load_model(resume_from)
+        if "quantize_unit" in ckpt:
+            raise ValueError(
+                "resume_from points at a DISTRIBUTED checkpoint: its "
+                "mu/sigma live in quantized feature space and would "
+                "poison a raw-feature warm start — resume via "
+                "fit_scorer_distributed / score it directly instead"
+            )
         w = np.asarray(ckpt["weights"], dtype="float64")
         b = float(ckpt["bias"])
         mu = np.asarray(ckpt["mu"], dtype="float64")
@@ -234,7 +241,13 @@ def fit_scorer_distributed(
         with open(
             os.path.join(checkpoint_dir, "best_distributed.json"), "w"
         ) as f:
-            json.dump(model, f, indent=1)
+            # NaN (no validation rows) is not valid JSON — store null
+            safe = dict(model)
+            if isinstance(safe.get("val_acc"), float) and math.isnan(
+                safe["val_acc"]
+            ):
+                safe["val_acc"] = None
+            json.dump(safe, f, indent=1)
     return model
 
 

@@ -94,7 +94,9 @@ SESSION_SCHEMA = (
     "host string, session_start timestamp, session_end timestamp, "
     "n_pages long"
 )
-_SESSION_STATE_SCHEMA = "start long, last long, n long"  # epoch micros
+_SESSION_STATE_SCHEMA = (  # parallel arrays: open/pending sessions
+    "starts array<long>, lasts array<long>, ns array<long>"
+)
 
 
 def sessionize_stream(
@@ -109,23 +111,28 @@ def sessionize_stream(
     exact page counts per session and event-time-timeout flushes).
 
     Semantics: pages for one host belong to one session while
-    consecutive warc_ts gaps stay below ``gap``; a session is emitted
-    when a larger gap splits it in-batch, or when the event-time
-    watermark passes ``last_ts + gap`` (timeout flush). State per host
-    is three longs — at 10^12 pages the state store holds one row per
-    *active* host, not per page."""
+    consecutive warc_ts gaps stay below ``gap``. A session is emitted
+    exactly once, when the event-time watermark passes ``last + gap``
+    — i.e. when NO admissible event could still extend or bridge it.
+    Until then split sessions stay PENDING in state, so a
+    late-but-within-watermark event can merge into — or re-bridge —
+    sessions an eager emitter would already have shipped (the classic
+    incremental-sessionization bug; the in-batch-split-then-late-bridge
+    case is pinned in tests). State per host is the list of open
+    session summaries (start, last, n) — bounded by (active span /
+    gap), a handful of longs per ACTIVE host, never per page."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     if pd.Timedelta(watermark) > pd.Timedelta(gap):
-        # the late-event merge branch assumes any admitted late event
-        # falls inside the still-open session; that only holds when
-        # late-ness is bounded by the gap itself
+        # a late event older than the gap could belong between two
+        # already-FINAL sessions; bounding late-ness by the gap keeps
+        # "watermark passed last+gap" a true finality condition
         raise ValueError(
             f"sessionize_stream requires watermark <= gap "
             f"({watermark!r} > {gap!r}): a late event older than the "
-            f"gap would be merged into a session it does not belong to"
+            f"gap could bridge sessions already emitted as final"
         )
     gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
 
@@ -142,50 +149,56 @@ def sessionize_stream(
                 }
             )
 
-        if state.hasTimedOut:
-            start, last, n = state.get
-            state.remove()
-            yield session_row(start, last, n)
+        sessions: list[list[int]] = []
+        if state.exists:
+            starts, lasts, ns = state.get
+            sessions = [list(t) for t in zip(starts, lasts, ns)]
+
+        if not state.hasTimedOut:
+            ts: list[int] = []
+            for pdf in pdfs:
+                col = pdf["warc_ts"].astype("datetime64[us]")
+                # null event times would become NaT -> INT64_MIN garbage
+                ts.extend(col.dropna().astype("int64"))
+            # merge sweep: every new event is a singleton session;
+            # sorting + coalescing handles in-order runs, late merges,
+            # and late events BRIDGING two pending sessions uniformly
+            sessions.extend([int(t), int(t), 1] for t in ts)
+            sessions.sort(key=lambda s: (s[0], s[1]))
+            merged: list[list[int]] = []
+            for s in sessions:
+                if merged and s[0] - merged[-1][1] <= gap_us:
+                    merged[-1][1] = max(merged[-1][1], s[1])
+                    merged[-1][2] += s[2]
+                else:
+                    merged.append(s)
+            sessions = merged
+
+        if not sessions:
+            if state.exists:
+                state.remove()
             return
 
-        ts: list[int] = []
-        for pdf in pdfs:
-            col = pdf["warc_ts"].astype("datetime64[us]")
-            # null event times would become NaT -> INT64_MIN garbage
-            ts.extend(col.dropna().astype("int64"))
-        ts.sort()
-        start, last, n = state.get if state.exists else (None, None, 0)
-        out = []
-        for t in ts:
-            if last is not None and t <= last:
-                # late-but-within-watermark event from an earlier batch:
-                # it belongs to the CURRENT session (true gap vs its
-                # neighbors is <= the gap we already accepted) — extend
-                # bounds, never regress `last` (that would fabricate
-                # splits against the next on-time event)
-                n += 1
-                if t < start:
-                    start = t
-                continue
-            if last is not None and t - last > gap_us:
-                out.append(session_row(start, last, n))
-                start, n = t, 0
-            if start is None:
-                start = t
-            last = t
-            n += 1
-        if last is None:
-            # batch carried only null timestamps and no prior state
-            # exists — nothing to track, leave state untouched
-            return
-        state.update((start, last, n))
-        # event-time timeout must stay ahead of the current watermark
-        timeout_ms = max(
-            (last + gap_us) // 1000, state.getCurrentWatermarkMs() + 1
-        )
-        state.setTimeoutTimestamp(timeout_ms)
-        for df in out:
-            yield df
+        # finality: watermark passed last+gap => no admissible event
+        # (t >= wm) can merge (t - last > gap). Emit those, keep rest.
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        final = [s for s in sessions if s[1] + gap_us < wm_us]
+        keep = [s for s in sessions if s[1] + gap_us >= wm_us]
+        if keep:
+            state.update(
+                ([s[0] for s in keep], [s[1] for s in keep],
+                 [s[2] for s in keep])
+            )
+            # earliest pending deadline, clamped ahead of the watermark
+            timeout_ms = max(
+                min(s[1] + gap_us for s in keep) // 1000,
+                state.getCurrentWatermarkMs() + 1,
+            )
+            state.setTimeoutTimestamp(timeout_ms)
+        else:
+            state.remove()
+        for s in final:
+            yield session_row(s[0], s[1], s[2])
 
     from octospark.pipeline import host_of
 

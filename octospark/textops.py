@@ -3998,7 +3998,7 @@ def _semdedup_oracle_sql() -> str:
     return f"""
     WITH base AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
+      FROM embeddings WHERE vec_id < 10000
       UNION ALL
       SELECT vec_id + 10000,
              list_transform(embedding, x -> CAST(x AS DOUBLE))
@@ -4050,7 +4050,14 @@ def dedup_semantic_semdedup(spark, sf):
     with corpus size so cells stay bounded, and the self-join shuffles
     on cell. Output: every vector with its cell, its dominating
     duplicate (if any), and the kept flag."""
-    e0 = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    # restrict originals to < 10000 so the +10000 injected ids can
+    # NEVER collide with genuine ids at any table size (the same
+    # collision class table_merge_upsert had to fix)
+    e0 = (
+        load_table(spark, sf, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 10000)
+    )
     dup = e0.filter(F.col("vec_id") < 40).select(
         (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
     )

