@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import octospark.sketchops as sketchops
     import octospark.textops as textops
     import octospark.warcops as warcops
+    import octospark.webops as webops
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(rel.QUERIES)
@@ -39,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(textops.QUERIES)
     out.update(pdfops.QUERIES)
     out.update(warcops.QUERIES)
+    out.update(webops.QUERIES)
     return out
 
 
@@ -49,6 +51,7 @@ def oracle_sql() -> dict[str, str]:
     import octospark.sketchops as sketchops
     import octospark.textops as textops
     import octospark.warcops as warcops
+    import octospark.webops as webops
 
     out: dict[str, str] = {}
     out.update(rel.ORACLE)
@@ -56,4 +59,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(textops.ORACLE)
     out.update(pdfops.ORACLE)
     out.update(warcops.ORACLE)
+    out.update(webops.ORACLE)
     return out

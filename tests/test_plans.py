@@ -311,6 +311,8 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         "extract_links", "extract_page_title",
         "crawl_frontier",  # consumes extract_links' synthesized pages
         "graph_link_census",  # same synthesized-pages scan as extract_links
+        # same synthesized-pages scan; the tag/field pulls are JVM regexp
+        "link_anchor_text", "extract_table_fields",
         # the flagship DOM-walk extraction, as an oracle-checked key
         "extract_main_content",
     }

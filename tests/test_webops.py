@@ -1,0 +1,89 @@
+"""Unit laws for octospark.webops: anchor-text census, table-field
+extraction, per-host quota, per-language LM buckets."""
+
+from __future__ import annotations
+
+import octospark.webops as W
+
+
+def test_anchor_text_pairs_match_templates(spark, sf_dir):
+    """Every (href, anchor) pair must be one of the fixed template
+    pairs, nav anchors must be linked from every nav-bearing page, and
+    the deal anchors only from template-1 pages."""
+    rows = W.QUERIES["link_anchor_text"](spark, sf_dir).collect()
+    by_href = {(r.href, r.anchor): r for r in rows}
+    # footer pairs appear on EVERY page
+    from octospark.sources import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    for href, anchor in [
+        ("/privacy", "Privacy"),
+        ("/terms", "Terms"),
+        ("/sitemap", "Sitemap"),
+        ("/topics", "topics"),
+    ]:
+        r = by_href[(href, anchor)]
+        assert r.n_links == n_docs and r.n_pages == n_docs
+    # deal links only on t==1 pages
+    docs = load_table(spark, sf_dir, "documents")
+    n_t1 = docs.filter(docs.doc_id % 6 == 1).count()
+    assert by_href[("/deal1", "Shop now")].n_pages == n_t1
+    # one anchor string per target in the fixed templates
+    assert len({h for (h, a) in by_href}) == len(by_href)
+
+
+def test_table_fields_exact_values(spark, sf_dir):
+    """Views/Shares must equal the htmlgen pure functions of doc_id,
+    and only template-4 pages may emit a row."""
+    rows = W.QUERIES["extract_table_fields"](spark, sf_dir).collect()
+    assert rows, "no table rows extracted"
+    for r in rows:
+        doc_id = int(r.url.rsplit("/", 1)[1])
+        assert doc_id % 6 == 4
+        assert r.views == doc_id * 7 % 1000
+        assert r.shares == doc_id * 3 % 100
+
+
+def test_domain_quota_cap_and_ordering(spark, sf_dir):
+    """Per host: exactly min(k, n_docs) keeps; kept docs are the
+    longest-first prefix with doc_id tiebreak; one row per input doc."""
+    out = W.QUERIES["corpus_domain_quota"](spark, sf_dir).collect()
+    from collections import defaultdict
+
+    from octospark.sources import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(out) == n_docs
+    hosts = defaultdict(list)
+    for r in out:
+        hosts[r.source].append(r)
+    for src, rs in hosts.items():
+        rs.sort(key=lambda r: (-r.n_chars, r.doc_id))
+        for rank, r in enumerate(rs, start=1):
+            assert r.host_rank == rank
+            assert r.keep == (rank <= W._QUOTA_K)
+        assert sum(r.keep for r in rs) == min(W._QUOTA_K, len(rs))
+
+
+def test_lm_bucket_tertiles_are_balanced_and_monotone(spark, sf_dir):
+    """Within each language: bucket is monotone in mean_commonness
+    (every head doc scores >= every middle doc >= every tail doc), and
+    the three buckets are tertile-sized within rounding."""
+    from collections import defaultdict
+
+    rows = W.QUERIES["text_lm_bucket"](spark, sf_dir).collect()
+    langs = defaultdict(list)
+    for r in rows:
+        langs[r.lang].append(r)
+    assert len(langs) >= 2
+    for lang, rs in langs.items():
+        lo = {"tail": 0, "middle": 1, "head": 2}
+        rs.sort(key=lambda r: r.mean_commonness)
+        order = [lo[r.bucket] for r in rs]
+        assert order == sorted(order), f"bucket not monotone for {lang}"
+        n = len(rs)
+        for b in ("head", "middle", "tail"):
+            cnt = sum(1 for r in rs if r.bucket == b)
+            # quantile_cont cutoffs put ~n/3 per bucket; ties can shift
+            # a couple of docs across a cutoff
+            assert abs(cnt - n / 3) <= max(2, 0.1 * n), (lang, b, cnt, n)
