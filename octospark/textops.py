@@ -2208,11 +2208,16 @@ def text_contamination_check(spark, sf):
     )
 
 
-_RARITY_SQL = """
-    WITH words AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+# Shared tokenize + corpus-frequency CTEs (text_word_rarity here and
+# text_lm_bucket in octospark/webops.py score docs off the SAME
+# tokenization, so the two mean_commonness columns can never diverge).
+_WORD_FREQ_CTES_SQL = """words AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
       FROM documents),
-    counts AS (SELECT w, count(*) AS cnt FROM words GROUP BY w)
+    counts AS (SELECT w, count(*) AS cnt FROM words GROUP BY w)"""
+
+_RARITY_SQL = f"""
+    WITH {_WORD_FREQ_CTES_SQL}
     SELECT doc_id,
            count(*) AS n_words,
            SUM(cnt) AS freq_mass,
@@ -2238,16 +2243,26 @@ def text_word_rarity(spark, sf):
     law, so the join key is skewed on stopwords — at corpus scale the
     top-K head of the vocabulary is broadcast (tiny) and only the tail
     shuffles, the standard frequency-join split."""
+    return word_frequency_scored(spark, sf)
+
+
+def word_frequency_scored(spark, sf, extra_cols=()):
+    """Shared tokenize -> corpus-frequency -> per-doc score sub-plan
+    (the Spark twin of _WORD_FREQ_CTES_SQL; text_word_rarity and
+    webops.text_lm_bucket both call it, so their mean_commonness
+    columns stay bit-identical by construction)."""
     par = spark.sparkContext.defaultParallelism
     words = (
         load_table(spark, sf, "documents")
         .repartition(par, "doc_id")
-        .select("doc_id", F.explode(_words(F.col("text"))).alias("w"))
+        .select(
+            "doc_id", *extra_cols, F.explode(_words(F.col("text"))).alias("w")
+        )
     )
     counts = words.groupBy("w").agg(F.count("*").alias("cnt"))
     return (
         words.join(counts, "w")
-        .groupBy("doc_id")
+        .groupBy("doc_id", *extra_cols)
         .agg(
             F.count("*").alias("n_words"),
             F.sum("cnt").alias("freq_mass"),

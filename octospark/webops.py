@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from octospark.sources import build_pages, load_table
+from octospark.textops import _WORD_FREQ_CTES_SQL, word_frequency_scored
 
 QUERIES: dict = {}
 ORACLE: dict = {}
@@ -172,14 +173,14 @@ def extract_table_fields(spark, sf):
 _QUOTA_K = 8
 
 _QUOTA_SQL = f"""
-    SELECT doc_id, source, n_chars,
-           row_number() OVER (
-             PARTITION BY source
-             ORDER BY n_chars DESC, doc_id ASC) AS host_rank,
-           row_number() OVER (
-             PARTITION BY source
-             ORDER BY n_chars DESC, doc_id ASC) <= {_QUOTA_K} AS keep
-    FROM documents
+    SELECT doc_id, source, n_chars, host_rank,
+           host_rank <= {_QUOTA_K} AS keep
+    FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY n_chars DESC, doc_id ASC) AS host_rank
+      FROM documents)
     """
 
 
@@ -209,13 +210,9 @@ def corpus_domain_quota(spark, sf):
     win = Window.partitionBy("source").orderBy(
         F.col("n_chars").desc(), F.col("doc_id").asc()
     )
-    return docs.select(
-        "doc_id",
-        "source",
-        "n_chars",
-        F.row_number().over(win).alias("host_rank"),
-        (F.row_number().over(win) <= _QUOTA_K).alias("keep"),
-    )
+    return docs.withColumn(
+        "host_rank", F.row_number().over(win)
+    ).withColumn("keep", F.col("host_rank") <= _QUOTA_K)
 
 
 # --------------------------------------------------------------------------
@@ -231,10 +228,7 @@ _P1 = "0.3333333333333333"
 _P2 = "0.6666666666666666"
 
 _LM_BUCKET_SQL = f"""
-    WITH words AS (
-      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
-      FROM documents),
-    counts AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),
+    WITH {_WORD_FREQ_CTES_SQL},
     scored AS (
       SELECT doc_id, lang,
              CAST(SUM(cnt) AS DOUBLE) / count(*) AS mean_commonness
@@ -274,21 +268,8 @@ def text_lm_bucket(spark, sf):
     against the oracle (agg_quartile_assign precedent).
     Reference analog: R27 per-class stats driving the keep policy
     (/root/reference/src/octopy/train.py:99-121)."""
-    par = spark.sparkContext.defaultParallelism
-    words = (
-        load_table(spark, sf, "documents")
-        .repartition(par, "doc_id")
-        .select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
-    )
-    counts = words.groupBy("w").agg(F.count("*").alias("cnt"))
-    scored = (
-        words.join(counts, "w")
-        .groupBy("doc_id", "lang")
-        .agg(
-            (F.sum("cnt").cast("double") / F.count("*")).alias(
-                "mean_commonness"
-            )
-        )
+    scored = word_frequency_scored(spark, sf, extra_cols=("lang",)).select(
+        "doc_id", "lang", "mean_commonness"
     )
     cuts = scored.groupBy("lang").agg(
         F.percentile("mean_commonness", F.lit(1 / 3)).alias("c1"),

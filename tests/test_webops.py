@@ -12,6 +12,20 @@ def test_anchor_text_pairs_match_templates(spark, sf_dir):
     the deal anchors only from template-1 pages."""
     rows = W.QUERIES["link_anchor_text"](spark, sf_dir).collect()
     by_href = {(r.href, r.anchor): r for r in rows}
+    template_pairs = {
+        ("/", "Home"), ("/news", "News"), ("/about", "About us"),
+        ("/contact", "Contact"), ("/login", "Log in"),
+        ("/signup", "Sign up"), ("/topics", "topics"),
+        ("/privacy", "Privacy"), ("/terms", "Terms"),
+        ("/sitemap", "Sitemap"), ("/deal1", "Shop now"),
+        ("/deal2", "Click here"), ("/deal3", "Learn more"),
+        ("/r1", "Related story one"), ("/r2", "Related story two"),
+        ("/r3", "Related story three"), ("/r4", "Related story four"),
+        ("/r5", "Related story five"),
+    }
+    # EVERY output row must be one of the fixed template pairs — a
+    # loosened tag regexp emitting a partial-capture row fails here
+    assert set(by_href) == template_pairs
     # footer pairs appear on EVERY page
     from octospark.sources import load_table
 
