@@ -964,30 +964,37 @@ def multimodal_meta(spark, sf):
     in Arrow batches via mapInPandas — schema, batching, and typed
     metadata extraction are real; decode falls back to a deterministic
     header fingerprint when no codec backend exists."""
-    import pandas as pd
-
-    def meta(batches):
-        for pdf in batches:
-            metas = []
-            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
-                b = bytes(blob)
-                try:
-                    _decode_image_real(b)  # stub: raises NotImplementedError
-                except NotImplementedError:
-                    pass
-                metas.append(
-                    (int(doc_id), len(b), b[:4].hex())
-                )
-            yield pd.DataFrame(
-                metas, columns=["doc_id", "n_bytes", "header_hex"]
-            )
-
     d = load_table(spark, sf, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("media")
     )
     return d.mapInPandas(
-        meta, "doc_id long, n_bytes long, header_hex string"
+        meta_batches, "doc_id long, n_bytes long, header_hex string"
     )
+
+
+def meta_batches(batches):
+    """mapInPandas body for opaque-media metadata (module-level so tests
+    can run it on adversarial frames). A NULL blob (e.g. NULL text cast
+    to binary — an expected upstream-extraction-failure case) yields
+    NULL metadata, matching octet_length(NULL)/hex(NULL) on the oracle
+    side, never a task failure."""
+    import pandas as pd
+
+    for pdf in batches:
+        metas = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+            if blob is None:
+                metas.append((int(doc_id), None, None))
+                continue
+            b = bytes(blob)
+            try:
+                _decode_image_real(b)  # stub: raises NotImplementedError
+            except NotImplementedError:
+                pass
+            metas.append((int(doc_id), len(b), b[:4].hex()))
+        yield pd.DataFrame(
+            metas, columns=["doc_id", "n_bytes", "header_hex"]
+        )
 
 
 def _fake_media(spark, sf, kind: str) -> DataFrame:
@@ -1025,8 +1032,10 @@ def decode_image_batches(batches):
     for pdf in batches:
         rows = []
         for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
-            b = bytes(blob)
             try:
+                if blob is None:
+                    raise ValueError("null media")
+                b = bytes(blob)
                 try:
                     w, h = _decode_image_real(b)
                     mean = None
@@ -1120,8 +1129,10 @@ def sample_video_batches(batches):
     for pdf in batches:
         rows = []
         for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
-            b = bytes(blob)
             try:
+                if blob is None:
+                    raise ValueError("null media")
+                b = bytes(blob)
                 if b[:4] != _VID_MAGIC:
                     raise ValueError("bad video magic")
                 n = int.from_bytes(b[4:6], "big")

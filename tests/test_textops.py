@@ -122,8 +122,8 @@ def test_multimodal_decode_malformed_never_drops(spark, sf_dir):
     mixed = spark.createDataFrame(
         pd.DataFrame(
             {
-                "doc_id": [7, 8],
-                "media": [b"JUNKxxxx", T._fake_image_bytes(8)],
+                "doc_id": [6, 7, 8],
+                "media": [None, b"JUNKxxxx", T._fake_image_bytes(8)],
             }
         )
     )
@@ -133,6 +133,7 @@ def test_multimodal_decode_malformed_never_drops(spark, sf_dir):
             T.decode_image_batches, T._DECODE_SCHEMA
         ).collect()
     }
+    assert rows[6].error == "null media" and rows[6].width is None
     assert rows[7].error is not None and rows[7].width is None
     assert rows[8].error is None and rows[8].width == 1 + 8 % 64
 
@@ -159,8 +160,8 @@ def test_multimodal_frame_sample_malformed_never_drops(spark, sf_dir):
     mixed = spark.createDataFrame(
         pd.DataFrame(
             {
-                "doc_id": [3, 4],
-                "media": [b"NOPE\x00\x01junk", T._fake_video_bytes(4)],
+                "doc_id": [2, 3, 4],
+                "media": [None, b"NOPE\x00\x01junk", T._fake_video_bytes(4)],
             }
         )
     )
@@ -170,8 +171,32 @@ def test_multimodal_frame_sample_malformed_never_drops(spark, sf_dir):
             T.sample_video_batches, T._FRAME_SAMPLE_SCHEMA
         ).collect()
     }
+    assert rows[2].error == "null media" and rows[2].n_frames is None
     assert rows[3].error is not None and rows[3].n_frames is None
     assert rows[4].error is None and rows[4].n_frames == 1 + 4 % 30
+
+
+def test_multimodal_meta_null_blob_yields_null_metadata(spark, sf_dir):
+    """NULL media (e.g. NULL text cast to binary — an expected
+    upstream-extraction-failure case) yields NULL n_bytes/header_hex,
+    matching octet_length(NULL)/hex(NULL) on the oracle side, and never
+    fails the task."""
+    import pandas as pd
+
+    mixed = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "media": [None, b"ABCDEF"]}).astype(
+            {"doc_id": "int64"}
+        ),
+        schema="doc_id long, media binary",
+    )
+    rows = {
+        r.doc_id: r
+        for r in mixed.mapInPandas(
+            T.meta_batches, "doc_id long, n_bytes long, header_hex string"
+        ).collect()
+    }
+    assert rows[1].n_bytes is None and rows[1].header_hex is None
+    assert rows[2].n_bytes == 6 and rows[2].header_hex == b"ABCD".hex()
 
 
 def test_simhash_deterministic(spark, sf_dir):
