@@ -284,3 +284,320 @@ def text_lm_bucket(spark, sf):
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+# --------------------------------------------------------------------------
+# extract_headings_outline — per-page heading hierarchy
+# --------------------------------------------------------------------------
+
+# Template heading inventory is a pure function of doc_id % 6
+# (htmlgen.py:96-117): <h1> site header on every page, <h2> document
+# title on every page, <h4>Comments</h4> only on template t=3 pages —
+# always in that document order, so (pos, level, text) reconstructs
+# exactly per doc.
+_HEADINGS_SQL = """
+    SELECT 'https://' || source || '.example.org/doc/'
+             || CAST(doc_id AS VARCHAR) AS url,
+           CAST(0 AS BIGINT) AS pos, CAST(1 AS BIGINT) AS level,
+           'Example Site ' || source AS heading
+    FROM documents
+    UNION ALL
+    SELECT 'https://' || source || '.example.org/doc/'
+             || CAST(doc_id AS VARCHAR),
+           CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+           'Document ' || CAST(doc_id AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'https://' || source || '.example.org/doc/'
+             || CAST(doc_id AS VARCHAR),
+           CAST(2 AS BIGINT), CAST(4 AS BIGINT), 'Comments'
+    FROM documents WHERE doc_id % 6 = 3
+    """
+
+
+@register("extract_headings_outline", _HEADINGS_SQL)
+def extract_headings_outline(spark, sf):
+    """Per-page heading outline — (url, pos, level, heading) rows in
+    document order, the structural table-of-contents signal used for
+    section-aware chunking (split training documents on h2/h3
+    boundaries) and for title/outline metadata next to the extracted
+    body. Heading elements are single-level raw-text nodes in the
+    synthesized corpus, so a regexp pull is correct here (same
+    title-vs-body argument as extract_page_title); real-world nested
+    heading markup goes through the DOM walker instead.
+
+    Scale shape: one JVM ``regexp_extract_all`` (whole tags, group 0)
+    + posexplode preserving document order + two per-tag captures —
+    all codegen inside the scan stage, zero shuffles, zero Python
+    beyond page synthesis. Pushdown: only (url, html) are read.
+    Reference analog: R12 reading-order assignment over region types
+    (/root/reference/src/octopy/segment.py regions)."""
+    pages = build_pages(spark, sf).select("url", "html")
+    tags = pages.select(
+        "url",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.decode(F.col("html"), "UTF-8"),
+                F.lit("<h[1-6]>[^<]*</h[1-6]>"),
+                0,
+            )
+        ).alias("pos", "tag"),
+    )
+    return tags.select(
+        "url",
+        F.col("pos").cast("long").alias("pos"),
+        F.regexp_extract("tag", "<h([1-6])>", 1).cast("long").alias("level"),
+        F.regexp_extract("tag", ">([^<]*)<", 1).alias("heading"),
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus_pack_sequences — concat-and-chunk context-window packing
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 256  # tokens per context window
+_PACK_SHARDS = 16  # independent packing streams
+
+_PACK_SQL = f"""
+    WITH c AS (
+      SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(SUM(len(string_split(text, ' '))) OVER (
+               PARTITION BY doc_id % {_PACK_SHARDS} ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+      FROM documents)
+    SELECT doc_id, shard, n_tok,
+           (cum_tok - n_tok) // {_PACK_BUDGET} AS start_pack,
+           (cum_tok - n_tok) % {_PACK_BUDGET} AS start_off,
+           (cum_tok - 1) // {_PACK_BUDGET} AS end_pack
+    FROM c
+    """
+
+
+@register("corpus_pack_sequences", _PACK_SQL)
+def corpus_pack_sequences(spark, sf):
+    """Concat-and-chunk sequence packing — the standard LLM-pretraining
+    step that concatenates documents in a fixed order and slices the
+    token stream into fixed-size context windows (GPT/T5 packing; docs
+    may straddle a window boundary). Emits per doc: its packing shard,
+    token count, first window id + offset within it, and last window
+    id — enough for a writer to materialize any window from the doc
+    shard alone.
+
+    Scale shape: packing needs a running token total, and a GLOBAL
+    cumulative sum is a single-partition window — the classic scale
+    trap. So the stream is split into {_PACK_SHARDS} independent
+    packing shards keyed by doc_id (each shard = its own window
+    partition, ordered by doc_id): one shuffle on the shard key, all
+    shards pack in parallel, and window ids are per-shard so no
+    cross-shard coordination exists at any scale (shard count scales
+    with the cluster; 16 here matches local[]-test parallelism). All
+    integer arithmetic (token counts, ``div``/``%``) — bit-exact
+    against the oracle at any parallelism.
+    Reference analog: R16's bucketed per-doc sink layout
+    (/root/reference/src/octopy/cli.py output batching)."""
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = d.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return cum.select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        F.expr(f"(cum_tok - n_tok) div {_PACK_BUDGET}").alias("start_pack"),
+        ((F.col("cum_tok") - F.col("n_tok")) % _PACK_BUDGET).alias(
+            "start_off"
+        ),
+        F.expr(f"(cum_tok - 1) div {_PACK_BUDGET}").alias("end_pack"),
+    )
+
+
+# --------------------------------------------------------------------------
+# crawl_url_pattern_census — URL-template census for crawl scheduling
+# --------------------------------------------------------------------------
+
+# Raw URL variants synthesized identically in both engines (pure
+# function of doc_id/lang/source — same staging discipline as
+# dedup_url_canonicalize's raw CTE): four path styles including a
+# query-string one, so the pattern census has real shape diversity.
+_URL_PATH_SQL = """(CASE doc_id % 4
+      WHEN 0 THEN '/doc/' || CAST(doc_id AS VARCHAR)
+      WHEN 1 THEN '/article/2026/' || CAST(doc_id % 12 + 1 AS VARCHAR)
+                    || '/' || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN '/p/' || CAST(doc_id AS VARCHAR)
+                    || '?page=' || CAST(doc_id % 5 AS VARCHAR)
+      ELSE '/tag/' || lang || '/item-' || CAST(doc_id AS VARCHAR)
+    END)"""
+
+_URL_PATTERN_SQL = f"""
+    WITH u AS (
+      SELECT source,
+             'https://' || source || '.example.org' || {_URL_PATH_SQL}
+               AS url,
+             regexp_replace({_URL_PATH_SQL}, '[0-9]+', 'N', 'g')
+               AS pattern
+      FROM documents)
+    SELECT source, pattern, count(*) AS n_urls,
+           min(url) AS sample_url
+    FROM u GROUP BY source, pattern
+    """
+
+
+@register("crawl_url_pattern_census", _URL_PATTERN_SQL)
+def crawl_url_pattern_census(spark, sf):
+    """URL-template census: normalize every crawl URL's path by
+    collapsing digit runs to 'N' and count URLs per (host, template) —
+    the standard crawl-scheduling / duplicate-surface signal (a host
+    whose '/p/N?page=N' template has 10^7 members is a pagination trap;
+    a template with one member is unique content). Emits per (source,
+    pattern): member count and the lexicographically-first exemplar.
+
+    Scale shape: path synthesis + ``regexp_replace`` are map-side
+    codegen; one groupBy shuffle on (source, pattern) where count and
+    min(url) both partial-aggregate map-side — hot templates (the
+    interesting ones) are exactly the partial-aggregable keys, so no
+    skew concern at any corpus size.
+    Reference analog: R27 per-class frequency stats
+    (/root/reference/src/octopy/train.py:99-121) over url shapes."""
+    d = load_table(spark, sf, "documents")
+    sel = F.col("doc_id") % 4
+    did = F.col("doc_id").cast("string")
+    path = (
+        F.when(sel == 0, F.concat(F.lit("/doc/"), did))
+        .when(
+            sel == 1,
+            F.concat(
+                F.lit("/article/2026/"),
+                (F.col("doc_id") % 12 + 1).cast("string"),
+                F.lit("/"),
+                did,
+            ),
+        )
+        .when(
+            sel == 2,
+            F.concat(
+                F.lit("/p/"),
+                did,
+                F.lit("?page="),
+                (F.col("doc_id") % 5).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("/tag/"), F.col("lang"), F.lit("/item-"), did)
+        )
+    )
+    u = d.select(
+        "source",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org"), path
+        ).alias("url"),
+        F.regexp_replace(path, "[0-9]+", "N").alias("pattern"),
+    )
+    return u.groupBy("source", "pattern").agg(
+        F.count("*").alias("n_urls"), F.min("url").alias("sample_url")
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus_quality_tiers — the composed tier-assignment table
+# --------------------------------------------------------------------------
+
+_TIERS_SQL = f"""
+    WITH {_WORD_FREQ_CTES_SQL},
+    scored AS (
+      SELECT doc_id, lang,
+             CAST(SUM(cnt) AS DOUBLE) / count(*) AS mean_commonness
+      FROM words JOIN counts USING (w)
+      GROUP BY doc_id, lang),
+    cuts AS (
+      SELECT lang,
+             quantile_cont(mean_commonness, {_P1}) AS c1,
+             quantile_cont(mean_commonness, {_P2}) AS c2
+      FROM scored GROUP BY lang),
+    lmb AS (
+      SELECT doc_id,
+             CASE WHEN mean_commonness > c2 THEN 'head'
+                  WHEN mean_commonness > c1 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM scored JOIN cuts USING (lang)),
+    gq AS (
+      SELECT doc_id, {{gopher_pass}} AS quality_pass
+      FROM {{gopher_feats}}),
+    ded AS (
+      SELECT COALESCE(sha256(text), '') AS h, min(doc_id) AS keep_id
+      FROM documents GROUP BY COALESCE(sha256(text), ''))
+    SELECT d.doc_id, d.lang,
+           (d.doc_id = ded.keep_id) AS dedup_keep,
+           COALESCE(gq.quality_pass, FALSE) AS quality_ok,
+           lmb.bucket,
+           CASE WHEN d.doc_id <> ded.keep_id THEN 'duplicate'
+                WHEN NOT COALESCE(gq.quality_pass, FALSE) THEN 'rejected'
+                ELSE lmb.bucket END AS tier
+    FROM documents d
+    JOIN ded ON COALESCE(sha256(d.text), '') = ded.h
+    LEFT JOIN gq USING (doc_id)
+    LEFT JOIN lmb USING (doc_id)
+    """
+
+
+def _tiers_oracle() -> str:
+    from octospark.textops import _GOPHER_FEATS_SQL, _GOPHER_PASS_SQL
+
+    return _TIERS_SQL.format(
+        gopher_pass=_GOPHER_PASS_SQL, gopher_feats=_GOPHER_FEATS_SQL
+    )
+
+
+def corpus_quality_tiers(spark, sf):
+    """THE tier-assignment table — the composed extraction-tier verdict
+    per document: exact-dedup canonicality, Gopher quality gate, and
+    CCNet LM bucket folded into one tier label (duplicate < rejected <
+    tail < middle < head). This is the corpus-curation output a
+    pretraining mix is actually sampled from (FineWeb/RefinedWeb ship
+    exactly this shape: per-doc stage verdicts + a final tier), and it
+    pins the COMPOSITION of the three stage operators cross-engine,
+    not just each stage alone (same discipline as
+    corpus_assembly_funnel). One row per INPUT doc — never-drop:
+    null-text docs get quality_ok=FALSE via the funnel's null-safe
+    join precedent, not silently vanish.
+
+    Scale notes live on the composed stages (dedup_exact,
+    text_gopher_quality, text_lm_bucket); composition adds only
+    doc_id-keyed joins of flag tables, bytes per row."""
+    from octospark.textops import text_gopher_quality
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.coalesce(F.sha2("text", 256), F.lit("")).alias("h"),
+    )
+    ded = docs.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    gq = text_gopher_quality(spark, sf).select("doc_id", "quality_pass")
+    lmb = text_lm_bucket(spark, sf).select("doc_id", "bucket")
+    return (
+        docs.join(ded, "h")
+        .join(gq, "doc_id", "left")
+        .join(lmb, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("doc_id") == F.col("keep_id")).alias("dedup_keep"),
+            F.coalesce("quality_pass", F.lit(False)).alias("quality_ok"),
+            "bucket",
+            F.when(F.col("doc_id") != F.col("keep_id"), "duplicate")
+            .when(~F.coalesce("quality_pass", F.lit(False)), "rejected")
+            .otherwise(F.col("bucket"))
+            .alias("tier"),
+        )
+    )
+
+
+QUERIES["corpus_quality_tiers"] = corpus_quality_tiers
+ORACLE["corpus_quality_tiers"] = _tiers_oracle()

@@ -313,6 +313,7 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         "graph_link_census",  # same synthesized-pages scan as extract_links
         # same synthesized-pages scan; the tag/field pulls are JVM regexp
         "link_anchor_text", "extract_table_fields",
+        "extract_headings_outline",
         # the flagship DOM-walk extraction, as an oracle-checked key
         "extract_main_content",
     }

@@ -101,3 +101,113 @@ def test_lm_bucket_tertiles_are_balanced_and_monotone(spark, sf_dir):
             # quantile_cont cutoffs put ~n/3 per bucket; ties can shift
             # a couple of docs across a cutoff
             assert abs(cnt - n / 3) <= max(2, 0.1 * n), (lang, b, cnt, n)
+
+
+def test_headings_outline_matches_templates(spark, sf_dir):
+    """Every page yields h1 (site header) at pos 0 and h2 (doc title)
+    at pos 1; h4 'Comments' appears exactly on template-3 pages at pos
+    2; nothing else is emitted."""
+    from collections import defaultdict
+
+    from octospark.sources import load_table
+
+    rows = W.QUERIES["extract_headings_outline"](spark, sf_dir).collect()
+    pages = defaultdict(list)
+    for r in rows:
+        pages[r.url].append(r)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(pages) == n_docs
+    for url, rs in pages.items():
+        doc_id = int(url.rsplit("/", 1)[1])
+        src = url.split("//")[1].split(".")[0]
+        rs.sort(key=lambda r: r.pos)
+        want = [(0, 1, f"Example Site {src}"), (1, 2, f"Document {doc_id}")]
+        if doc_id % 6 == 3:
+            want.append((2, 4, "Comments"))
+        assert [(r.pos, r.level, r.heading) for r in rs] == want
+
+
+def test_pack_sequences_tiles_the_token_stream(spark, sf_dir):
+    """Within each shard, docs tile the concatenated token stream with
+    no gaps or overlaps: doc i+1 starts exactly where doc i ended, pack
+    ids re-derive from the running offset, and every window boundary a
+    doc straddles is accounted for (end_pack - start_pack windows)."""
+    from collections import defaultdict
+
+    rows = W.QUERIES["corpus_pack_sequences"](spark, sf_dir).collect()
+    B = W._PACK_BUDGET
+    shards = defaultdict(list)
+    for r in rows:
+        shards[r.shard].append(r)
+    assert len(shards) == W._PACK_SHARDS
+    for shard, rs in shards.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            assert r.n_tok >= 1
+            assert r.start_pack == cum // B
+            assert r.start_off == cum % B
+            cum += r.n_tok
+            assert r.end_pack == (cum - 1) // B
+            # straddle count = tokens past the first window boundary
+            assert r.end_pack - r.start_pack == (r.start_off + r.n_tok - 1) // B
+
+
+def test_url_pattern_census_covers_the_four_styles(spark, sf_dir):
+    """Each source yields exactly the synthesized path templates, the
+    per-source counts sum to its doc count, and the exemplar is a
+    member of its own pattern group."""
+    import re
+    from collections import defaultdict
+
+    from octospark.sources import load_table
+
+    rows = W.QUERIES["crawl_url_pattern_census"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    ).collect()
+    per_source = defaultdict(int)
+    for d in docs:
+        per_source[d.source] += 1
+    by_source = defaultdict(list)
+    for r in rows:
+        by_source[r.source].append(r)
+    assert set(by_source) == set(per_source)
+    fixed = {"/doc/N", "/article/N/N/N", "/p/N?page=N"}
+    # all four styles appear corpus-wide (sources correlate with
+    # doc_id % 20, so a single source sees only one style)
+    all_pats = {r.pattern for r in rows}
+    assert fixed <= all_pats
+    assert any(re.fullmatch(r"/tag/\w+/item-N", p) for p in all_pats)
+    for src, rs in by_source.items():
+        pats = {r.pattern for r in rs}
+        assert all(p in fixed or re.fullmatch(r"/tag/\w+/item-N", p)
+                   for p in pats)
+        assert sum(r.n_urls for r in rs) == per_source[src]
+        for r in rs:
+            # exemplar reduces to its own pattern
+            path = r.sample_url.split(".example.org", 1)[1]
+            assert re.sub(r"[0-9]+", "N", path) == r.pattern
+
+
+def test_quality_tiers_compose_the_stage_verdicts(spark, sf_dir):
+    """One row per input doc; tier agrees with the composed stage
+    flags (duplicate beats rejected beats bucket), and every kept doc's
+    tier is its LM bucket."""
+    from octospark.sources import load_table
+
+    rows = W.QUERIES["corpus_quality_tiers"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    seen = set()
+    for r in rows:
+        assert r.doc_id not in seen
+        seen.add(r.doc_id)
+        if not r.dedup_keep:
+            assert r.tier == "duplicate"
+        elif not r.quality_ok:
+            assert r.tier == "rejected"
+        else:
+            assert r.tier == r.bucket in {"head", "middle", "tail"}
+    tiers = {r.tier for r in rows}
+    assert {"head", "middle", "tail"} <= tiers or "rejected" in tiers
