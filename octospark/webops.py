@@ -601,3 +601,177 @@ def corpus_quality_tiers(spark, sf):
 
 QUERIES["corpus_quality_tiers"] = corpus_quality_tiers
 ORACLE["corpus_quality_tiers"] = _tiers_oracle()
+
+
+# --------------------------------------------------------------------------
+# text_normalize + dedup_exact_normalized — normalization-aware dedup
+# --------------------------------------------------------------------------
+
+# Noisy raw variants synthesized identically in both engines (pure
+# function of doc_id — the url_canonicalize staging discipline): case
+# flips, injected punctuation, doubled/leading/trailing whitespace.
+# The corpus text is lowercase ASCII, so normalize(noisy) must round-
+# trip to the original text exactly.
+_NOISY_SQL = """(CASE doc_id % 3
+      WHEN 0 THEN upper(text) || ' !!!'
+      WHEN 1 THEN '  ' || replace(text, ' ', '  ') || '  '
+      ELSE replace(text, ' ', ' , ')
+    END)"""
+
+_NORM_SQL_DUCK = (
+    "trim(regexp_replace(regexp_replace(lower({col}), '[^a-z0-9 ]', '', "
+    "'g'), ' +', ' ', 'g'))"
+)
+
+_NORMALIZE_SQL = f"""
+    SELECT doc_id,
+           {_NORM_SQL_DUCK.format(col=_NOISY_SQL)} AS norm_text,
+           sha256({_NORM_SQL_DUCK.format(col=_NOISY_SQL)}) AS norm_sha
+    FROM documents
+    """
+
+
+def _normalized(col):
+    """CCNet-style shallow normalization (Wenzek et al. 2020 §3.1:
+    lowercase, strip punctuation/accents, collapse whitespace) as pure
+    JVM expressions — the canonical form content hashes are taken over
+    so trivial re-crawl noise (case, punctuation, spacing) cannot split
+    a duplicate group."""
+    n = F.regexp_replace(F.lower(col), "[^a-z0-9 ]", "")
+    return F.trim(F.regexp_replace(n, " +", " "))
+
+
+def _noisy_text():
+    sel = F.col("doc_id") % 3
+    return (
+        F.when(sel == 0, F.concat(F.upper("text"), F.lit(" !!!")))
+        .when(
+            sel == 1,
+            F.concat(
+                F.lit("  "),
+                F.replace(F.col("text"), F.lit(" "), F.lit("  ")),
+                F.lit("  "),
+            ),
+        )
+        .otherwise(F.replace(F.col("text"), F.lit(" "), F.lit(" , ")))
+    )
+
+
+@register("text_normalize", _NORMALIZE_SQL)
+def text_normalize(spark, sf):
+    """Text normalization for dedup keying — the canonicalization step
+    every exact/near-dup pipeline runs before hashing. Raw variants
+    with case flips, injected punctuation, and whitespace noise are
+    staged as a pure function of doc_id, then normalized back; the
+    round-trip law (normalize(noisy) == original lowercase text) is
+    pinned in tests and the oracle replicates both the noise and the
+    normalization regexps, so the cross-engine pin covers the actual
+    string transforms, not a fixture identity.
+
+    Scale shape: three chained codegen string expressions inside the
+    scan stage — zero shuffles, zero Python; the sha over the
+    normalized form is the dedup key downstream stages group on."""
+    d = load_table(spark, sf, "documents")
+    norm = _normalized(_noisy_text())
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.sha2(norm, 256).alias("norm_sha"),
+    )
+
+
+_DEDUP_NORM_SQL = f"""
+    WITH n AS (
+      SELECT doc_id,
+             sha256({_NORM_SQL_DUCK.format(col=_NOISY_SQL)}) AS norm_sha,
+             sha256({_NOISY_SQL}) AS raw_sha
+      FROM documents)
+    SELECT norm_sha, min(doc_id) AS keep_id, count(*) AS n_dups,
+           count(DISTINCT raw_sha) AS n_raw_variants
+    FROM n GROUP BY norm_sha
+    """
+
+
+@register("dedup_exact_normalized", _DEDUP_NORM_SQL)
+def dedup_exact_normalized(spark, sf):
+    """Exact dedup over NORMALIZED content — the gap this closes vs
+    dedup_exact: two crawls of the same page differing only in case /
+    punctuation / whitespace hash apart raw but together normalized.
+    Per normalized-hash group: canonical keep (min doc_id), member
+    count, and how many RAW hash variants the group spans (>1 = docs
+    raw hashing would have failed to merge; the noise styles are keyed
+    by doc_id % 3, so identical texts land in different styles and the
+    census proves the merge is real).
+
+    Scale shape: identical to dedup_exact — one shuffle on a 32-byte
+    key; min/count partial-aggregate map-side, count(DISTINCT raw_sha)
+    is the standard two-phase expand over a group bounded by the dup
+    multiplicity, not the corpus."""
+    d = load_table(spark, sf, "documents")
+    noisy = _noisy_text()
+    return (
+        d.select(
+            "doc_id",
+            F.sha2(_normalized(noisy), 256).alias("norm_sha"),
+            F.sha2(noisy, 256).alias("raw_sha"),
+        )
+        .groupBy("norm_sha")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_dups"),
+            F.countDistinct("raw_sha").alias("n_raw_variants"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus_mix_weights — per-doc mixture importance weights
+# --------------------------------------------------------------------------
+
+_MIX_WEIGHTS_SQL = """
+    WITH lc AS (
+      SELECT lang, count(*) AS lang_docs FROM documents GROUP BY lang),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT lang) AS BIGINT) AS k FROM documents)
+    SELECT d.doc_id, d.lang, lc.lang_docs,
+           CAST(tot.n AS DOUBLE) / (tot.k * lc.lang_docs) AS weight
+    FROM documents d JOIN lc USING (lang) CROSS JOIN tot
+    """
+
+
+@register("corpus_mix_weights", _MIX_WEIGHTS_SQL)
+def corpus_mix_weights(spark, sf):
+    """Per-document sampling weights for a target data mixture — the
+    continuous third option next to resampling (corpus_lang_rebalance)
+    and integer epoch repeats (corpus_upsample_epochs): every doc gets
+    weight = target_share / actual_share so a weighted sampler draws a
+    uniform-over-languages mix (the DoReMi-style fixed-weight shape,
+    Xie et al. 2023, with uniform targets). One row per INPUT doc —
+    the never-drop audit contract; weight > 1 upsamples low-resource
+    languages, < 1 downsamples the head.
+
+    Scale shape: one tiny per-lang count aggregate (rows = n_langs)
+    plus a single-row total, both broadcast back onto the doc table —
+    zero shuffles of the corpus itself; the weight division is one
+    IEEE double op, identical in both engines (long/long division
+    after CAST, single rounding)."""
+    d = load_table(spark, sf, "documents").select("doc_id", "lang")
+    lc = d.groupBy("lang").agg(F.count("*").alias("lang_docs"))
+    tot = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("lang").cast("long").alias("k"),
+    )
+    return (
+        d.join(F.broadcast(lc), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            "lang_docs",
+            (
+                F.col("n").cast("double")
+                / (F.col("k") * F.col("lang_docs"))
+            ).alias("weight"),
+        )
+    )

@@ -211,3 +211,59 @@ def test_quality_tiers_compose_the_stage_verdicts(spark, sf_dir):
             assert r.tier == r.bucket in {"head", "middle", "tail"}
     tiers = {r.tier for r in rows}
     assert {"head", "middle", "tail"} <= tiers or "rejected" in tiers
+
+
+def test_normalize_round_trips_noise(spark, sf_dir):
+    """normalize(noisy(text)) must equal the original lowercase text
+    for every noise style, and the sha must be the sha of that text."""
+    from octospark.sources import load_table
+
+    out = {r.doc_id: r for r in
+           W.QUERIES["text_normalize"](spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").collect()
+    assert len(out) == len(docs)
+    import hashlib
+
+    for d in docs:
+        r = out[d.doc_id]
+        assert r.norm_text == d.text, d.doc_id
+        assert r.norm_sha == hashlib.sha256(d.text.encode()).hexdigest()
+
+
+def test_dedup_normalized_merges_what_raw_hashing_splits(spark, sf_dir):
+    """Normalized groups must equal exact-text groups of the original
+    corpus, and at least one multi-member group must span >1 raw
+    variant (proving the merge is doing real work over the noise)."""
+    from collections import Counter
+
+    from octospark.sources import load_table
+
+    rows = W.QUERIES["dedup_exact_normalized"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").collect()
+    text_groups = Counter(d.text for d in docs)
+    assert sum(r.n_dups for r in rows) == len(docs)
+    assert sorted(r.n_dups for r in rows) == sorted(text_groups.values())
+    multi = [r for r in rows if r.n_dups > 1]
+    if multi:  # sf0.001+ fixtures contain duplicate texts
+        assert any(r.n_raw_variants > 1 for r in multi)
+    for r in rows:
+        assert 1 <= r.n_raw_variants <= min(r.n_dups, 3)
+
+
+def test_mix_weights_equalize_languages(spark, sf_dir):
+    """One row per input doc; per-language total weight must be N/k
+    (every language contributes equally after weighting), and weight
+    is constant within a language."""
+    from collections import defaultdict
+
+    rows = W.QUERIES["corpus_mix_weights"](spark, sf_dir).collect()
+    langs = defaultdict(list)
+    for r in rows:
+        langs[r.lang].append(r)
+    n = len(rows)
+    k = len(langs)
+    for lang, rs in langs.items():
+        assert len({r.weight for r in rs}) == 1
+        assert len(rs) == rs[0].lang_docs
+        total = sum(r.weight for r in rs)
+        assert abs(total - n / k) < 1e-6 * n, (lang, total, n / k)
