@@ -4133,3 +4133,50 @@ def dedup_semantic_semdedup(spark, sf):
             F.col("dup_of").isNull().alias("kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# sim_ann_recall_eval — ANN quality evaluation harness
+# --------------------------------------------------------------------------
+
+def _recall_oracle_sql() -> str:
+    """Oracle for sim_ann_recall_eval: composes the exact-top-k and IVF
+    oracles verbatim (subquery WITHs), so the evaluated sets are the
+    very ones the driver already hash-checks key-by-key."""
+    return f"""
+    WITH exact AS (
+      SELECT vec_id FROM ({ORACLE["sim_ann_topk"]}) WHERE rank <= 5),
+    approx AS (
+      SELECT vec_id FROM ({ORACLE["sim_ann_ivf"]}))
+    SELECT CAST(5 AS BIGINT) AS k,
+           count(*) AS n_hits,
+           CAST(count(*) AS DOUBLE) / 5 AS recall_at_k
+    FROM approx WHERE vec_id IN (SELECT vec_id FROM exact)
+    """
+
+
+@register("sim_ann_recall_eval", _recall_oracle_sql())
+def sim_ann_recall_eval(spark, sf):
+    """ANN evaluation harness: recall@5 of the IVF scale path against
+    the exact brute-force top-5 — the one-number report every ANN
+    deployment watches when retuning cells/probes, expressed as a
+    DataFrame so the measurement itself is distributed and cross-engine
+    checked (both legs reuse the registered operators verbatim; any
+    drift in either leg fails this key too).
+
+    Scale shape: both legs end in TakeOrderedAndProject (k rows each),
+    so the semi join + count is k-row driver-side work no matter the
+    corpus size — the eval costs two ANN queries, not a third scan."""
+    exact5 = sim_ann_topk(spark, sf).filter(F.col("rank") <= 5).select(
+        "vec_id"
+    )
+    approx5 = sim_ann_ivf(spark, sf).select("vec_id")
+    return (
+        approx5.join(exact5, "vec_id", "left_semi")
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            F.lit(5).cast("long").alias("k"),
+            "n_hits",
+            (F.col("n_hits").cast("double") / 5).alias("recall_at_k"),
+        )
+    )

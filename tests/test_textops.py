@@ -1248,3 +1248,24 @@ def test_semdedup_drops_every_injected_copy_and_keeps_originals(spark):
     # copies land in the same cell as their original (same vector)
     for r in copies:
         assert r.cell == by_id[r.vec_id - 10000].cell
+
+
+def test_ann_recall_eval_agrees_with_the_two_legs(spark, sf_dir):
+    """recall@5 must equal |ivf_top5 ∩ exact_top5| / 5 computed from
+    the two registered legs directly, and the IVF scale path must keep
+    recall >= 0.8 on the fixture."""
+    import octospark.textops as T
+
+    r = T.QUERIES["sim_ann_recall_eval"](spark, sf_dir).collect()[0]
+    exact = {
+        x.vec_id
+        for x in T.QUERIES["sim_ann_topk"](spark, sf_dir).collect()
+        if x.rank <= 5
+    }
+    approx = {
+        x.vec_id for x in T.QUERIES["sim_ann_ivf"](spark, sf_dir).collect()
+    }
+    assert r.k == 5
+    assert r.n_hits == len(approx & exact)
+    assert r.recall_at_k == r.n_hits / 5
+    assert r.recall_at_k >= 0.8
