@@ -1742,3 +1742,81 @@ def table_merge_upsert(spark, sf):
         F.col("w.status").alias("status"),
         "version",
     )
+
+
+# --------------------------------------------------------------------------
+# join_bucketed_colocated — pre-bucketed tables join with ZERO exchange
+# --------------------------------------------------------------------------
+
+_BUCKETS = 8
+
+
+def _stage_bucketed_tables(spark: SparkSession, sf_dir: str):
+    """Register two bucketed catalog tables derived from documents —
+    the write-side half of the co-located join contract. Bucketing
+    metadata lives in the catalog (not the parquet footers), so the
+    staging is per-session: names are fingerprinted on the source
+    parquet's (mtime_ns, size) like sources._staged_dir, reused within
+    a session via tableExists, and written with mode('overwrite') so a
+    stale on-disk path from a previous session can never shadow a
+    regenerated testdata dir."""
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    fp = f"{st.st_mtime_ns}_{st.st_size}"
+    docs_t, stats_t = f"docs_bkt_{fp}", f"stats_bkt_{fp}"
+    if spark.catalog.tableExists(docs_t) and spark.catalog.tableExists(
+        stats_t
+    ):
+        return docs_t, stats_t
+    base = "/tmp/octospark_bucketed"
+    docs = load_table(spark, sf_dir, "documents")
+    (
+        docs.select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite")
+        .option("path", os.path.join(base, docs_t))
+        .bucketBy(_BUCKETS, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable(docs_t)
+    )
+    (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", ((F.col("doc_id") * 7) % 100).alias("score"))
+        .write.mode("overwrite")
+        .option("path", os.path.join(base, stats_t))
+        .bucketBy(_BUCKETS, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable(stats_t)
+    )
+    return docs_t, stats_t
+
+
+@register(
+    "join_bucketed_colocated",
+    "SELECT doc_id, lang, n_chars, (doc_id * 7) % 100 AS score "
+    "FROM documents WHERE doc_id % 3 = 0",
+)
+def join_bucketed_colocated(spark, sf):
+    """Fact-fact join over PRE-BUCKETED tables with zero exchange: both
+    sides were written bucketBy(doc_id) into the catalog, so the join
+    key's hash layout is already on disk and the SortMergeJoin reads
+    bucket i of each table on the same task — no shuffle of either
+    side, ever. At 100 TB this is THE standing answer to the repeated
+    fact-fact join (pages ⋈ per-doc scores, every training-data
+    refresh): pay one bucketed write, then every subsequent join of
+    tables sharing the layout is exchange-free, which also sidesteps
+    join skew entirely (buckets are fixed at write time).
+
+    The plan is asserted shuffle-free in tests/test_plans.py (broadcast
+    disabled so the SMJ path is exercised — at real scale neither side
+    broadcasts). The scan stays columnar parquet with pushdown; the
+    write side documents the other half of the contract (bucket count
+    chosen once per lake, same hash function as the read side).
+    Reference analog: R16 per-doc sink + R11 line→region join
+    (/root/reference/src/octopy/cli/merge.py) — the merge stage's
+    re-pairing of stage outputs by document, done here by layout
+    instead of by shuffle."""
+    docs_t, stats_t = _stage_bucketed_tables(spark, sf)
+    d = spark.table(docs_t)
+    s = spark.table(stats_t)
+    return d.join(s, "doc_id").select("doc_id", "lang", "n_chars", "score")

@@ -775,3 +775,307 @@ def corpus_mix_weights(spark, sf):
             ).alias("weight"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# crawl_politeness_schedule — per-host fetch slots (crawl-side politeness)
+# --------------------------------------------------------------------------
+
+_POLITENESS_DELAY_MS = 1000
+
+_POLITENESS_SQL = f"""
+    SELECT 'https://' || source || '.example.org/doc/'
+             || CAST(doc_id AS VARCHAR) AS url,
+           source AS host,
+           row_number() OVER (
+             PARTITION BY source
+             ORDER BY n_chars DESC, doc_id ASC) AS fetch_slot,
+           (row_number() OVER (
+             PARTITION BY source
+             ORDER BY n_chars DESC, doc_id ASC) - 1)
+             * {_POLITENESS_DELAY_MS} AS eta_ms
+    FROM documents
+    """
+
+
+@register("crawl_politeness_schedule", _POLITENESS_SQL)
+def crawl_politeness_schedule(spark, sf):
+    """Per-host politeness schedule for a crawl frontier: every url gets
+    a fetch slot within its host (priority = longest page first, doc_id
+    tiebreak) and an ETA of slot * crawl-delay — the standard one-
+    connection-per-host pacing rule (the scheduling half of robots.txt
+    compliance; the Disallow half is `crawl_robots_filter`). Downstream
+    a fetcher partition can replay its hosts' slots in order without
+    any cross-host coordination.
+
+    Scale shape: one shuffle on host + per-host row_number window —
+    the same shape as corpus_domain_quota, and the same degenerate-host
+    escape hatch documented there applies (a giant host's schedule is
+    a per-partition partial top-k + threshold recount, never a global
+    sort). ETA is pure integer arithmetic on the rank — no second pass.
+    Reference analog: R12 reading-order resolve
+    (/root/reference/src/octopy/segment.py ordered regions) applied to
+    the fetch queue instead of the page."""
+    d = load_table(spark, sf, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    )
+    slot = F.row_number().over(w)
+    return d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"),
+            F.lit(".example.org/doc/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("source").alias("host"),
+        slot.alias("fetch_slot"),
+        ((slot - F.lit(1)) * F.lit(_POLITENESS_DELAY_MS)).alias("eta_ms"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_bloom_snapshot — cross-snapshot Bloom-filter dedup gate
+# --------------------------------------------------------------------------
+
+# Blocked Bloom filter: k=3 hash segments of 4093 (prime) bits each.
+# Multiply-shift constants are < 2^32 and the fingerprint is < 1e9, so
+# fp * C < 3.3e18 stays inside BIGINT in both engines (no overflow,
+# no hugeint promotion surprises).
+_BLOOM_SEG = 4093
+_BLOOM_CS = (2654435761, 2246822519, 3266489917)
+
+
+def _bloom_bit_sqls(fp_expr: str) -> list:
+    return [
+        f"{j * _BLOOM_SEG} + ({fp_expr} * {c}) % {_BLOOM_SEG}"
+        for j, c in enumerate(_BLOOM_CS)
+    ]
+
+
+def _bloom_sql() -> str:
+    from octospark.textops import ORACLE as _TEXT_ORACLE
+
+    fp_sql = _TEXT_ORACLE["text_fingerprint"]
+    bits = _bloom_bit_sqls("fp")
+    abits = "\n      UNION\n      ".join(
+        f"SELECT DISTINCT {b} AS bit FROM a" for b in bits
+    )
+    bbits = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, fp, {b} AS bit FROM b" for b in bits
+    )
+    return f"""
+    WITH fp AS (
+      SELECT doc_id, CAST(fp AS BIGINT) AS fp FROM ({fp_sql})),
+    a AS (SELECT fp FROM fp WHERE doc_id % 3 <> 1),
+    b AS (SELECT doc_id, fp FROM fp WHERE doc_id % 3 = 1),
+    abits AS (
+      {abits}),
+    afps AS (SELECT DISTINCT fp FROM a),
+    bbits AS (
+      {bbits}),
+    probe AS (
+      SELECT bb.doc_id, bb.fp, count(ab.bit) AS hits
+      FROM bbits bb LEFT JOIN abits ab USING (bit)
+      GROUP BY bb.doc_id, bb.fp)
+    SELECT p.doc_id, p.fp, p.hits = 3 AS maybe_seen,
+           af.fp IS NOT NULL AS exact_seen
+    FROM probe p LEFT JOIN afps af USING (fp)
+    """
+
+
+def _bloom_bit_cols(fp):
+    return [
+        (F.lit(j * _BLOOM_SEG) + (fp * F.lit(c)) % F.lit(_BLOOM_SEG))
+        for j, c in enumerate(_BLOOM_CS)
+    ]
+
+
+@register("dedup_bloom_snapshot", _bloom_sql())
+def dedup_bloom_snapshot(spark, sf):
+    """Cross-snapshot Bloom-filter dedup gate: the old crawl snapshot
+    (docs with doc_id % 3 != 1) is compressed into a 3-segment blocked
+    Bloom filter over content fingerprints; each incoming batch row
+    (doc_id % 3 == 1) probes the filter and is flagged `maybe_seen`
+    (all 3 bits set — drop candidates) or definitely-new. This is the
+    incremental-crawl shape: at 10^12 docs you cannot anti-join every
+    new WARC dump against the full history, but a kilobyte-scale
+    filter of the history broadcasts to every executor and gates the
+    batch map-side with zero shuffle of either side.
+
+    The `exact_seen` column is the EVAL leg (same discipline as
+    sim_ann_recall_eval): true membership from a fp-level join, so the
+    output exhibits the filter's false-positive rate directly and the
+    no-false-negative law (exact_seen => maybe_seen) is pinned in
+    tests. At scale the eval leg is a sampled audit or dropped; the
+    Bloom leg is the product.
+
+    Scale shape: fingerprints reuse text_fingerprint (exact integer
+    hash, oracle-shared); the filter build aggregates to <= 12,279
+    DISTINCT bit rows (bounded by the filter size, NOT the corpus) and
+    broadcasts; the probe is explode(3 bits) -> broadcast left join ->
+    regroup on doc_id (partial-agg, and the fp stage already hashed by
+    doc_id so the regroup reuses that partitioning). Bit arithmetic is
+    overflow-safe multiply-mod shared bitwise with the oracle, so
+    false positives are reproduced IDENTICALLY cross-engine.
+    Reference analog: R23/R24 resume anti-join
+    (/root/reference/src/octopy/cli/merge.py skip-done) replaced by a
+    constant-size filter when the done-set no longer fits a join."""
+    from octospark.textops import text_fingerprint
+
+    fpdf = text_fingerprint(spark, sf).select(
+        "doc_id", F.col("fp").cast("long").alias("fp")
+    )
+    a = fpdf.filter(F.col("doc_id") % 3 != 1)
+    b = fpdf.filter(F.col("doc_id") % 3 == 1)
+    a_bits = (
+        a.select(F.explode(F.array(*_bloom_bit_cols(F.col("fp")))).alias("bit"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    a_fps = a.select("fp").distinct().withColumn("ex", F.lit(1))
+    probe = b.select(
+        "doc_id", "fp",
+        F.explode(F.array(*_bloom_bit_cols(F.col("fp")))).alias("bit"),
+    )
+    hits = (
+        probe.join(F.broadcast(a_bits), "bit", "left")
+        .groupBy("doc_id", "fp")
+        .agg((F.count("hit") == 3).alias("maybe_seen"))
+    )
+    return hits.join(a_fps, "fp", "left").select(
+        "doc_id", "fp", "maybe_seen",
+        F.col("ex").isNotNull().alias("exact_seen"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_readability_stats — surface readability / lexical-complexity stats
+# --------------------------------------------------------------------------
+
+_READABILITY_SQL = """
+    SELECT doc_id,
+           n_words, n_word_chars, n_syllables, n_long_words,
+           CAST(n_word_chars AS DOUBLE) / n_words AS mean_word_len,
+           CAST(n_syllables AS DOUBLE) / n_words AS syllables_per_word,
+           CAST(n_long_words AS DOUBLE) / n_words AS long_word_ratio
+    FROM (
+      SELECT doc_id,
+             CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT)
+               AS n_words,
+             CAST(length(replace(COALESCE(text, ''), ' ', '')) AS BIGINT)
+               AS n_word_chars,
+             CAST(len(regexp_extract_all(COALESCE(text, ''), '[aeiou]+'))
+               AS BIGINT) AS n_syllables,
+             CAST(len(regexp_extract_all(COALESCE(text, ''), '[^ ]{7,}'))
+               AS BIGINT) AS n_long_words
+      FROM documents)
+    """
+
+
+@register("text_readability_stats", _READABILITY_SQL)
+def text_readability_stats(spark, sf):
+    """Surface readability / lexical-complexity statistics per document
+    — the Flesch-family signal set (words, vowel-group syllable proxy,
+    long-word share, mean word length) that quality-filter cascades
+    weight next to the Gopher gates; extreme syllables-per-word or
+    long-word ratios separate generated/spam pages from prose.
+
+    Scale shape: four codegen counting expressions inside the scan
+    stage (split/replace/regexp_extract_all sizes) and three single
+    IEEE divisions — zero shuffles, zero Python, ReadSchema = (doc_id,
+    text). Divisions are exactly one rounding each on a CAST long, so
+    the oracle agrees bitwise (the cross-engine recipe from the
+    trainer keys). n_words >= 1 always (split of '' yields one empty
+    token in both engines), so no zero-division guard is needed —
+    that law is pinned in tests. NULL text is COALESCE'd to '' on both
+    sides (Spark size(split(NULL)) is -1, DuckDB len is NULL — the one
+    cross-engine trap here)."""
+    d = load_table(spark, sf, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    n_words = F.size(F.split(t, " ")).cast("long").alias("n_words")
+    n_word_chars = (
+        F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("long")
+        .alias("n_word_chars")
+    )
+    n_syll = (
+        F.size(F.regexp_extract_all(t, F.lit("[aeiou]+"), 0))
+        .cast("long").alias("n_syllables")
+    )
+    n_long = (
+        F.size(F.regexp_extract_all(t, F.lit("[^ ]{7,}"), 0))
+        .cast("long").alias("n_long_words")
+    )
+    base = d.select("doc_id", n_words, n_word_chars, n_syll, n_long)
+    return base.select(
+        "doc_id", "n_words", "n_word_chars", "n_syllables", "n_long_words",
+        (F.col("n_word_chars").cast("double") / F.col("n_words"))
+        .alias("mean_word_len"),
+        (F.col("n_syllables").cast("double") / F.col("n_words"))
+        .alias("syllables_per_word"),
+        (F.col("n_long_words").cast("double") / F.col("n_words"))
+        .alias("long_word_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_tokenizer_fertility — per-language tokens-per-word budget stats
+# --------------------------------------------------------------------------
+
+_FERTILITY_SQL = """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_ws) AS BIGINT) AS total_words,
+           CAST(sum(n_re) AS BIGINT) AS total_tokens,
+           CAST(sum(n_ch) AS BIGINT) AS total_chars,
+           CAST(CAST(sum(n_re) AS BIGINT) AS DOUBLE)
+             / CAST(sum(n_ws) AS BIGINT) AS fertility,
+           CAST(CAST(sum(n_ch) AS BIGINT) AS DOUBLE)
+             / CAST(sum(n_re) AS BIGINT) AS chars_per_token
+    FROM (
+      SELECT lang,
+             len(string_split(COALESCE(text, ''), ' ')) AS n_ws,
+             len(regexp_extract_all(COALESCE(text, ''), '[a-z]+|[0-9]+'))
+               AS n_re,
+             length(COALESCE(text, '')) AS n_ch
+      FROM documents)
+    GROUP BY lang
+    """
+
+
+@register("text_tokenizer_fertility", _FERTILITY_SQL)
+def text_tokenizer_fertility(spark, sf):
+    """Per-language tokenizer fertility (tokens per whitespace word)
+    and compression (chars per token) — the numbers a token-budget
+    plan is priced with: fertility over ~2 means a language pays twice
+    the sequence length for the same text, which feeds directly into
+    the mixture weights (corpus_mix_weights) and packing efficiency
+    (corpus_pack_sequences). Uses the same BPE-ish regex tokenizer as
+    text_token_count so the two keys stay consistent.
+
+    Scale shape: counting expressions in the scan stage, then ONE
+    aggregate whose output is n_langs rows — exact integer sums
+    partial-aggregate map-side, the two IEEE divisions happen once per
+    language on the final rows. DuckDB's hugeint sums are CAST to
+    BIGINT before the divide so both engines round identically."""
+    d = load_table(spark, sf, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    base = d.select(
+        "lang",
+        F.size(F.split(t, " ")).cast("long").alias("n_ws"),
+        F.size(F.regexp_extract_all(t, F.lit("[a-z]+|[0-9]+"), 0))
+        .cast("long").alias("n_re"),
+        F.length(t).cast("long").alias("n_ch"),
+    )
+    agg = base.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_ws").alias("total_words"),
+        F.sum("n_re").alias("total_tokens"),
+        F.sum("n_ch").alias("total_chars"),
+    )
+    return agg.select(
+        "lang", "n_docs", "total_words", "total_tokens", "total_chars",
+        (F.col("total_tokens").cast("double") / F.col("total_words"))
+        .alias("fertility"),
+        (F.col("total_chars").cast("double") / F.col("total_tokens"))
+        .alias("chars_per_token"),
+    )

@@ -510,3 +510,33 @@ def test_merge_upsert_deterministic_and_tie_free(spark):
         union.groupBy("okey", "version").count().filter("count > 1").count()
     )
     assert dup_pairs == 0
+
+
+def test_bucketed_join_plan_is_exchange_free(spark):
+    """join_bucketed_colocated's whole point: with broadcast disabled
+    (forcing the at-scale SMJ path), the physical plan must contain a
+    SortMergeJoin over two Bucketed: true scans and ZERO Exchange
+    nodes — the bucketed layout replaces the shuffle."""
+    import __spark_entry__ as entrymod
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        df = entrymod.queries()["join_bucketed_colocated"](spark, SF)
+        plan = plan_of(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert "Exchange" not in plan, plan
+    # and the result matches the plain (shuffling) join semantics
+    from octospark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    want = {
+        (r.doc_id, r.lang, r.n_chars, r.doc_id * 7 % 100)
+        for r in docs.filter(F.col("doc_id") % 3 == 0).collect()
+    }
+    got = {(r.doc_id, r.lang, r.n_chars, r.score) for r in df.collect()}
+    assert got == want

@@ -267,3 +267,118 @@ def test_mix_weights_equalize_languages(spark, sf_dir):
         assert len(rs) == rs[0].lang_docs
         total = sum(r.weight for r in rs)
         assert abs(total - n / k) < 1e-6 * n, (lang, total, n / k)
+
+
+def test_politeness_schedule_slots_dense_and_eta_linear(spark, sf_dir):
+    """Per host: fetch slots are exactly 1..n_host (dense, no gaps),
+    eta is (slot-1)*delay, and slot order follows (n_chars desc,
+    doc_id asc) priority."""
+    rows = W.QUERIES["crawl_politeness_schedule"](spark, sf_dir).collect()
+    by_host: dict = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+        assert r.eta_ms == (r.fetch_slot - 1) * W._POLITENESS_DELAY_MS
+    from octospark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    chars = {
+        f"https://{d.source}.example.org/doc/{d.doc_id}": (
+            d.n_chars, d.doc_id
+        )
+        for d in docs
+    }
+    for host, hrows in by_host.items():
+        slots = sorted(r.fetch_slot for r in hrows)
+        assert slots == list(range(1, len(hrows) + 1))
+        ordered = sorted(hrows, key=lambda r: r.fetch_slot)
+        prios = [(-chars[r.url][0], chars[r.url][1]) for r in ordered]
+        assert prios == sorted(prios)
+
+
+def test_bloom_snapshot_no_false_negatives_and_fp_rate(spark, sf_dir):
+    """The Bloom gate may only err one way: every exact duplicate of
+    the old snapshot MUST be flagged maybe_seen (no false negatives);
+    the false-positive side is bounded (filter is sized ~12k bits for
+    the sf0.001 snapshot) and deterministic."""
+    rows = W.QUERIES["dedup_bloom_snapshot"](spark, sf_dir).collect()
+    assert rows, "probe batch is empty"
+    for r in rows:
+        if r.exact_seen:
+            assert r.maybe_seen, f"false negative at doc {r.doc_id}"
+    n = len(rows)
+    n_maybe = sum(r.maybe_seen for r in rows)
+    n_exact = sum(r.exact_seen for r in rows)
+    assert n_maybe >= n_exact
+    # false-positive share of the definitely-new rows stays well under
+    # 50% — a degenerate hash (everything collides) fails here
+    fps = n_maybe - n_exact
+    assert fps <= max(1, (n - n_exact) // 2)
+    # determinism: a second run produces the identical flag set
+    again = W.QUERIES["dedup_bloom_snapshot"](spark, sf_dir).collect()
+    assert {(r.doc_id, r.maybe_seen, r.exact_seen) for r in rows} == {
+        (r.doc_id, r.maybe_seen, r.exact_seen) for r in again
+    }
+
+
+def test_bloom_bits_stay_in_segments_and_bigint_range():
+    """Bit positions land in their own hash segment (blocked filter)
+    and the multiply never leaves BIGINT for any fp < 1e9+7."""
+    worst = 1000000006
+    for j, c in enumerate(W._BLOOM_CS):
+        assert worst * c < 2**63 - 1
+        lo, hi = j * W._BLOOM_SEG, (j + 1) * W._BLOOM_SEG
+        for fp in (0, 1, 12345, worst):
+            bit = j * W._BLOOM_SEG + (fp * c) % W._BLOOM_SEG
+            assert lo <= bit < hi
+
+
+def test_readability_stats_match_python_recount(spark, sf_dir):
+    """Counting columns and the three ratios agree with a direct
+    Python recount on every doc (division = single IEEE op)."""
+    import re
+
+    from octospark.sources import load_table
+
+    rows = W.QUERIES["text_readability_stats"](spark, sf_dir).collect()
+    texts = {
+        d.doc_id: d.text or ""
+        for d in load_table(spark, sf_dir, "documents").collect()
+    }
+    assert len(rows) == len(texts)
+    for r in rows:
+        t = texts[r.doc_id]
+        n_words = len(t.split(" "))
+        assert r.n_words == n_words >= 1
+        assert r.n_word_chars == len(t.replace(" ", ""))
+        assert r.n_syllables == len(re.findall("[aeiou]+", t))
+        assert r.n_long_words == len(re.findall("[^ ]{7,}", t))
+        assert r.mean_word_len == r.n_word_chars / n_words
+        assert r.syllables_per_word == r.n_syllables / n_words
+        assert r.long_word_ratio == r.n_long_words / n_words
+
+
+def test_tokenizer_fertility_recounts_and_consistency(spark, sf_dir):
+    """Per-lang sums equal a Python recount; ratios are the single
+    divisions of those sums; every lang present exactly once."""
+    import re
+
+    from octospark.sources import load_table
+
+    rows = W.QUERIES["text_tokenizer_fertility"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").collect()
+    want: dict = {}
+    for d in docs:
+        t = d.text or ""
+        acc = want.setdefault(d.lang, [0, 0, 0, 0])
+        acc[0] += 1
+        acc[1] += len(t.split(" "))
+        acc[2] += len(re.findall("[a-z]+|[0-9]+", t))
+        acc[3] += len(t)
+    assert {r.lang for r in rows} == set(want)
+    for r in rows:
+        n_docs, ws, re_, ch = want[r.lang]
+        assert (r.n_docs, r.total_words, r.total_tokens, r.total_chars) == (
+            n_docs, ws, re_, ch,
+        )
+        assert r.fertility == re_ / ws
+        assert r.chars_per_token == ch / re_
