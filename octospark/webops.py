@@ -1079,3 +1079,217 @@ def text_tokenizer_fertility(spark, sf):
         (F.col("total_chars").cast("double") / F.col("total_tokens"))
         .alias("chars_per_token"),
     )
+
+
+# --------------------------------------------------------------------------
+# extract_regression_check — the north-rule byte-identity pin as a KEY
+# --------------------------------------------------------------------------
+
+_REGRESSION_SQL = """
+    SELECT doc_id % 6 AS template,
+           count(*) AS n_docs,
+           count(*) AS n_byte_identical
+    FROM documents GROUP BY doc_id % 6
+    """
+
+
+@register("extract_regression_check", _REGRESSION_SQL)
+def extract_regression_check(spark, sf):
+    """The regression-fixture gate itself, as an oracle-checked key:
+    run the full two-stage extraction (segment -> classify -> merge,
+    fused) over the synthesized pages, join back to the golden text,
+    and report per-template doc counts vs BYTE-IDENTICAL match counts.
+    The oracle asserts n_byte_identical == n_docs for every template —
+    so ANY drift in the extractor, the DOM walker, or the page
+    synthesis fails this key in the driver's correctness sweep, not
+    just in pytest. This is the per-row invariant from the build
+    contract (byte-identical extracted text per url) promoted to the
+    same artifact the other 140+ keys live in.
+
+    Scale shape: the extraction leg is the salted fused pipeline
+    (pipeline.extract_pages — one Python stage, giant-host salting);
+    the golden side re-derives from the same synthesis. In production
+    the golden fixture set is a small pinned corpus (the reference's
+    regression fixtures), so the join side broadcasts; here both legs
+    share the url key. Reference analog: the pytest fixture gate the
+    reference runs per release (reference tests/, SURVEY.md §5) run as
+    a distributed job instead."""
+    from octospark.pipeline import extract_pages
+
+    pages = build_pages(spark, sf)
+    golden = pages.select("url", F.col("text").alias("golden"))
+    ext = extract_pages(pages, salted=True, num_partitions=8).select(
+        "url", "text"
+    )
+    doc_id = F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+    return (
+        ext.join(golden, "url")
+        .groupBy((doc_id % 6).alias("template"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                (F.col("text") == F.col("golden")).cast("long")
+            ).alias("n_byte_identical"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# table_snapshot_retention — lake vacuum planning (keep latest K versions)
+# --------------------------------------------------------------------------
+
+_RETAIN_K = 2
+
+_RETENTION_SQL = f"""
+    WITH v AS (
+      SELECT 'https://' || source || '.example.org/doc/'
+               || CAST(doc_id AS VARCHAR) AS url,
+             unnest(range(0, doc_id % 4 + 1)) AS version,
+             n_chars
+      FROM documents),
+    m AS (
+      SELECT url, version, n_chars + version AS bytes,
+             max(version) OVER (PARTITION BY url) AS maxv
+      FROM v)
+    SELECT url,
+           CAST(count(*) AS BIGINT) AS n_versions,
+           CAST(sum(bytes) AS BIGINT) AS bytes_total,
+           CAST(sum(CASE WHEN version > maxv - {_RETAIN_K} THEN bytes
+                    ELSE 0 END) AS BIGINT) AS bytes_kept,
+           CAST(sum(CASE WHEN version <= maxv - {_RETAIN_K} THEN bytes
+                    ELSE 0 END) AS BIGINT) AS bytes_reclaimable
+    FROM m GROUP BY url
+    """
+
+
+@register("table_snapshot_retention", _RETENTION_SQL)
+def table_snapshot_retention(spark, sf):
+    """Snapshot-retention / vacuum planning over a versioned lake
+    table: every url carries 1-4 historical versions (re-crawls; the
+    write side of table_merge_upsert accumulating), the policy keeps
+    the latest K=2, and the output prices the cleanup — per url, total
+    bytes vs bytes kept vs bytes reclaimable. This is the expire-
+    snapshots planning query every Iceberg/Delta deployment runs
+    before committing a vacuum (decide, THEN delete — the delete
+    itself is the manifest rewrite, octospark/lineage.py's domain).
+
+    Scale shape: one shuffle on url, then max(version) window and the
+    final aggregate reuse that partitioning (no second exchange); the
+    conditional sums partial-aggregate map-side. Works on ARBITRARY
+    version ids (only max is consulted — no dense-numbering
+    assumption), so late-arriving old versions price correctly."""
+    d = load_table(spark, sf, "documents")
+    v = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"),
+            F.lit(".example.org/doc/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 4).cast("int"))
+        ).alias("version"),
+        "n_chars",
+    ).select(
+        "url", "version", (F.col("n_chars") + F.col("version")).alias("bytes")
+    )
+    maxv = F.max("version").over(Window.partitionBy("url"))
+    m = v.withColumn("maxv", maxv)
+    kept = F.col("version") > F.col("maxv") - _RETAIN_K
+    return m.groupBy("url").agg(
+        F.count("*").alias("n_versions"),
+        F.sum("bytes").alias("bytes_total"),
+        F.sum(F.when(kept, F.col("bytes")).otherwise(0)).alias("bytes_kept"),
+        F.sum(F.when(~kept, F.col("bytes")).otherwise(0)).alias(
+            "bytes_reclaimable"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus_dsir_weights — hashed-bucket importance weights (DSIR-style)
+# --------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 64
+_DSIR_FP_SHIFT = 1048576  # 2^20 fixed-point scale
+_DSIR_TARGET_LANG = "en"
+
+_DSIR_SQL = f"""
+    WITH words AS (
+      SELECT doc_id, lang,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE text IS NOT NULL),
+    b AS (
+      SELECT doc_id, lang,
+             (length(word) * 31 + ascii(word)) % {_DSIR_BUCKETS} AS bucket
+      FROM words),
+    stats AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS raw_cnt,
+             CAST(count(*) FILTER (lang = '{_DSIR_TARGET_LANG}')
+               AS BIGINT) AS tgt_cnt
+      FROM b GROUP BY bucket)
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(CAST(floor(
+             CAST(s.tgt_cnt * {_DSIR_FP_SHIFT} AS DOUBLE) / s.raw_cnt
+           ) AS BIGINT)) AS BIGINT) AS raw_score,
+           CAST(CAST(sum(CAST(floor(
+             CAST(s.tgt_cnt * {_DSIR_FP_SHIFT} AS DOUBLE) / s.raw_cnt
+           ) AS BIGINT)) AS BIGINT) AS DOUBLE)
+             / (count(*) * {_DSIR_FP_SHIFT}) AS importance
+    FROM b JOIN stats s USING (bucket)
+    GROUP BY b.doc_id
+    """
+
+
+@register("corpus_dsir_weights", _DSIR_SQL)
+def corpus_dsir_weights(spark, sf):
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, Data Selection via Importance Resampling): hash every word
+    into one of 64 buckets, estimate the target distribution from the
+    in-domain slice (lang='en' here; a quality corpus in production)
+    and the raw distribution from everything, then score each doc by
+    the mean target/raw bucket ratio of its words. High-importance
+    docs look like the target domain; a weighted sampler over
+    `importance` is the DSIR selection step.
+
+    Cross-engine exactness: per-bucket ratios are fixed-point —
+    floor(tgt * 2^20 / raw) on exact BIGINT counts (single IEEE
+    division on identical operands, then floor) — and the per-doc
+    aggregation sums those INTEGERS, so partitioning order cannot
+    perturb the result; one final division yields the double. The
+    word-bucket hash is the text_fingerprint word hash mod 64, shared
+    with the oracle.
+
+    Scale shape: bucket stats are a 64-row aggregate (broadcast back
+    onto the exploded words), and the per-doc sum is one groupBy on
+    doc_id — the explode never persists; at 10^12 docs this is one
+    shuffle of (doc_id, small ints) plus a kilobyte dim table."""
+    d = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    words = d.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.col("text"), " ")).alias("word"),
+    )
+    b = words.select(
+        "doc_id", "lang",
+        (
+            (F.length("word") * 31 + F.ascii("word")) % _DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    stats = b.groupBy("bucket").agg(
+        F.count("*").alias("raw_cnt"),
+        F.sum(
+            (F.col("lang") == _DSIR_TARGET_LANG).cast("long")
+        ).alias("tgt_cnt"),
+    )
+    ratio_fp = F.floor(
+        (F.col("tgt_cnt") * _DSIR_FP_SHIFT).cast("double") / F.col("raw_cnt")
+    )
+    joined = b.join(F.broadcast(stats), "bucket")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum(ratio_fp).alias("raw_score"),
+        (
+            F.sum(ratio_fp).cast("double")
+            / (F.count("*") * _DSIR_FP_SHIFT)
+        ).alias("importance"),
+    )

@@ -316,6 +316,9 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         "extract_headings_outline",
         # the flagship DOM-walk extraction, as an oracle-checked key
         "extract_main_content",
+        # full-pipeline regression gate: runs extract_pages (the one
+        # Python stage) against the synthesized golden text
+        "extract_regression_check",
     }
     ALLOW_GLOBAL_WINDOW = {
         "window_ntile_percent",  # global rank semantically inherent

@@ -382,3 +382,88 @@ def test_tokenizer_fertility_recounts_and_consistency(spark, sf_dir):
         )
         assert r.fertility == re_ / ws
         assert r.chars_per_token == ch / re_
+
+
+def test_extract_regression_check_all_templates_byte_identical(
+    spark, sf_dir
+):
+    """The promoted regression gate: every template bucket reports
+    n_byte_identical == n_docs (the north-rule invariant), and all 6
+    templates are present."""
+    rows = W.QUERIES["extract_regression_check"](spark, sf_dir).collect()
+    assert {r.template for r in rows} == set(range(6))
+    total = 0
+    for r in rows:
+        assert r.n_byte_identical == r.n_docs, (
+            f"template {r.template}: {r.n_docs - r.n_byte_identical} "
+            f"doc(s) not byte-identical"
+        )
+        total += r.n_docs
+    from octospark.sources import load_table
+
+    assert total == load_table(spark, sf_dir, "documents").count()
+
+
+def test_snapshot_retention_accounting_laws(spark, sf_dir):
+    """Per url: version count matches the synthesis (doc_id%4+1),
+    kept + reclaimable == total, and the reclaimable set is exactly
+    the versions below max-K+1 recomputed in Python."""
+    rows = W.QUERIES["table_snapshot_retention"](spark, sf_dir).collect()
+    import re
+
+    for r in rows:
+        doc_id = int(re.search(r"/doc/(\d+)$", r.url).group(1))
+        n = doc_id % 4 + 1
+        assert r.n_versions == n
+        base = r.bytes_total - sum(range(n))  # = n * n_chars
+        n_chars = base // n
+        versions = [(v, n_chars + v) for v in range(n)]
+        maxv = n - 1
+        kept = sum(b for v, b in versions if v > maxv - W._RETAIN_K)
+        assert r.bytes_kept == kept
+        assert r.bytes_kept + r.bytes_reclaimable == r.bytes_total
+
+
+def test_dsir_weights_bounded_and_target_lang_scores_higher(
+    spark, sf_dir
+):
+    """importance is in (0, 1]; the target language's mean importance
+    strictly exceeds every other language's mean (its words are, by
+    construction, the target distribution); and a Python recount of
+    one doc's fixed-point score matches exactly."""
+    import math
+
+    from octospark.sources import load_table
+
+    out = {
+        r.doc_id: r
+        for r in W.QUERIES["corpus_dsir_weights"](spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").collect()
+    by_lang: dict = {}
+    for d in docs:
+        r = out[d.doc_id]
+        assert 0.0 < r.importance <= 1.0
+        by_lang.setdefault(d.lang, []).append(r.importance)
+    means = {lg: sum(v) / len(v) for lg, v in by_lang.items()}
+    tgt = means.pop(W._DSIR_TARGET_LANG)
+    assert all(tgt > m for m in means.values()), means
+    # exact fixed-point replay on one document
+    raw: dict = {}
+    tgt_cnt: dict = {}
+    for d in docs:
+        for w in (d.text or "").split(" "):
+            bkt = (len(w) * 31 + ord(w[0]) if w else len(w) * 31) \
+                % W._DSIR_BUCKETS
+            raw[bkt] = raw.get(bkt, 0) + 1
+            if d.lang == W._DSIR_TARGET_LANG:
+                tgt_cnt[bkt] = tgt_cnt.get(bkt, 0) + 1
+    d0 = docs[0]
+    score = 0
+    for w in (d0.text or "").split(" "):
+        bkt = (len(w) * 31 + ord(w[0]) if w else len(w) * 31) \
+            % W._DSIR_BUCKETS
+        score += math.floor(
+            float(tgt_cnt.get(bkt, 0) * W._DSIR_FP_SHIFT) / raw[bkt]
+        )
+    assert out[d0.doc_id].raw_score == score
