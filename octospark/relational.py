@@ -1759,17 +1759,35 @@ def _stage_bucketed_tables(spark: SparkSession, sf_dir: str):
     parquet's (mtime_ns, size) like sources._staged_dir, reused within
     a session via tableExists, and written with mode('overwrite') so a
     stale on-disk path from a previous session can never shadow a
-    regenerated testdata dir."""
+    regenerated testdata dir. Two extra properties mirroring the
+    _staged_dir contract: the on-disk path is additionally keyed by
+    PID (two concurrent sessions — driver sweep + bench, or parallel
+    pytest — can never overwrite-race into the same directory), and
+    stale dirs from other fingerprints or DEAD pids are evicted so
+    testdata regeneration does not leak copies in /tmp forever."""
     import os
+    import shutil
 
     st = os.stat(os.path.join(sf_dir, "documents.parquet"))
     fp = f"{st.st_mtime_ns}_{st.st_size}"
-    docs_t, stats_t = f"docs_bkt_{fp}", f"stats_bkt_{fp}"
+    pid = os.getpid()
+    docs_t, stats_t = f"docs_bkt_{fp}_{pid}", f"stats_bkt_{fp}_{pid}"
     if spark.catalog.tableExists(docs_t) and spark.catalog.tableExists(
         stats_t
     ):
         return docs_t, stats_t
     base = "/tmp/octospark_bucketed"
+    try:  # evict: other fingerprints always; same fingerprint only if
+        for d in os.listdir(base):  # its owning pid is no longer alive
+            tag = d.rsplit("_", 1)
+            owner = int(tag[1]) if tag[-1].isdigit() else -1
+            alive = owner == pid or (
+                owner > 0 and os.path.exists(f"/proc/{owner}")
+            )
+            if fp not in d or not alive:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    except OSError:
+        pass
     docs = load_table(spark, sf_dir, "documents")
     (
         docs.select("doc_id", "lang", "n_chars")

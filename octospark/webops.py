@@ -1030,7 +1030,7 @@ _FERTILITY_SQL = """
            CAST(CAST(sum(n_re) AS BIGINT) AS DOUBLE)
              / CAST(sum(n_ws) AS BIGINT) AS fertility,
            CAST(CAST(sum(n_ch) AS BIGINT) AS DOUBLE)
-             / CAST(sum(n_re) AS BIGINT) AS chars_per_token
+             / nullif(CAST(sum(n_re) AS BIGINT), 0) AS chars_per_token
     FROM (
       SELECT lang,
              len(string_split(COALESCE(text, ''), ' ')) AS n_ws,
@@ -1076,8 +1076,15 @@ def text_tokenizer_fertility(spark, sf):
         "lang", "n_docs", "total_words", "total_tokens", "total_chars",
         (F.col("total_tokens").cast("double") / F.col("total_words"))
         .alias("fertility"),
-        (F.col("total_chars").cast("double") / F.col("total_tokens"))
-        .alias("chars_per_token"),
+        # nullif on the divisor: a lang slice with zero regex tokens
+        # (raw CJK, punctuation-only docs) must yield NULL in BOTH
+        # engines — Spark 4's default ANSI mode otherwise THROWS on
+        # x/0 while DuckDB returns NULL (total_words needs no guard:
+        # split('') yields one token, so it is >= n_docs >= 1)
+        (
+            F.col("total_chars").cast("double")
+            / F.nullif(F.col("total_tokens"), F.lit(0))
+        ).alias("chars_per_token"),
     )
 
 
@@ -1116,7 +1123,11 @@ def extract_regression_check(spark, sf):
     a distributed job instead."""
     from octospark.pipeline import extract_pages
 
-    pages = build_pages(spark, sf)
+    # materialize the synthesized pages ONCE (eager localCheckpoint —
+    # same idiom as the CC rounds in textops): both the golden leg and
+    # the extraction leg read the checkpointed partitions, instead of
+    # re-running the mapInPandas synthesis per leg
+    pages = build_pages(spark, sf).localCheckpoint(eager=True)
     golden = pages.select("url", F.col("text").alias("golden"))
     ext = extract_pages(pages, salted=True, num_partitions=8).select(
         "url", "text"

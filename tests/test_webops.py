@@ -411,12 +411,20 @@ def test_snapshot_retention_accounting_laws(spark, sf_dir):
     rows = W.QUERIES["table_snapshot_retention"](spark, sf_dir).collect()
     import re
 
+    from octospark.sources import load_table
+
+    chars = {
+        d.doc_id: d.n_chars
+        for d in load_table(spark, sf_dir, "documents").collect()
+    }
     for r in rows:
         doc_id = int(re.search(r"/doc/(\d+)$", r.url).group(1))
         n = doc_id % 4 + 1
         assert r.n_versions == n
-        base = r.bytes_total - sum(range(n))  # = n * n_chars
-        n_chars = base // n
+        # byte basis from the SOURCE table, not from the query's own
+        # output — a wrong bytes column cannot satisfy this
+        n_chars = chars[doc_id]
+        assert r.bytes_total == n * n_chars + sum(range(n))
         versions = [(v, n_chars + v) for v in range(n)]
         maxv = n - 1
         kept = sum(b for v, b in versions if v > maxv - W._RETAIN_K)
@@ -467,3 +475,48 @@ def test_dsir_weights_bounded_and_target_lang_scores_higher(
             float(tgt_cnt.get(bkt, 0) * W._DSIR_FP_SHIFT) / raw[bkt]
         )
     assert out[d0.doc_id].raw_score == score
+
+
+def test_fertility_zero_token_lang_yields_null_not_error(spark):
+    """A language slice whose docs contain no regex tokens must yield
+    chars_per_token = NULL (matching DuckDB's x/0), not an ANSI
+    DIVIDE_BY_ZERO task failure — pinned on an in-memory frame."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(0, "!!! ...", "xx"), (1, "???", "xx"), (2, "two words", "en")],
+        "doc_id long, text string, lang string",
+    )
+    # the registered callable takes (spark, sf_dir); drive the same
+    # expressions directly against the in-memory frame
+    from pyspark.sql import functions as F
+
+    t = F.coalesce(F.col("text"), F.lit(""))
+    base = df.select(
+        "lang",
+        F.size(F.split(t, " ")).cast("long").alias("n_ws"),
+        F.size(F.regexp_extract_all(t, F.lit("[a-z]+|[0-9]+"), 0))
+        .cast("long").alias("n_re"),
+        F.length(t).cast("long").alias("n_ch"),
+    )
+    agg = base.groupBy("lang").agg(
+        F.sum("n_re").alias("total_tokens"),
+        F.sum("n_ch").alias("total_chars"),
+    )
+    res = {
+        r.lang: r
+        for r in agg.select(
+            "lang",
+            (
+                F.col("total_chars").cast("double")
+                / F.nullif(F.col("total_tokens"), F.lit(0))
+            ).alias("cpt"),
+        ).collect()
+    }
+    assert res["xx"].cpt is None
+    assert res["en"].cpt == 9 / 2
+    # and DuckDB's replica of the same guard also yields NULL
+    duck = duckdb.sql(
+        "SELECT CAST(11 AS DOUBLE) / nullif(0, 0) AS cpt"
+    ).fetchone()[0]
+    assert duck is None
