@@ -1838,3 +1838,128 @@ def join_bucketed_colocated(spark, sf):
     d = spark.table(docs_t)
     s = spark.table(stats_t)
     return d.join(s, "doc_id").select("doc_id", "lang", "n_chars", "score")
+
+
+# --------------------------------------------------------------------------
+# events_funnel_conversion — ordered multi-stage funnel per user
+# --------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id)
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           CASE WHEN p.user_id IS NOT NULL THEN 3
+                WHEN c.user_id IS NOT NULL THEN 2
+                ELSE 1 END AS stage_reached
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """
+
+
+@register("events_funnel_conversion", _FUNNEL_SQL)
+def events_funnel_conversion(spark, sf):
+    """Ordered conversion funnel (view -> click -> purchase) per user:
+    stage N only counts if it happened STRICTLY AFTER the user's
+    earliest stage-N-1 event — the sequential-pattern query behind
+    every product-analytics funnel report, and (for a crawl corpus)
+    the same shape as fetch -> extract -> publish pipeline-latency
+    funnels. One row per user who viewed, with the three stage
+    timestamps (NULL once the funnel is abandoned) and the stage
+    reached.
+
+    Scale shape: three user-keyed aggregations, each joining the
+    events stream against the previous stage's (user, ts) table — all
+    shuffles share the user_id key so co-partitioning is reused, the
+    per-stage tables only shrink (funnel monotonicity), and the
+    conditional mins partial-aggregate map-side. No window over the
+    full event stream, no per-user sort — at 10^12 events the work is
+    three hash aggregations, not a sessionization."""
+    e = load_table(spark, sf, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id", "t_view", "t_click", "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .otherwise(1)
+            .alias("stage_reached"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# events_retention_cohorts — cohort-by-day retention matrix
+# --------------------------------------------------------------------------
+
+_COHORT_SQL = """
+    WITH first AS (
+      SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id)
+    SELECT f.cohort,
+           date_diff('day', f.cohort,
+                     CAST(date_trunc('day', e.ts) AS DATE)) AS day_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN first f USING (user_id)
+    GROUP BY f.cohort, day_offset
+    """
+
+
+@register("events_retention_cohorts", _COHORT_SQL)
+def events_retention_cohorts(spark, sf):
+    """Cohort retention matrix: users grouped by first-seen day, and
+    for every (cohort, day-offset) cell the count of distinct cohort
+    members active that day — the classic growth-analytics triangle,
+    and for a crawl corpus the re-crawl freshness matrix (first-seen
+    crawl vs observed-again crawls). Day arithmetic is integer date
+    diffs on date-truncated timestamps, identical in both engines.
+
+    Scale shape: one user-keyed aggregation for the cohort table,
+    broadcast/co-partitioned join back onto events on the same key,
+    then a groupBy whose output is bounded by days^2/2 cells — the
+    distinct-user count inside each cell is the standard two-phase
+    partial aggregate. The event stream is never sorted or windowed."""
+    e = load_table(spark, sf, "events").select("user_id", "ts")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("cohort")
+    )
+    return (
+        e.join(first, "user_id")
+        .select(
+            "user_id", "cohort",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"),
+                F.col("cohort"),
+            ).alias("day_offset"),
+        )
+        .groupBy("cohort", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
