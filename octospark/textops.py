@@ -4180,3 +4180,172 @@ def sim_ann_recall_eval(spark, sf):
             (F.col("n_hits").cast("double") / 5).alias("recall_at_k"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# multimodal_scene_cut — shot-boundary detection over the video column
+# --------------------------------------------------------------------------
+
+_SCENE_CUT_THRESHOLD = 32.0
+
+_SCENE_CUT_SCHEMA = (
+    "doc_id long, n_frames long, n_cuts long, "
+    "first_cut_frame long, error string"
+)
+
+
+def scene_cut_batches(batches):
+    """mapInPandas body: decode OVID frames -> per-frame mean luma ->
+    abs inter-frame delta -> cut where delta > threshold. The numpy
+    reshape/mean/diff is the real shot-boundary kernel shape an
+    ffmpeg-backed detector runs on decoded luma planes; only the
+    container parse is the fake codec. Never-drop: malformed or null
+    blobs yield an error row, never a task failure (R8)."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+            try:
+                if blob is None:
+                    raise ValueError("null media")
+                b = bytes(blob)
+                if b[:4] != _VID_MAGIC:
+                    raise ValueError("bad magic")
+                n = int.from_bytes(b[4:6], "big")
+                px = np.frombuffer(
+                    b[6 : 6 + 16 * n], dtype=np.uint8
+                ).reshape(n, 16)
+                means = px.mean(axis=1)
+                cuts = np.nonzero(
+                    np.abs(np.diff(means)) > _SCENE_CUT_THRESHOLD
+                )[0]
+                rows.append(
+                    (
+                        int(doc_id), n, int(cuts.size),
+                        int(cuts[0]) if cuts.size else None, None,
+                    )
+                )
+            except Exception as exc:
+                rows.append((int(doc_id), None, None, None, str(exc)))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_frames", "n_cuts", "first_cut_frame", "error",
+            ],
+        )
+
+
+@register(
+    "multimodal_scene_cut",
+    # frame i fills with (doc_id+i)%256, so the ONLY above-threshold
+    # delta is the 255->0 wrap: cut index r = 255 - doc_id%256 exists
+    # iff r <= n-2 (diff i sits between frames i and i+1; n = 1+doc_id%30)
+    """
+    SELECT doc_id,
+           CAST(1 + doc_id % 30 AS BIGINT) AS n_frames,
+           CAST(CASE WHEN 255 - doc_id % 256 <= doc_id % 30 - 1
+                THEN 1 ELSE 0 END AS BIGINT) AS n_cuts,
+           CASE WHEN 255 - doc_id % 256 <= doc_id % 30 - 1
+                THEN CAST(255 - doc_id % 256 AS BIGINT)
+                ELSE NULL END AS first_cut_frame,
+           CAST(NULL AS VARCHAR) AS error
+    FROM documents
+    """,
+)
+def multimodal_scene_cut(spark, sf):
+    """Shot-boundary (scene-cut) detection over the opaque video
+    column — the segmentation step a video-training pipeline runs
+    before frame sampling (sample per SHOT, not per fixed stride, so
+    no shot is missed and none dominates). Per clip: frame count, cut
+    count, first cut index; the fake codec's deterministic fill makes
+    every expected cut reconstructable in SQL, so threshold logic and
+    indexing are oracle-pinned exactly.
+
+    Scale shape: identical to the other multimodal keys — Arrow
+    batches through one mapInPandas, numpy vectorized per clip, no
+    shuffle at all; never-drop error rows. Reference analog: R3
+    stage-1 segmentation (reference src/octopy/segment.py baseline
+    detection) applied on the time axis."""
+    return _fake_media(spark, sf, "video").mapInPandas(
+        scene_cut_batches, _SCENE_CUT_SCHEMA
+    )
+
+
+# --------------------------------------------------------------------------
+# text_tfidf_topk — per-document top-k TF-IDF keyword extraction
+# --------------------------------------------------------------------------
+
+_TFIDF_K = 3
+_TFIDF_SHIFT = 1048576  # 2^20 fixed-point idf scale
+
+_TFIDF_SQL = f"""
+    WITH tf AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE text IS NOT NULL)
+      GROUP BY doc_id, word),
+    stats AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.word,
+             tf.tf * CAST(floor(
+               CAST(n.n * {_TFIDF_SHIFT} AS DOUBLE) / stats.df
+             ) AS BIGINT) AS score
+      FROM tf JOIN stats USING (word) CROSS JOIN n)
+    SELECT doc_id, word, score, rnk
+    FROM (
+      SELECT doc_id, word, score,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY score DESC, word ASC) AS rnk
+      FROM scored)
+    WHERE rnk <= {_TFIDF_K}
+    """
+
+
+@register("text_tfidf_topk", _TFIDF_SQL)
+def text_tfidf_topk(spark, sf):
+    """Per-document top-k TF-IDF keywords — the keyword/topic signal
+    corpus search indexes and document-level metadata enrichment run
+    at ingest. IDF is fixed-point (floor(N * 2^20 / df) on exact
+    BIGINT counts — a rational idf instead of log: same ranking
+    monotonicity, zero transcendental functions, so the score is an
+    exact INTEGER both engines agree on bitwise). Ties break on the
+    word itself for full determinism.
+
+    Scale shape: explode -> (doc_id, word) count -> word-keyed df
+    aggregate joined back (the Zipf head is the partial-agg-friendly
+    part; broadcast-head/shuffle-tail exactly as documented for
+    text_word_rarity) -> per-doc top-k window partitioned by doc_id
+    (never global). The single-row N crossJoin broadcasts."""
+    d = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    words = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    stats = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").cast("long").alias("n"))
+    scored = (
+        tf.join(stats, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "word",
+            (
+                F.col("tf")
+                * F.floor(
+                    (F.col("n") * _TFIDF_SHIFT).cast("double") / F.col("df")
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TFIDF_K)
+    )

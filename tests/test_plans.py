@@ -301,6 +301,7 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         "udf_map_in_pandas", "udf_pandas_scalar", "udf_grouped_apply",
         "multimodal_meta", "multimodal_decode", "multimodal_resize",
         "multimodal_frame_sample", "multimodal_audio_stats",
+        "multimodal_scene_cut",
         # PDF synthesis + tolerant content-stream parse are inherently
         # Python (no PDF support in Spark/JVM builtins)
         "extract_pdf_layout", "pdf_layout_blocks",
@@ -326,6 +327,12 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         # survive TakeOrderedAndProject (asserted separately)
         "sim_ann_topk", "sim_ann_lsh_bucketed", "sim_ann_ivf",
         "sim_ann_topk_int8",
+        # detector false positive, not a global window: the plan's
+        # Exchange SinglePartition feeds the SCALAR corpus-count N
+        # (one row, broadcast back); the Window node itself is
+        # partitioned by doc_id (asserted in
+        # test_tfidf_window_is_doc_partitioned)
+        "text_tfidf_topk",
     }
     ALLOW_CARTESIAN = set()
     failures = []
@@ -543,3 +550,19 @@ def test_bucketed_join_plan_is_exchange_free(spark):
     }
     got = {(r.doc_id, r.lang, r.n_chars, r.score) for r in df.collect()}
     assert got == want
+
+
+def test_tfidf_window_is_doc_partitioned(spark):
+    """text_tfidf_topk rides the ALLOW_GLOBAL_WINDOW list only because
+    its scalar N aggregate trips the single-partition-exchange
+    signature; pin here that the Window node itself partitions by
+    doc_id (a true global row_number would show an empty
+    partitionBy)."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["text_tfidf_topk"](spark, SF))
+    wins = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    assert wins, plan
+    assert any("doc_id" in w for w in wins), wins

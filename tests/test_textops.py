@@ -1269,3 +1269,89 @@ def test_ann_recall_eval_agrees_with_the_two_legs(spark, sf_dir):
     assert r.n_hits == len(approx & exact)
     assert r.recall_at_k == r.n_hits / 5
     assert r.recall_at_k >= 0.8
+
+
+def test_scene_cut_matches_formula_and_never_drops():
+    """Direct batch-body drive: cuts land exactly at the 255->0 wrap,
+    clips without a wrap report zero cuts, and malformed/null blobs
+    yield error rows instead of raising."""
+    import pandas as pd
+
+    from octospark.textops import (
+        _SCENE_CUT_THRESHOLD,
+        _fake_video_bytes,
+        scene_cut_batches,
+    )
+
+    assert _SCENE_CUT_THRESHOLD < 255
+
+    ids = [0, 17, 226, 240, 250, 254, 255, 300, 511]
+    pdf = pd.DataFrame(
+        {"doc_id": ids, "media": [_fake_video_bytes(i) for i in ids]}
+    )
+    out = pd.concat(list(scene_cut_batches(iter([pdf]))))
+    saw_cut = saw_none = False
+    for _, r in out.iterrows():
+        doc_id = int(r.doc_id)
+        n = 1 + doc_id % 30
+        wrap = 255 - doc_id % 256
+        want_cut = wrap <= n - 2
+        assert r.error is None
+        assert r.n_frames == n
+        assert r.n_cuts == (1 if want_cut else 0)
+        if want_cut:
+            assert r.first_cut_frame == wrap
+            saw_cut = True
+        else:
+            assert r.first_cut_frame is None or pd.isna(r.first_cut_frame)
+            saw_none = True
+    assert saw_cut and saw_none, "fixture ids must cover both classes"
+    # adversarial: null blob, bad magic, truncated header
+    bad = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "media": [None, b"XXXX\x00\x05junk", b"OV"],
+        }
+    )
+    rows = pd.concat(list(scene_cut_batches(iter([bad]))))
+    assert len(rows) == 3
+    assert all(r.error is not None for _, r in rows.iterrows())
+
+
+def test_tfidf_topk_matches_python_recount(spark, sf_dir):
+    """Top-k rows per doc equal an exact Python fixed-point replay
+    (integer scores, (score desc, word asc) tie-break)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from octospark.sources import load_table
+    from octospark.textops import _TFIDF_K, _TFIDF_SHIFT, QUERIES
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    tf: dict = {}
+    df: Counter = Counter()
+    for d in docs:
+        if d.text is None:
+            continue
+        c = Counter(d.text.split(" "))
+        tf[d.doc_id] = c
+        for w in c:
+            df[w] += 1
+    n = len(tf)
+    want = {}
+    for doc_id, c in tf.items():
+        scored = [
+            (t * math.floor(float(n * _TFIDF_SHIFT) / df[w]), w)
+            for w, t in c.items()
+        ]
+        scored.sort(key=lambda sw: (-sw[0], sw[1]))
+        want[doc_id] = [
+            (w, s, i + 1) for i, (s, w) in enumerate(scored[:_TFIDF_K])
+        ]
+    out = defaultdict(list)
+    for r in QUERIES["text_tfidf_topk"](spark, sf_dir).collect():
+        out[r.doc_id].append((r.word, r.score, r.rnk))
+    for doc_id, rows in out.items():
+        rows.sort(key=lambda x: x[2])
+        assert rows == want[doc_id], doc_id
+    assert set(out) == set(want)
