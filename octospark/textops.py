@@ -4349,3 +4349,137 @@ def text_tfidf_topk(spark, sf):
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TFIDF_K)
     )
+
+
+# --------------------------------------------------------------------------
+# graph_hits_scores — HITS hubs & authorities (fixed-point, 2 iterations)
+# --------------------------------------------------------------------------
+
+_HITS_SHIFT = 1048576  # 2^20 normalization scale
+_HITS_ITERS = 2
+
+_HITS_EDGES_SQL = """
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id AS src,
+               unnest([(doc_id * 17 + 1) % n,
+                       (doc_id * 31 + 7) % n,
+                       (doc_id + 1) % n]) AS dst
+        FROM documents, nn))
+    """
+
+_HITS_SQL = f"""
+    WITH {_HITS_EDGES_SQL},
+    a1r AS (
+      SELECT dst, CAST(count(*) AS BIGINT) AS v FROM edges GROUP BY dst),
+    a1 AS (
+      SELECT dst, CAST(floor(CAST(v * {_HITS_SHIFT} AS DOUBLE)
+                             / (SELECT max(v) FROM a1r)) AS BIGINT) AS a
+      FROM a1r),
+    h1r AS (
+      SELECT e.src, CAST(sum(a1.a) AS BIGINT) AS v
+      FROM edges e JOIN a1 ON e.dst = a1.dst GROUP BY e.src),
+    h1 AS (
+      SELECT src, CAST(floor(CAST(v * {_HITS_SHIFT} AS DOUBLE)
+                             / (SELECT max(v) FROM h1r)) AS BIGINT) AS h
+      FROM h1r),
+    a2r AS (
+      SELECT e.dst, CAST(sum(h1.h) AS BIGINT) AS v
+      FROM edges e JOIN h1 ON e.src = h1.src GROUP BY e.dst),
+    a2 AS (
+      SELECT dst, CAST(floor(CAST(v * {_HITS_SHIFT} AS DOUBLE)
+                             / (SELECT max(v) FROM a2r)) AS BIGINT) AS a
+      FROM a2r),
+    h2r AS (
+      SELECT e.src, CAST(sum(a2.a) AS BIGINT) AS v
+      FROM edges e JOIN a2 ON e.dst = a2.dst GROUP BY e.src),
+    h2 AS (
+      SELECT src, CAST(floor(CAST(v * {_HITS_SHIFT} AS DOUBLE)
+                             / (SELECT max(v) FROM h2r)) AS BIGINT) AS h
+      FROM h2r)
+    SELECT d.doc_id AS node,
+           COALESCE(h2.h, 0) AS hub_units,
+           COALESCE(a2.a, 0) AS auth_units
+    FROM documents d
+    LEFT JOIN h2 ON d.doc_id = h2.src
+    LEFT JOIN a2 ON d.doc_id = a2.dst
+    """
+
+
+@register("graph_hits_scores", _HITS_SQL)
+def graph_hits_scores(spark, sf):
+    """HITS hubs & authorities over the link graph — the second
+    classic crawl-graph ranking next to graph_pagerank: authorities
+    (pages good content links TO) weight quality sampling, hubs (pages
+    that link to good content) seed frontier expansion. Same
+    deterministic modular edge list as graph_pagerank so the iterative
+    path is genuinely exercised at tiny SF.
+
+    Exactness: the mutual updates (a <- sum of in-neighbor h, h <- sum
+    of out-neighbor a) are INTEGER sums — order-free at any
+    partitioning — and the per-round normalization is fixed-point
+    (floor(v * 2^20 / max(v)), a single-rounded IEEE division both
+    engines perform on identical BIGINTs), so the DuckDB oracle
+    replays both unrolled iterations bitwise. Magnitudes stay < 2^53
+    (values <= in_deg_max * 2^20 * 2^20 only transiently inside the
+    double), so the float detour is exact.
+
+    Scale shape per iteration: two edge-keyed shuffle joins + two
+    partial-aggregated groupBys (the pagerank shape run twice), one
+    single-row max broadcast back per side; lineage truncated per
+    round with eager localCheckpoint. Reference analog: R22/R26
+    alternating refine-and-rescale epochs
+    (/root/reference/src/octopy/train.py:64-77)."""
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    n = docs.count()  # single scalar, bounded driver read
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    (F.col("doc_id") * 17 + 1) % n,
+                    (F.col("doc_id") * 31 + 7) % n,
+                    (F.col("doc_id") + 1) % n,
+                )
+            ).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _normalize(raw: DataFrame, key: str, out: str) -> DataFrame:
+        m = raw.agg(F.max("v").alias("m"))
+        return raw.crossJoin(F.broadcast(m)).select(
+            key,
+            F.floor(
+                (F.col("v") * _HITS_SHIFT).cast("double") / F.col("m")
+            ).cast("long").alias(out),
+        )
+
+    h = docs.select(
+        F.col("doc_id").alias("src"), F.lit(1).cast("long").alias("h")
+    )
+    a = None
+    for _ in range(_HITS_ITERS):
+        ar = (
+            edges.join(h, "src")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("v"))
+        )
+        a = _normalize(ar, "dst", "a").localCheckpoint(eager=True)
+        hr = (
+            edges.join(a, "dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("v"))
+        )
+        h = _normalize(hr, "src", "h").localCheckpoint(eager=True)
+    return (
+        docs.join(h, docs["doc_id"] == h["src"], "left")
+        .join(a, docs["doc_id"] == a["dst"], "left")
+        .select(
+            F.col("doc_id").alias("node"),
+            F.coalesce(F.col("h"), F.lit(0)).alias("hub_units"),
+            F.coalesce(F.col("a"), F.lit(0)).alias("auth_units"),
+        )
+    )

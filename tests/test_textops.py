@@ -1355,3 +1355,55 @@ def test_tfidf_topk_matches_python_recount(spark, sf_dir):
         rows.sort(key=lambda x: x[2])
         assert rows == want[doc_id], doc_id
     assert set(out) == set(want)
+
+
+def test_hits_scores_match_python_fixed_point_replay(spark, sf_dir):
+    """Exact Python replay of the 2-iteration fixed-point HITS on the
+    same modular edge list: every node's hub/auth units must match
+    bitwise, units stay in [0, 2^20], and each normalization's argmax
+    sits exactly at 2^20."""
+    import math
+    from collections import defaultdict
+
+    from octospark.sources import load_table
+    from octospark.textops import _HITS_ITERS, _HITS_SHIFT, QUERIES
+
+    docs = [
+        d.doc_id for d in load_table(spark, sf_dir, "documents").collect()
+    ]
+    n = len(docs)
+    edges = set()
+    for d in docs:
+        for dst in ((d * 17 + 1) % n, (d * 31 + 7) % n, (d + 1) % n):
+            edges.add((d, dst))
+    out_e = defaultdict(list)
+    in_e = defaultdict(list)
+    for s, t in edges:
+        out_e[s].append(t)
+        in_e[t].append(s)
+
+    def norm(raw):
+        m = max(raw.values())
+        return {
+            k: math.floor(float(v * _HITS_SHIFT) / m)
+            for k, v in raw.items()
+        }
+
+    h = {d: 1 for d in docs}
+    a = {}
+    for _ in range(_HITS_ITERS):
+        a = norm({
+            t: sum(h[s] for s in in_e[t]) for t in in_e
+        })
+        h = norm({
+            s: sum(a[t] for t in out_e[s] if t in a) for s in out_e
+        })
+    rows = QUERIES["graph_hits_scores"](spark, sf_dir).collect()
+    assert len(rows) == n
+    for r in rows:
+        assert r.hub_units == h.get(r.node, 0)
+        assert r.auth_units == a.get(r.node, 0)
+        assert 0 <= r.hub_units <= _HITS_SHIFT
+        assert 0 <= r.auth_units <= _HITS_SHIFT
+    assert max(r.hub_units for r in rows) == _HITS_SHIFT
+    assert max(r.auth_units for r in rows) == _HITS_SHIFT
