@@ -4483,3 +4483,94 @@ def graph_hits_scores(spark, sf):
             F.coalesce(F.col("a"), F.lit(0)).alias("auth_units"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# cluster_kmeans_step — one exact k-means iteration over int8 codes
+# --------------------------------------------------------------------------
+
+_KMEANS_K = 8
+_KMEANS_DIM = 64
+
+_KMEANS_SQL = f"""
+    WITH {_QUANT_CTE_SQL},
+    cents AS (
+      SELECT vec_id AS cluster, q AS cq FROM qn WHERE vec_id < {_KMEANS_K}),
+    dists AS (
+      SELECT qn.vec_id, c.cluster,
+             list_sum(list_transform(range(1, {_KMEANS_DIM} + 1),
+               i -> (qn.q[i] - c.cq[i]) * (qn.q[i] - c.cq[i]))) AS dist
+      FROM qn, cents c),
+    assign AS (
+      SELECT vec_id,
+             CAST(min(dist * {_KMEANS_K} + cluster) % {_KMEANS_K}
+               AS BIGINT) AS cluster
+      FROM dists GROUP BY vec_id),
+    ex AS (
+      SELECT vec_id, unnest(q) AS code,
+             unnest(range(0, {_KMEANS_DIM})) AS dim
+      FROM qn)
+    SELECT a.cluster, ex.dim,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(ex.code) AS BIGINT) AS code_sum,
+           CAST(CAST(sum(ex.code) AS BIGINT) AS DOUBLE) / count(*)
+             AS centroid
+    FROM ex JOIN assign a USING (vec_id)
+    GROUP BY a.cluster, ex.dim
+    """
+
+
+@register("cluster_kmeans_step", _KMEANS_SQL)
+def cluster_kmeans_step(spark, sf):
+    """One full k-means iteration (assign + centroid update) over the
+    embedding corpus — the clustering engine behind SemDeDup cells,
+    IVF coarse quantizers, and topic-balanced sampling, run here as an
+    EXACT distributed step: distances are integer L2 on the int8 codes
+    (embed_quantize_int8's shared quantizer), the argmin is encoded as
+    min(dist * K + cluster) so ties break on the lower cluster id
+    identically in both engines, and the centroid update is an exact
+    integer code_sum with ONE final IEEE division — bit-identical at
+    any parallelism (the trainer-key recipe applied to clustering).
+    Seeds are the first K vectors' codes (deterministic, join-derived,
+    no RNG). Iterating = re-seeding with these centroids; one step is
+    the oracle-checkable unit.
+
+    Scale shape: K codes broadcast against the corpus for assignment
+    (map-side, zero shuffle), then posexplode to (vec, dim, code) and
+    ONE groupBy(cluster, dim) whose partial aggregates do the heavy
+    sum map-side; output is K x dim rows regardless of corpus size.
+    Reference analog: R20/R22 epoch refit over the full dataset
+    (/root/reference/src/octopy/train.py:64-77)."""
+    q = _quantized(spark, sf).select("vec_id", "q")
+    cents = (
+        q.filter(F.col("vec_id") < _KMEANS_K)
+        .select(F.col("vec_id").alias("cluster"), F.col("q").alias("cq"))
+    )
+    dist = F.aggregate(
+        F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    assign = (
+        q.crossJoin(F.broadcast(cents))
+        .select("vec_id", "q", (dist * _KMEANS_K + F.col("cluster")).alias("key"))
+        .groupBy("vec_id")
+        .agg(F.min("key").alias("k"))
+        .select("vec_id", (F.col("k") % _KMEANS_K).alias("cluster"))
+    )
+    ex = q.select(
+        "vec_id", F.posexplode("q").alias("dim", "code")
+    )
+    return (
+        ex.join(assign, "vec_id")
+        .groupBy("cluster", "dim")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("code").alias("code_sum"),
+        )
+        .select(
+            "cluster", "dim", "n_members", "code_sum",
+            (F.col("code_sum").cast("double") / F.col("n_members"))
+            .alias("centroid"),
+        )
+    )

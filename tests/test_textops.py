@@ -1407,3 +1407,42 @@ def test_hits_scores_match_python_fixed_point_replay(spark, sf_dir):
         assert 0 <= r.auth_units <= _HITS_SHIFT
     assert max(r.hub_units for r in rows) == _HITS_SHIFT
     assert max(r.auth_units for r in rows) == _HITS_SHIFT
+
+
+def test_kmeans_step_matches_python_replay(spark, sf_dir):
+    """Exact Python replay of the one-step k-means: same int8 codes,
+    same encoded argmin tie-break, same integer centroid sums; every
+    (cluster, dim) cell matches bitwise and cluster sizes sum to the
+    corpus."""
+    from collections import defaultdict
+
+    from octospark.sources import load_table
+    from octospark.textops import _KMEANS_DIM, _KMEANS_K, QUERIES
+
+    vecs = {
+        r.vec_id: _quantize_ref([float(x) for x in r.embedding])[1]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    cents = {j: vecs[j] for j in range(_KMEANS_K)}
+    assign = {}
+    for vid, q in vecs.items():
+        best = min(
+            sum((a - b) * (a - b) for a, b in zip(q, cents[j])) * _KMEANS_K
+            + j
+            for j in range(_KMEANS_K)
+        )
+        assign[vid] = best % _KMEANS_K
+    sums = defaultdict(lambda: [0] * _KMEANS_DIM)
+    counts = defaultdict(int)
+    for vid, q in vecs.items():
+        c = assign[vid]
+        counts[c] += 1
+        for d, code in enumerate(q):
+            sums[c][d] += code
+    rows = QUERIES["cluster_kmeans_step"](spark, sf_dir).collect()
+    assert len(rows) == len(counts) * _KMEANS_DIM
+    for r in rows:
+        assert r.n_members == counts[r.cluster]
+        assert r.code_sum == sums[r.cluster][r.dim]
+        assert r.centroid == sums[r.cluster][r.dim] / counts[r.cluster]
+    assert sum(counts.values()) == len(vecs)
