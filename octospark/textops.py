@@ -1827,17 +1827,42 @@ def extract_links(spark, sf):
 # link-graph analytics + corpus assembly (round 3)
 # --------------------------------------------------------------------------
 
+# The deterministic modular edge list SHARED by graph_pagerank and
+# graph_hits_scores (3 out-edges per node; single-sourced so the two
+# keys' documented "same edge list" coupling cannot drift).
+_MODULAR_EDGES_CTES = [
+    "n AS (SELECT count(*) AS n FROM documents)",
+    """edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id AS src,
+               unnest([(doc_id * 17 + 1) % n.n,
+                       (doc_id * 31 + 7) % n.n,
+                       (doc_id + 1) % n.n]) AS dst
+        FROM documents, n))""",
+]
+
+
+def _modular_edges(docs, n: int):
+    """Spark twin of _MODULAR_EDGES_CTES: docs(doc_id) -> edges(src, dst)."""
+    return (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    (F.col("doc_id") * 17 + 1) % n,
+                    (F.col("doc_id") * 31 + 7) % n,
+                    (F.col("doc_id") + 1) % n,
+                )
+            ).alias("dst"),
+        )
+        .distinct()
+    )
+
+
 def _pagerank_sql(iters: int) -> str:
     """Unrolled integer-unit PageRank oracle (see graph_pagerank)."""
     ctes = [
-        "n AS (SELECT count(*) AS n FROM documents)",
-        """edges AS (
-          SELECT DISTINCT src, dst FROM (
-            SELECT doc_id AS src,
-                   unnest([(doc_id * 17 + 1) % n.n,
-                           (doc_id * 31 + 7) % n.n,
-                           (doc_id + 1) % n.n]) AS dst
-            FROM documents, n))""",
+        *_MODULAR_EDGES_CTES,
         "deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src)",
         ("r0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS "
          "rank_units FROM documents)"),
@@ -1886,19 +1911,7 @@ def graph_pagerank(spark, sf):
     par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf, "documents").select("doc_id")
     n = docs.count()  # single scalar, bounded driver read
-    edges = (
-        docs.select(
-            F.col("doc_id").alias("src"),
-            F.explode(
-                F.array(
-                    (F.col("doc_id") * 17 + 1) % n,
-                    (F.col("doc_id") * 31 + 7) % n,
-                    (F.col("doc_id") + 1) % n,
-                )
-            ).alias("dst"),
-        )
-        .distinct()
-    )
+    edges = _modular_edges(docs, n)
     deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     # materialize edges+degree once; every iteration reuses it (at
     # corpus scale: a persisted, src-partitioned table)
@@ -4278,7 +4291,6 @@ def multimodal_scene_cut(spark, sf):
 # --------------------------------------------------------------------------
 
 _TFIDF_K = 3
-_TFIDF_SHIFT = 1048576  # 2^20 fixed-point idf scale
 
 _TFIDF_SQL = f"""
     WITH tf AS (
@@ -4292,9 +4304,8 @@ _TFIDF_SQL = f"""
     n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
     scored AS (
       SELECT tf.doc_id, tf.word,
-             tf.tf * CAST(floor(
-               CAST(n.n * {_TFIDF_SHIFT} AS DOUBLE) / stats.df
-             ) AS BIGINT) AS score
+             CAST(tf.tf AS DOUBLE)
+               * (CAST(n.n AS DOUBLE) / CAST(stats.df AS DOUBLE)) AS score
       FROM tf JOIN stats USING (word) CROSS JOIN n)
     SELECT doc_id, word, score, rnk
     FROM (
@@ -4311,10 +4322,13 @@ _TFIDF_SQL = f"""
 def text_tfidf_topk(spark, sf):
     """Per-document top-k TF-IDF keywords — the keyword/topic signal
     corpus search indexes and document-level metadata enrichment run
-    at ingest. IDF is fixed-point (floor(N * 2^20 / df) on exact
-    BIGINT counts — a rational idf instead of log: same ranking
-    monotonicity, zero transcendental functions, so the score is an
-    exact INTEGER both engines agree on bitwise). Ties break on the
+    at ingest. IDF is the RATIONAL ratio N/df (no transcendentals):
+    score = tf * (N/df) as two per-row IEEE operations on exact
+    BIGINT counts — deterministic and engine-identical because only
+    cross-row float SUMS are order-dependent, per-row expressions are
+    not — and a double never overflows at any corpus size (an integer
+    fixed-point variant would exceed BIGINT once tf * N > 2^43, i.e.
+    well inside the 10^12-doc operating point). Ties break on the
     word itself for full determinism.
 
     Scale shape: explode -> (doc_id, word) count -> word-keyed df
@@ -4324,7 +4338,7 @@ def text_tfidf_topk(spark, sf):
     (never global). The single-row N crossJoin broadcasts."""
     d = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
     words = d.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+        "doc_id", F.explode(_words(F.col("text"))).alias("word")
     )
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     stats = tf.groupBy("word").agg(F.count("*").alias("df"))
@@ -4335,10 +4349,8 @@ def text_tfidf_topk(spark, sf):
         .select(
             "doc_id", "word",
             (
-                F.col("tf")
-                * F.floor(
-                    (F.col("n") * _TFIDF_SHIFT).cast("double") / F.col("df")
-                )
+                F.col("tf").cast("double")
+                * (F.col("n").cast("double") / F.col("df").cast("double"))
             ).alias("score"),
         )
     )
@@ -4358,56 +4370,46 @@ def text_tfidf_topk(spark, sf):
 _HITS_SHIFT = 1048576  # 2^20 normalization scale
 _HITS_ITERS = 2
 
-_HITS_EDGES_SQL = """
-    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-    edges AS (
-      SELECT DISTINCT src, dst FROM (
-        SELECT doc_id AS src,
-               unnest([(doc_id * 17 + 1) % n,
-                       (doc_id * 31 + 7) % n,
-                       (doc_id + 1) % n]) AS dst
-        FROM documents, nn))
-    """
 
-_HITS_SQL = f"""
-    WITH {_HITS_EDGES_SQL},
-    a1r AS (
-      SELECT dst, CAST(count(*) AS BIGINT) AS v FROM edges GROUP BY dst),
-    a1 AS (
-      SELECT dst, CAST(floor(CAST(v * {_HITS_SHIFT} AS DOUBLE)
-                             / (SELECT max(v) FROM a1r)) AS BIGINT) AS a
-      FROM a1r),
-    h1r AS (
-      SELECT e.src, CAST(sum(a1.a) AS BIGINT) AS v
-      FROM edges e JOIN a1 ON e.dst = a1.dst GROUP BY e.src),
-    h1 AS (
-      SELECT src, CAST(floor(CAST(v * {_HITS_SHIFT} AS DOUBLE)
-                             / (SELECT max(v) FROM h1r)) AS BIGINT) AS h
-      FROM h1r),
-    a2r AS (
-      SELECT e.dst, CAST(sum(h1.h) AS BIGINT) AS v
-      FROM edges e JOIN h1 ON e.src = h1.src GROUP BY e.dst),
-    a2 AS (
-      SELECT dst, CAST(floor(CAST(v * {_HITS_SHIFT} AS DOUBLE)
-                             / (SELECT max(v) FROM a2r)) AS BIGINT) AS a
-      FROM a2r),
-    h2r AS (
-      SELECT e.src, CAST(sum(a2.a) AS BIGINT) AS v
-      FROM edges e JOIN a2 ON e.dst = a2.dst GROUP BY e.src),
-    h2 AS (
-      SELECT src, CAST(floor(CAST(v * {_HITS_SHIFT} AS DOUBLE)
-                             / (SELECT max(v) FROM h2r)) AS BIGINT) AS h
-      FROM h2r)
+def _hits_sql(iters: int) -> str:
+    """Unrolled fixed-point HITS oracle, parameterized on the iteration
+    count so the SQL can never silently diverge from the Spark loop
+    (the _pagerank_sql(iters) discipline)."""
+    ctes = [
+        *_MODULAR_EDGES_CTES,
+        ("h0 AS (SELECT doc_id AS src, CAST(1 AS BIGINT) AS h "
+         "FROM documents)"),
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""a{i}r AS (
+          SELECT e.dst, CAST(sum(p.h) AS BIGINT) AS v
+          FROM edges e JOIN h{i - 1} p ON e.src = p.src GROUP BY e.dst)""")
+        ctes.append(f"""a{i} AS (
+          SELECT dst, CAST(floor(CAST(v * {_HITS_SHIFT} AS DOUBLE)
+                                 / (SELECT max(v) FROM a{i}r))
+                      AS BIGINT) AS a
+          FROM a{i}r)""")
+        ctes.append(f"""h{i}r AS (
+          SELECT e.src, CAST(sum(a.a) AS BIGINT) AS v
+          FROM edges e JOIN a{i} a ON e.dst = a.dst GROUP BY e.src)""")
+        ctes.append(f"""h{i} AS (
+          SELECT src, CAST(floor(CAST(v * {_HITS_SHIFT} AS DOUBLE)
+                                 / (SELECT max(v) FROM h{i}r))
+                      AS BIGINT) AS h
+          FROM h{i}r)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
     SELECT d.doc_id AS node,
-           COALESCE(h2.h, 0) AS hub_units,
-           COALESCE(a2.a, 0) AS auth_units
+           COALESCE(h{iters}.h, 0) AS hub_units,
+           COALESCE(a{iters}.a, 0) AS auth_units
     FROM documents d
-    LEFT JOIN h2 ON d.doc_id = h2.src
-    LEFT JOIN a2 ON d.doc_id = a2.dst
+    LEFT JOIN h{iters} ON d.doc_id = h{iters}.src
+    LEFT JOIN a{iters} ON d.doc_id = a{iters}.dst
     """
+    )
 
 
-@register("graph_hits_scores", _HITS_SQL)
+@register("graph_hits_scores", _hits_sql(_HITS_ITERS))
 def graph_hits_scores(spark, sf):
     """HITS hubs & authorities over the link graph — the second
     classic crawl-graph ranking next to graph_pagerank: authorities
@@ -4433,20 +4435,7 @@ def graph_hits_scores(spark, sf):
     (/root/reference/src/octopy/train.py:64-77)."""
     docs = load_table(spark, sf, "documents").select("doc_id")
     n = docs.count()  # single scalar, bounded driver read
-    edges = (
-        docs.select(
-            F.col("doc_id").alias("src"),
-            F.explode(
-                F.array(
-                    (F.col("doc_id") * 17 + 1) % n,
-                    (F.col("doc_id") * 31 + 7) % n,
-                    (F.col("doc_id") + 1) % n,
-                )
-            ).alias("dst"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = _modular_edges(docs, n).localCheckpoint(eager=True)
 
     def _normalize(raw: DataFrame, key: str, out: str) -> DataFrame:
         m = raw.agg(F.max("v").alias("m"))
@@ -4498,7 +4487,7 @@ _KMEANS_SQL = f"""
       SELECT vec_id AS cluster, q AS cq FROM qn WHERE vec_id < {_KMEANS_K}),
     dists AS (
       SELECT qn.vec_id, c.cluster,
-             list_sum(list_transform(range(1, {_KMEANS_DIM} + 1),
+             list_sum(list_transform(range(1, len(qn.q) + 1),
                i -> (qn.q[i] - c.cq[i]) * (qn.q[i] - c.cq[i]))) AS dist
       FROM qn, cents c),
     assign AS (
@@ -4508,7 +4497,7 @@ _KMEANS_SQL = f"""
       FROM dists GROUP BY vec_id),
     ex AS (
       SELECT vec_id, unnest(q) AS code,
-             unnest(range(0, {_KMEANS_DIM})) AS dim
+             unnest(range(0, len(q))) AS dim
       FROM qn)
     SELECT a.cluster, ex.dim,
            CAST(count(*) AS BIGINT) AS n_members,

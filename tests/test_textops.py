@@ -1320,12 +1320,11 @@ def test_scene_cut_matches_formula_and_never_drops():
 
 def test_tfidf_topk_matches_python_recount(spark, sf_dir):
     """Top-k rows per doc equal an exact Python fixed-point replay
-    (integer scores, (score desc, word asc) tie-break)."""
-    import math
+    (score desc, word asc tie-break)."""
     from collections import Counter, defaultdict
 
     from octospark.sources import load_table
-    from octospark.textops import _TFIDF_K, _TFIDF_SHIFT, QUERIES
+    from octospark.textops import _TFIDF_K, QUERIES
 
     docs = load_table(spark, sf_dir, "documents").collect()
     tf: dict = {}
@@ -1341,7 +1340,7 @@ def test_tfidf_topk_matches_python_recount(spark, sf_dir):
     want = {}
     for doc_id, c in tf.items():
         scored = [
-            (t * math.floor(float(n * _TFIDF_SHIFT) / df[w]), w)
+            (float(t) * (float(n) / float(df[w])), w)
             for w, t in c.items()
         ]
         scored.sort(key=lambda sw: (-sw[0], sw[1]))
