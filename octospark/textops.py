@@ -1003,7 +1003,11 @@ def _fake_media(spark, sf, kind: str) -> DataFrame:
     real pipeline would carry fetched image/video blobs."""
     import pandas as pd
 
-    enc = _fake_image_bytes if kind == "image" else _fake_video_bytes
+    enc = {
+        "image": _fake_image_bytes,
+        "video": _fake_video_bytes,
+        "audio": lambda d: _fake_audio_bytes(d),
+    }[kind]
 
     def gen(batches):
         for pdf in batches:
@@ -4562,4 +4566,99 @@ def cluster_kmeans_step(spark, sf):
             (F.col("code_sum").cast("double") / F.col("n_members"))
             .alias("centroid"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal_audio_vad — voice-activity segments over the audio column
+# --------------------------------------------------------------------------
+
+_VAD_THRESHOLD = 128  # uint8 amplitude gate
+
+_VAD_SCHEMA = (
+    "doc_id long, n_samples long, n_active long, n_segments long, "
+    "error string"
+)
+
+
+def audio_vad_batches(batches):
+    """mapInPandas body: OAUD samples -> amplitude gate -> contiguous
+    active-run count. The numpy compare + diff transition count is the
+    real energy-VAD kernel shape (a production front-end swaps the
+    gate for a smoothed energy threshold; the segmentation logic is
+    identical). Never-drop: malformed/null blobs yield error rows."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+            try:
+                if blob is None:
+                    raise ValueError("null media")
+                b = bytes(blob)
+                if b[:4] != _AUD_MAGIC:
+                    raise ValueError("bad magic")
+                n = int.from_bytes(b[4:6], "big")
+                s = np.frombuffer(b[6 : 6 + n], dtype=np.uint8)
+                active = s >= _VAD_THRESHOLD
+                starts = int(active[0]) + int(
+                    (active[1:] & ~active[:-1]).sum()
+                ) if n else 0
+                rows.append(
+                    (int(doc_id), n, int(active.sum()), starts, None)
+                )
+            except Exception as exc:
+                rows.append((int(doc_id), None, None, None, str(exc)))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_samples", "n_active", "n_segments", "error",
+            ],
+        )
+
+
+@register(
+    "multimodal_audio_vad",
+    # samples are the sawtooth s[i] = (doc_id*3 + 5i) % 256; a segment
+    # STARTS at i=0 if s[0] >= 128, else exactly where s[i] crosses up
+    # into [128, 132] (the previous sample s[i]-5 was < 128; the 256
+    # wrap lands at s[i] < 5, whose predecessor was active — no start)
+    f"""
+    WITH ex AS (
+      SELECT doc_id,
+             unnest(range(0, 64 + doc_id % 192)) AS i,
+             (doc_id * 3 + 5 * unnest(range(0, 64 + doc_id % 192))) % 256
+               AS v
+      FROM documents)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(CASE WHEN v >= {_VAD_THRESHOLD} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_active,
+           CAST(sum(CASE
+                 WHEN i = 0 AND v >= {_VAD_THRESHOLD} THEN 1
+                 WHEN i > 0 AND v BETWEEN {_VAD_THRESHOLD}
+                      AND {_VAD_THRESHOLD + 4} THEN 1
+                 ELSE 0 END) AS BIGINT) AS n_segments,
+           CAST(NULL AS VARCHAR) AS error
+    FROM ex GROUP BY doc_id
+    """,
+)
+def multimodal_audio_vad(spark, sf):
+    """Voice-activity detection over the opaque audio column — the
+    segmentation step a speech-data pipeline runs before transcription
+    (cut on silence, transcribe per active segment): per clip the
+    sample count, active-sample count, and number of contiguous active
+    segments. The sawtooth codec makes every expected segment boundary
+    reconstructable analytically, so the gate AND the run-counting
+    logic are oracle-pinned exactly.
+
+    Scale shape: same as the other multimodal keys — one Arrow-batched
+    mapInPandas, numpy-vectorized per clip, zero shuffle, never-drop
+    error rows; the oracle's per-sample explode exists only on the
+    DuckDB side (the Spark side never materializes per-sample rows).
+    Reference analog: R3 stage-1 segmentation on the time axis, like
+    multimodal_scene_cut for video."""
+    return _fake_media(spark, sf, "audio").mapInPandas(
+        audio_vad_batches, _VAD_SCHEMA
     )

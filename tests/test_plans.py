@@ -301,7 +301,7 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         "udf_map_in_pandas", "udf_pandas_scalar", "udf_grouped_apply",
         "multimodal_meta", "multimodal_decode", "multimodal_resize",
         "multimodal_frame_sample", "multimodal_audio_stats",
-        "multimodal_scene_cut",
+        "multimodal_scene_cut", "multimodal_audio_vad",
         # PDF synthesis + tolerant content-stream parse are inherently
         # Python (no PDF support in Spark/JVM builtins)
         "extract_pdf_layout", "pdf_layout_blocks",

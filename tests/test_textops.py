@@ -1445,3 +1445,42 @@ def test_kmeans_step_matches_python_replay(spark, sf_dir):
         assert r.code_sum == sums[r.cluster][r.dim]
         assert r.centroid == sums[r.cluster][r.dim] / counts[r.cluster]
     assert sum(counts.values()) == len(vecs)
+
+
+def test_audio_vad_segments_match_replay_and_never_drop():
+    """Direct batch-body drive: segment counts match a per-sample
+    Python replay of the gate+transition logic, and malformed/null
+    blobs yield error rows instead of raising."""
+    import pandas as pd
+
+    from octospark.textops import (
+        _VAD_THRESHOLD,
+        _fake_audio_bytes,
+        audio_vad_batches,
+    )
+
+    ids = [0, 1, 7, 42, 100, 191, 255, 300]
+    pdf = pd.DataFrame(
+        {"doc_id": ids, "media": [_fake_audio_bytes(i) for i in ids]}
+    )
+    out = pd.concat(list(audio_vad_batches(iter([pdf]))))
+    for _, r in out.iterrows():
+        doc_id = int(r.doc_id)
+        n = 64 + doc_id % 192
+        samples = [(doc_id * 3 + 5 * i) % 256 for i in range(n)]
+        act = [v >= _VAD_THRESHOLD for v in samples]
+        segs = int(act[0]) + sum(
+            1 for i in range(1, n) if act[i] and not act[i - 1]
+        )
+        assert r.error is None
+        assert r.n_samples == n
+        assert r.n_active == sum(act)
+        assert r.n_segments == segs
+        assert r.n_segments >= 1  # every sawtooth period crosses the gate
+    bad = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "media": [None, b"XXXX\x00\x05junk", b"OA"]}
+    )
+    rows = pd.concat(list(audio_vad_batches(iter([bad]))))
+    assert len(rows) == 3 and all(
+        r.error is not None for _, r in rows.iterrows()
+    )
