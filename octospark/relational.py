@@ -1963,3 +1963,178 @@ def events_retention_cohorts(spark, sf):
         .groupBy("cohort", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# stream_windowed_topk — per-window heavy hitters (batch twin)
+# --------------------------------------------------------------------------
+
+_WIN_TOPK = 2
+
+_WIN_TOPK_SQL = f"""
+    WITH counts AS (
+      SELECT strftime(date_trunc('hour', ts),
+                      '%Y-%m-%d %H:%M:%S') AS win_start,
+             event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT win_start, event_type, n, rnk FROM (
+      SELECT win_start, event_type, n,
+             row_number() OVER (
+               PARTITION BY win_start
+               ORDER BY n DESC, event_type ASC) AS rnk
+      FROM counts)
+    WHERE rnk <= {_WIN_TOPK}
+    """
+
+
+@register("stream_windowed_topk", _WIN_TOPK_SQL)
+def stream_windowed_topk(spark, sf):
+    """Per-window heavy hitters: the top-k event types inside every
+    tumbling hour — the trending-now / hot-hosts query a streaming
+    deployment runs per window (batch twin like the other stream keys;
+    the streaming form is the same groupBy(window, key) count with the
+    rank applied per emitted window). Ties break on the key for
+    determinism.
+
+    Scale shape: one partial-aggregated count per (window, key), then
+    a row_number window PARTITIONED BY the time window — the rank sort
+    touches only the per-window key counts (bounded by the key
+    cardinality, not the event volume), never the raw stream."""
+    e = load_table(spark, sf, "events")
+    counts = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+    w = Window.partitionBy("win_start").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _WIN_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus_split_assign — content-stable train/val/test assignment
+# --------------------------------------------------------------------------
+
+_SPLIT_MULT = 2654435761  # Knuth multiplicative constant, shared w/ oracle
+
+_SPLIT_SQL = f"""
+    SELECT doc_id,
+           (doc_id * {_SPLIT_MULT}) % 100 AS bucket,
+           CASE WHEN (doc_id * {_SPLIT_MULT}) % 100 < 80 THEN 'train'
+                WHEN (doc_id * {_SPLIT_MULT}) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """
+
+
+@register("corpus_split_assign", _SPLIT_SQL)
+def corpus_split_assign(spark, sf):
+    """Content-stable train/val/test assignment (80/10/10): split =
+    multiplicative hash of the row-unique doc_id into 100 buckets —
+    the R20 train/val split (reference src/octopy/train.py:62) as a
+    pure projection, so the SAME doc lands in the SAME split on every
+    run, at any parallelism, and when the corpus grows (new docs slot
+    in without reshuffling old ones — the property randomSplit lacks).
+    Hashing the row-unique key, never the feature tuple, is the
+    fit_scorer lesson (duplicate feature rows must spread across
+    splits like production duplicates do).
+
+    Scale shape: one map-side projection inside the scan stage — zero
+    shuffles, zero Python; downstream stages filter on `split` and the
+    predicate pushes down to the scan. doc_id * 2654435761 <= 2^63 for
+    doc_ids < 4.3e9 per shard; at larger ids the multiply wraps
+    IDENTICALLY in both engines only under wraparound semantics, so
+    the documented domain is id < 2^32 (partition-local ids at scale)."""
+    d = load_table(spark, sf, "documents").select("doc_id")
+    bucket = (F.col("doc_id") * _SPLIT_MULT) % 100
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_mode_most_frequent — per-group mode with deterministic tie-break
+# --------------------------------------------------------------------------
+
+_MODE_SQL = """
+    WITH c AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, source),
+    m AS (SELECT lang, max(n) AS mode_count FROM c GROUP BY lang)
+    SELECT c.lang, min(c.source) AS mode_source, m.mode_count
+    FROM c JOIN m ON c.lang = m.lang AND c.n = m.mode_count
+    GROUP BY c.lang, m.mode_count
+    """
+
+
+@register("agg_mode_most_frequent", _MODE_SQL)
+def agg_mode_most_frequent(spark, sf):
+    """Per-group mode (most frequent value) with a deterministic
+    tie-break on the value itself — the dominant-host-per-language /
+    dominant-encoding-per-host census shape. Two-phase: exact
+    (group, value) counts, then max_by(value, (n, -value-order))
+    per group; both phases partial-aggregate.
+
+    Scale shape: the (lang, source) count table is the only shuffle;
+    the mode pick is a tiny second aggregate over it. No window, no
+    sort of the doc table."""
+    d = load_table(spark, sf, "documents")
+    c = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    # max_by on (n, reversed-source) = highest count, lexicographically
+    # smallest source on ties; struct comparison is lexicographic
+    return c.groupBy("lang").agg(
+        F.expr(
+            "min_by(source, struct(-n, source))"
+        ).alias("mode_source"),
+        F.max("n").alias("mode_count"),
+    )
+
+
+# --------------------------------------------------------------------------
+# scalar_bitwise_funcs — bit manipulation coverage
+# --------------------------------------------------------------------------
+
+_BITWISE_SQL = """
+    SELECT doc_id,
+           doc_id & 255 AS band,
+           doc_id | 4096 AS bor,
+           xor(doc_id, 21845) AS bxor,
+           doc_id << 3 AS shl,
+           doc_id >> 2 AS shr,
+           CAST(bit_count(doc_id) AS INTEGER) AS popcount
+    FROM documents
+    """
+
+
+@register("scalar_bitwise_funcs", _BITWISE_SQL)
+def scalar_bitwise_funcs(spark, sf):
+    """Bitwise scalar coverage (AND/OR/XOR/shifts/popcount) — the ops
+    every hash/sketch/bitmap key builds on (simhash hamming uses
+    bit_count; the Bloom/CMS keys use multiply-mod because DuckDB
+    lacks a shared 64-bit hash, but the raw bit ops themselves are
+    engine-shared and pinned here). Pure map-side codegen projection,
+    zero shuffles."""
+    d = load_table(spark, sf, "documents").select("doc_id")
+    return d.select(
+        "doc_id",
+        F.expr("doc_id & 255").alias("band"),
+        F.expr("doc_id | 4096").alias("bor"),
+        F.expr("doc_id ^ 21845").alias("bxor"),
+        F.expr("shiftleft(doc_id, 3)").alias("shl"),
+        F.expr("shiftright(doc_id, 2)").alias("shr"),
+        F.expr("bit_count(doc_id)").alias("popcount"),
+    )

@@ -75,3 +75,88 @@ def test_cohort_matrix_laws(spark):
         assert n <= len(sizes[c])
     for c in sizes:
         assert (c, 0) in got
+
+
+def test_windowed_topk_rank_law(spark):
+    """Per window: ranks are 1..k dense, counts non-increasing with
+    rank, tie broken on event_type, and every (win, type) kept is
+    truly among the window's top-k by (n desc, type asc)."""
+    from collections import defaultdict
+
+    ev = _events(spark)
+    counts = defaultdict(lambda: defaultdict(int))
+    for e in ev:
+        win = e.ts.replace(minute=0, second=0, microsecond=0)
+        counts[win.strftime("%Y-%m-%d %H:%M:%S")][e.event_type] += 1
+    out = R.QUERIES["stream_windowed_topk"](spark, SF).collect()
+    by_win = defaultdict(list)
+    for r in out:
+        by_win[r.win_start].append(r)
+    assert set(by_win) <= set(counts)
+    for win, rs in by_win.items():
+        rs.sort(key=lambda r: r.rnk)
+        want = sorted(
+            counts[win].items(), key=lambda kv: (-kv[1], kv[0])
+        )[: R._WIN_TOPK]
+        assert [(r.event_type, r.n) for r in rs] == want
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+
+
+def test_split_assign_stable_proportions_and_determinism(spark):
+    """Assignment is a pure function of doc_id (stable across runs and
+    subsets), proportions approximate 80/10/10, and every doc appears
+    exactly once."""
+    from octospark.sources import load_table
+
+    out = {
+        r.doc_id: (r.bucket, r.split)
+        for r in R.QUERIES["corpus_split_assign"](spark, SF).collect()
+    }
+    n = load_table(spark, SF, "documents").count()
+    assert len(out) == n
+    for doc_id, (bucket, split) in out.items():
+        want_bucket = (doc_id * R._SPLIT_MULT) % 100
+        assert bucket == want_bucket
+        assert split == (
+            "train" if bucket < 80 else "val" if bucket < 90 else "test"
+        )
+    from collections import Counter
+
+    shares = Counter(s for _, s in out.values())
+    assert 0.7 < shares["train"] / n < 0.9
+    assert 0.03 < shares["val"] / n < 0.2
+    assert 0.03 < shares["test"] / n < 0.2
+
+
+def test_mode_most_frequent_matches_recount(spark):
+    """Mode per lang equals the Python recount with lexicographic
+    tie-break."""
+    from collections import Counter, defaultdict
+
+    from octospark.sources import load_table
+
+    docs = load_table(spark, SF, "documents").collect()
+    per_lang = defaultdict(Counter)
+    for d in docs:
+        per_lang[d.lang][d.source] += 1
+    out = {
+        r.lang: (r.mode_source, r.mode_count)
+        for r in R.QUERIES["agg_mode_most_frequent"](spark, SF).collect()
+    }
+    assert set(out) == set(per_lang)
+    for lang, c in per_lang.items():
+        m = max(c.values())
+        src = min(s for s, k in c.items() if k == m)
+        assert out[lang] == (src, m)
+
+
+def test_bitwise_funcs_match_python(spark):
+    """Every bitwise column equals the Python operator result."""
+    for r in R.QUERIES["scalar_bitwise_funcs"](spark, SF).collect():
+        d = r.doc_id
+        assert r.band == d & 255
+        assert r.bor == d | 4096
+        assert r.bxor == d ^ 21845
+        assert r.shl == d << 3
+        assert r.shr == d >> 2
+        assert r.popcount == bin(d).count("1")
