@@ -2138,3 +2138,138 @@ def scalar_bitwise_funcs(spark, sf):
         F.expr("shiftright(doc_id, 2)").alias("shr"),
         F.expr("bit_count(doc_id)").alias("popcount"),
     )
+
+
+# --------------------------------------------------------------------------
+# join_asof_next — forward as-of (label) join
+# --------------------------------------------------------------------------
+
+_ASOF_NEXT_SQL = """
+    SELECT event_id, user_id, ts, next_purchase_ts,
+           (next_purchase_ts IS NOT NULL
+            AND next_purchase_ts <= ts + INTERVAL 1 DAY) AS converted_24h
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+               PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+             ) AS next_purchase_ts
+      FROM events)
+    WHERE event_type = 'view'
+    """
+
+
+@register("join_asof_next", _ASOF_NEXT_SQL)
+def join_asof_next(spark, sf):
+    """Forward as-of join — the LABEL join of every supervised web
+    pipeline: for each view event, the user's next purchase strictly
+    after it (in the (ts, event_id) total order) and a converted-
+    within-24h label. join_asof_latest looks backward (latest crawl
+    wins); this is its forward twin (what happened next), which is how
+    conversion / next-action training targets are materialized.
+
+    Scale shape: ONE user-keyed window over the unioned event stream —
+    a running conditional min over the following rows — instead of a
+    per-view subquery or a range self-join (which explodes on active
+    users); the filter to views happens after the window so each event
+    is read once. Same single shuffle as any per-user sessionization.
+    Reference analog: R11 line->region resolve, time axis."""
+    e = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    return (
+        e.withColumn("next_purchase_ts", nxt)
+        .filter(F.col("event_type") == "view")
+        .select(
+            "event_id", "user_id", "ts", "next_purchase_ts",
+            (
+                F.col("next_purchase_ts").isNotNull()
+                & (
+                    F.col("next_purchase_ts")
+                    <= F.col("ts") + F.expr("INTERVAL 1 DAY")
+                )
+            ).alias("converted_24h"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# events_anomaly_hours — integer-exact z-score anomaly flags
+# --------------------------------------------------------------------------
+
+_ANOMALY_Z = 2  # |z| threshold
+
+_ANOMALY_SQL = f"""
+    WITH c AS (
+      SELECT event_type,
+             strftime(date_trunc('hour', ts),
+                      '%Y-%m-%d %H:%M:%S') AS win_start,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(n) AS BIGINT) AS sn,
+             CAST(sum(n * n) AS BIGINT) AS sq
+      FROM c GROUP BY event_type)
+    SELECT c.event_type, c.win_start, c.n,
+           CAST(c.n * s.cnt - s.sn AS DOUBLE)
+             / sqrt(CAST(s.cnt * s.sq - s.sn * s.sn AS DOUBLE)) AS z,
+           (c.n * s.cnt - s.sn) * (c.n * s.cnt - s.sn)
+             > {_ANOMALY_Z * _ANOMALY_Z} * (s.cnt * s.sq - s.sn * s.sn)
+             AS is_anomaly
+    FROM c JOIN s USING (event_type)
+    """
+
+
+@register("events_anomaly_hours", _ANOMALY_SQL)
+def events_anomaly_hours(spark, sf):
+    """Hourly volume anomaly detection per event type — the traffic-
+    spike / crawler-trap alarm every ingestion pipeline runs: each
+    hour's count is z-scored against that type's distribution and
+    flagged at |z| > 2. The FLAG is computed entirely in integers —
+    |x-mu| > 2*sigma is squared into (x*c - S)^2 > 4*(c*Q - S^2) over
+    exact BIGINT count sums — so the anomaly decision is bit-identical
+    at any parallelism and immune to float-order effects; the reported
+    z itself is two IEEE ops (one sqrt, one divide) on those exact
+    integers, engine-identical per row. Magnitude bound: c*Q fits
+    BIGINT while per-window counts stay under ~3e6 per type (beyond
+    that, shard windows or lift the sums to decimal(38,0) — the
+    trainer-key recipe).
+
+    Scale shape: one partial-aggregated (type, window) count, one tiny
+    per-type stats aggregate (rows = #types) broadcast back onto the
+    counts — the raw stream is touched once, and nothing about the
+    z-test ever sees an individual event."""
+    e = load_table(spark, sf, "events")
+    c = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("win_start"),
+            "n",
+        )
+    )
+    s = c.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).alias("sq"),
+    )
+    num = F.col("n") * F.col("cnt") - F.col("sn")
+    varn = F.col("cnt") * F.col("sq") - F.col("sn") * F.col("sn")
+    return c.join(F.broadcast(s), "event_type").select(
+        "event_type", "win_start", "n",
+        (num.cast("double") / F.sqrt(varn.cast("double"))).alias("z"),
+        (num * num > _ANOMALY_Z * _ANOMALY_Z * varn).alias("is_anomaly"),
+    )

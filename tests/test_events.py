@@ -160,3 +160,69 @@ def test_bitwise_funcs_match_python(spark):
         assert r.shl == d << 3
         assert r.shr == d >> 2
         assert r.popcount == bin(d).count("1")
+
+
+def test_asof_next_matches_sequential_scan(spark):
+    """next_purchase_ts equals the earliest purchase strictly later in
+    (ts, event_id) order, per view event; the 24h label follows."""
+    import datetime as dt
+
+    ev = _events(spark)
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e.user_id].append(e)
+    out = {
+        r.event_id: r
+        for r in R.QUERIES["join_asof_next"](spark, SF).collect()
+    }
+    n_views = sum(1 for e in ev if e.event_type == "view")
+    assert len(out) == n_views
+    for u, rows in by_user.items():
+        rows.sort(key=lambda e: (e.ts, e.event_id))
+        for i, e in enumerate(rows):
+            if e.event_type != "view":
+                continue
+            nxt = min(
+                (
+                    x.ts
+                    for x in rows[i + 1 :]
+                    if x.event_type == "purchase"
+                ),
+                default=None,
+            )
+            r = out[e.event_id]
+            assert r.next_purchase_ts == nxt
+            want_label = (
+                nxt is not None and nxt <= e.ts + dt.timedelta(days=1)
+            )
+            assert r.converted_24h == want_label
+
+
+def test_anomaly_flag_is_exact_and_matches_z(spark):
+    """The integer flag agrees with the float z at the threshold
+    (flag <=> |z| > 2 given nonzero variance), counts recount
+    correctly, and per-type flags are a strict minority."""
+    from collections import defaultdict
+
+    ev = _events(spark)
+    counts = defaultdict(lambda: defaultdict(int))
+    for e in ev:
+        w = e.ts.replace(minute=0, second=0, microsecond=0)
+        counts[e.event_type][w.strftime("%Y-%m-%d %H:%M:%S")] += 1
+    rows = R.QUERIES["events_anomaly_hours"](spark, SF).collect()
+    per_type = defaultdict(list)
+    for r in rows:
+        assert r.n == counts[r.event_type][r.win_start]
+        c = counts[r.event_type]
+        cnt, sn = len(c), sum(c.values())
+        sq = sum(v * v for v in c.values())
+        num = r.n * cnt - sn
+        varn = cnt * sq - sn * sn
+        assert r.is_anomaly == (num * num > 4 * varn)
+        if varn > 0:
+            assert abs(r.z) > 2 if r.is_anomaly else abs(r.z) <= 2
+        per_type[r.event_type].append(r.is_anomaly)
+    for t, flags in per_type.items():
+        assert sum(flags) < len(flags) / 2, t
