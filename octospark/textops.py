@@ -4662,3 +4662,77 @@ def multimodal_audio_vad(spark, sf):
     return _fake_media(spark, sf, "audio").mapInPandas(
         audio_vad_batches, _VAD_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# text_bigram_lm — distributed bigram LM estimation (counting core)
+# --------------------------------------------------------------------------
+
+_BIGRAM_MIN_COUNT = 5
+
+_BIGRAM_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, word, ord
+      FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS word,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+        FROM documents WHERE text IS NOT NULL)),
+    bg AS (
+      SELECT a.word AS w1, b.word AS w2,
+             CAST(count(*) AS BIGINT) AS pair_n
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+      GROUP BY a.word, b.word),
+    uni AS (
+      SELECT w1, CAST(sum(pair_n) AS BIGINT) AS ctx_n FROM bg GROUP BY w1)
+    SELECT bg.w1, bg.w2, bg.pair_n, uni.ctx_n,
+           CAST(bg.pair_n AS DOUBLE) / uni.ctx_n AS p_cond
+    FROM bg JOIN uni USING (w1)
+    WHERE bg.pair_n >= {_BIGRAM_MIN_COUNT}
+    """
+
+
+@register("text_bigram_lm", _BIGRAM_SQL)
+def text_bigram_lm(spark, sf):
+    """Distributed bigram language-model estimation — the counting
+    core of CCNet-style LM quality scoring (the production 5-gram
+    KenLM is this same conditional-count table at higher order):
+    P(w2 | w1) = count(w1 w2) / count(w1 _) over the whole corpus,
+    emitted for pairs above a min-count support threshold (singleton
+    bigrams carry no estimation value and dominate the tail). The
+    conditional is ONE IEEE division on exact BIGINT counts —
+    engine-identical per row.
+
+    Scale shape: adjacent-pair extraction is a posexplode + self-join
+    on (doc_id, ord+1) — co-partitioned on doc_id, so the join is a
+    local zip after one shuffle (at scale, transform(slice(...)) can
+    fuse pairs map-side with zero join; the join form is kept because
+    it also handles n>2 orders); then one (w1,w2) count groupBy where
+    the Zipf head partial-aggregates map-side, and the context totals
+    are a second tiny rollup of the PAIR table (not the corpus).
+    Support filtering happens before the join back, so the broadcast
+    is of surviving contexts only."""
+    d = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(
+        "doc_id", F.posexplode(_words(F.col("text"))).alias("pos", "word")
+    )
+    a = toks.select("doc_id", F.col("pos").alias("p1"),
+                    F.col("word").alias("w1"))
+    b = toks.select("doc_id", (F.col("pos") - 1).alias("p1"),
+                    F.col("word").alias("w2"))
+    bg = (
+        a.join(b, ["doc_id", "p1"])
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_n"))
+    )
+    uni = bg.groupBy("w1").agg(F.sum("pair_n").alias("ctx_n"))
+    return (
+        bg.filter(F.col("pair_n") >= _BIGRAM_MIN_COUNT)
+        .join(uni, "w1")
+        .select(
+            "w1", "w2", "pair_n", "ctx_n",
+            (F.col("pair_n").cast("double") / F.col("ctx_n"))
+            .alias("p_cond"),
+        )
+    )

@@ -1484,3 +1484,35 @@ def test_audio_vad_segments_match_replay_and_never_drop():
     assert len(rows) == 3 and all(
         r.error is not None for _, r in rows.iterrows()
     )
+
+
+def test_bigram_lm_matches_recount_and_probability_laws(spark, sf_dir):
+    """Pair and context counts equal a Python recount; p_cond is the
+    single division; per-context kept probability mass never exceeds
+    1; support threshold enforced."""
+    from collections import Counter
+
+    from octospark.sources import load_table
+    from octospark.textops import _BIGRAM_MIN_COUNT, QUERIES
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    pairs: Counter = Counter()
+    for d in docs:
+        if d.text is None:
+            continue
+        ws = d.text.split(" ")
+        for i in range(len(ws) - 1):
+            pairs[(ws[i], ws[i + 1])] += 1
+    ctx: Counter = Counter()
+    for (w1, _), n in pairs.items():
+        ctx[w1] += n
+    rows = QUERIES["text_bigram_lm"](spark, sf_dir).collect()
+    want_kept = {k for k, n in pairs.items() if n >= _BIGRAM_MIN_COUNT}
+    assert {(r.w1, r.w2) for r in rows} == want_kept
+    mass: dict = {}
+    for r in rows:
+        assert r.pair_n == pairs[(r.w1, r.w2)]
+        assert r.ctx_n == ctx[r.w1]
+        assert r.p_cond == r.pair_n / r.ctx_n
+        mass[r.w1] = mass.get(r.w1, 0.0) + r.p_cond
+    assert mass and all(m <= 1.0 + 1e-12 for m in mass.values())
