@@ -1969,14 +1969,36 @@ def events_retention_cohorts(spark, sf):
 # stream_windowed_topk — per-window heavy hitters (batch twin)
 # --------------------------------------------------------------------------
 
+def _hourly_type_counts(e: DataFrame) -> DataFrame:
+    """Shared hourly (window, event_type) count table used by
+    stream_windowed_topk and events_anomaly_hours (single-sourced so
+    the window/format logic cannot drift between them; the tumbling
+    key keeps its own block because it also folds a decimal sum into
+    the same aggregation pass)."""
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+_HOURLY_COUNTS_CTE = """
+      SELECT event_type,
+             strftime(date_trunc('hour', ts),
+                      '%Y-%m-%d %H:%M:%S') AS win_start,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2"""
+
+
 _WIN_TOPK = 2
 
 _WIN_TOPK_SQL = f"""
-    WITH counts AS (
-      SELECT strftime(date_trunc('hour', ts),
-                      '%Y-%m-%d %H:%M:%S') AS win_start,
-             event_type, CAST(count(*) AS BIGINT) AS n
-      FROM events GROUP BY 1, 2)
+    WITH counts AS ({_HOURLY_COUNTS_CTE})
     SELECT win_start, event_type, n, rnk FROM (
       SELECT win_start, event_type, n,
              row_number() OVER (
@@ -2000,17 +2022,7 @@ def stream_windowed_topk(spark, sf):
     a row_number window PARTITIONED BY the time window — the rank sort
     touches only the per-window key counts (bounded by the key
     cardinality, not the event volume), never the raw stream."""
-    e = load_table(spark, sf, "events")
-    counts = (
-        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"))
-        .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
-            .alias("win_start"),
-            "event_type",
-            "n",
-        )
-    )
+    counts = _hourly_type_counts(load_table(spark, sf, "events"))
     w = Window.partitionBy("win_start").orderBy(
         F.col("n").desc(), F.col("event_type").asc()
     )
@@ -2028,9 +2040,11 @@ _SPLIT_MULT = 2654435761  # Knuth multiplicative constant, shared w/ oracle
 
 _SPLIT_SQL = f"""
     SELECT doc_id,
-           (doc_id * {_SPLIT_MULT}) % 100 AS bucket,
-           CASE WHEN (doc_id * {_SPLIT_MULT}) % 100 < 80 THEN 'train'
-                WHEN (doc_id * {_SPLIT_MULT}) % 100 < 90 THEN 'val'
+           ((doc_id % 100000007) * 2654435761) % 100 AS bucket,
+           CASE WHEN ((doc_id % 100000007) * 2654435761) % 100 < 80
+                  THEN 'train'
+                WHEN ((doc_id % 100000007) * 2654435761) % 100 < 90
+                  THEN 'val'
                 ELSE 'test' END AS split
     FROM documents
     """
@@ -2050,12 +2064,16 @@ def corpus_split_assign(spark, sf):
 
     Scale shape: one map-side projection inside the scan stage — zero
     shuffles, zero Python; downstream stages filter on `split` and the
-    predicate pushes down to the scan. doc_id * 2654435761 <= 2^63 for
-    doc_ids < 4.3e9 per shard; at larger ids the multiply wraps
-    IDENTICALLY in both engines only under wraparound semantics, so
-    the documented domain is id < 2^32 (partition-local ids at scale)."""
+    predicate pushes down to the scan. The id is reduced mod 1e8+7
+    before the multiply so the product never exceeds ~2.7e17 — safe
+    for EVERY BIGINT doc_id (the raw product would overflow, and BOTH
+    engines throw on BIGINT overflow rather than wrap)."""
     d = load_table(spark, sf, "documents").select("doc_id")
-    bucket = (F.col("doc_id") * _SPLIT_MULT) % 100
+    # reduce mod 1e8+7 BEFORE the multiply: the raw product overflows
+    # BIGINT at doc_id >= 2^63/2654435761 ~ 3.47e9 (both engines THROW,
+    # neither wraps); the reduced operand keeps the product < 2.7e17
+    # for EVERY BIGINT id, and is the identity for ids < 1e8+7
+    bucket = ((F.col("doc_id") % 100000007) * _SPLIT_MULT) % 100
     return d.select(
         "doc_id",
         bucket.alias("bucket"),
@@ -2086,16 +2104,15 @@ def agg_mode_most_frequent(spark, sf):
     """Per-group mode (most frequent value) with a deterministic
     tie-break on the value itself — the dominant-host-per-language /
     dominant-encoding-per-host census shape. Two-phase: exact
-    (group, value) counts, then max_by(value, (n, -value-order))
-    per group; both phases partial-aggregate.
+    (group, value) counts, then min_by(value, struct(-n, value))
+    per group (highest count, lexicographically smallest value on
+    ties); both phases partial-aggregate.
 
     Scale shape: the (lang, source) count table is the only shuffle;
     the mode pick is a tiny second aggregate over it. No window, no
     sort of the doc table."""
     d = load_table(spark, sf, "documents")
     c = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
-    # max_by on (n, reversed-source) = highest count, lexicographically
-    # smallest source on ties; struct comparison is lexicographic
     return c.groupBy("lang").agg(
         F.expr(
             "min_by(source, struct(-n, source))"
@@ -2113,7 +2130,7 @@ _BITWISE_SQL = """
            doc_id & 255 AS band,
            doc_id | 4096 AS bor,
            xor(doc_id, 21845) AS bxor,
-           doc_id << 3 AS shl,
+           (doc_id & 1152921504606846975) << 3 AS shl,
            doc_id >> 2 AS shr,
            CAST(bit_count(doc_id) AS INTEGER) AS popcount
     FROM documents
@@ -2134,7 +2151,10 @@ def scalar_bitwise_funcs(spark, sf):
         F.expr("doc_id & 255").alias("band"),
         F.expr("doc_id | 4096").alias("bor"),
         F.expr("doc_id ^ 21845").alias("bxor"),
-        F.expr("shiftleft(doc_id, 3)").alias("shl"),
+        # mask to 2^60-1 first: Spark shiftleft silently wraps while
+        # DuckDB << throws on overflow — masking pins one semantics
+        F.expr("shiftleft(doc_id & 1152921504606846975, 3)")
+        .alias("shl"),
         F.expr("shiftright(doc_id, 2)").alias("shr"),
         F.expr("bit_count(doc_id)").alias("popcount"),
     )
@@ -2209,12 +2229,7 @@ def join_asof_next(spark, sf):
 _ANOMALY_Z = 2  # |z| threshold
 
 _ANOMALY_SQL = f"""
-    WITH c AS (
-      SELECT event_type,
-             strftime(date_trunc('hour', ts),
-                      '%Y-%m-%d %H:%M:%S') AS win_start,
-             CAST(count(*) AS BIGINT) AS n
-      FROM events GROUP BY 1, 2),
+    WITH c AS ({_HOURLY_COUNTS_CTE}),
     s AS (
       SELECT event_type,
              CAST(count(*) AS BIGINT) AS cnt,
@@ -2222,8 +2237,10 @@ _ANOMALY_SQL = f"""
              CAST(sum(n * n) AS BIGINT) AS sq
       FROM c GROUP BY event_type)
     SELECT c.event_type, c.win_start, c.n,
-           CAST(c.n * s.cnt - s.sn AS DOUBLE)
-             / sqrt(CAST(s.cnt * s.sq - s.sn * s.sn AS DOUBLE)) AS z,
+           CASE WHEN s.cnt * s.sq - s.sn * s.sn > 0
+                THEN CAST(c.n * s.cnt - s.sn AS DOUBLE)
+                  / sqrt(CAST(s.cnt * s.sq - s.sn * s.sn AS DOUBLE))
+                ELSE NULL END AS z,
            (c.n * s.cnt - s.sn) * (c.n * s.cnt - s.sn)
              > {_ANOMALY_Z * _ANOMALY_Z} * (s.cnt * s.sq - s.sn * s.sn)
              AS is_anomaly
@@ -2250,17 +2267,7 @@ def events_anomaly_hours(spark, sf):
     per-type stats aggregate (rows = #types) broadcast back onto the
     counts — the raw stream is touched once, and nothing about the
     z-test ever sees an individual event."""
-    e = load_table(spark, sf, "events")
-    c = (
-        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"))
-        .select(
-            "event_type",
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
-            .alias("win_start"),
-            "n",
-        )
-    )
+    c = _hourly_type_counts(load_table(spark, sf, "events"))
     s = c.groupBy("event_type").agg(
         F.count("*").alias("cnt"),
         F.sum("n").alias("sn"),
@@ -2270,6 +2277,11 @@ def events_anomaly_hours(spark, sf):
     varn = F.col("cnt") * F.col("sq") - F.col("sn") * F.col("sn")
     return c.join(F.broadcast(s), "event_type").select(
         "event_type", "win_start", "n",
-        (num.cast("double") / F.sqrt(varn.cast("double"))).alias("z"),
+        # explicit zero-variance guard: ANSI Spark THROWS on x/0.0
+        # (DuckDB yields NULL) — a type seen in a single window has
+        # varn = 0 and must yield NULL, not kill the job
+        F.when(
+            varn > 0, num.cast("double") / F.sqrt(varn.cast("double"))
+        ).alias("z"),
         (num * num > _ANOMALY_Z * _ANOMALY_Z * varn).alias("is_anomaly"),
     )

@@ -4711,8 +4711,10 @@ def text_bigram_lm(spark, sf):
     it also handles n>2 orders); then one (w1,w2) count groupBy where
     the Zipf head partial-aggregates map-side, and the context totals
     are a second tiny rollup of the PAIR table (not the corpus).
-    Support filtering happens before the join back, so the broadcast
-    is of surviving contexts only."""
+    The support filter shrinks the PROBE side of the context
+    join-back; the context table itself must stay UNFILTERED (ctx_n
+    counts all continuations) and joins word-keyed — vocabulary-sized,
+    so Spark broadcasts it only when it fits."""
     d = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
     toks = d.select(
         "doc_id", F.posexplode(_words(F.col("text"))).alias("pos", "word")

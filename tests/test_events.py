@@ -115,7 +115,7 @@ def test_split_assign_stable_proportions_and_determinism(spark):
     n = load_table(spark, SF, "documents").count()
     assert len(out) == n
     for doc_id, (bucket, split) in out.items():
-        want_bucket = (doc_id * R._SPLIT_MULT) % 100
+        want_bucket = ((doc_id % 100000007) * R._SPLIT_MULT) % 100
         assert bucket == want_bucket
         assert split == (
             "train" if bucket < 80 else "val" if bucket < 90 else "test"
@@ -157,7 +157,7 @@ def test_bitwise_funcs_match_python(spark):
         assert r.band == d & 255
         assert r.bor == d | 4096
         assert r.bxor == d ^ 21845
-        assert r.shl == d << 3
+        assert r.shl == (d & (2**60 - 1)) << 3
         assert r.shr == d >> 2
         assert r.popcount == bin(d).count("1")
 
