@@ -922,9 +922,13 @@ def dedup_bloom_snapshot(spark, sf):
     constant-size filter when the done-set no longer fits a join."""
     from octospark.textops import text_fingerprint
 
+    # materialize the fingerprint table ONCE (three consumers below:
+    # filter build, exact-eval set, probe batch) — production persists
+    # this table; without it each branch re-scans and re-aggregates
+    # the corpus (plan showed 3x the fp sub-plan)
     fpdf = text_fingerprint(spark, sf).select(
         "doc_id", F.col("fp").cast("long").alias("fp")
-    )
+    ).localCheckpoint(eager=True)
     a = fpdf.filter(F.col("doc_id") % 3 != 1)
     b = fpdf.filter(F.col("doc_id") % 3 == 1)
     a_bits = (

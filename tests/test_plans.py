@@ -566,3 +566,35 @@ def test_tfidf_window_is_doc_partitioned(spark):
     wins = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
     assert wins, plan
     assert any("doc_id" in w for w in wins), wins
+
+
+def test_new_key_plan_shapes_round4(spark):
+    """Targeted §4 plan pins for the late-round-4 keys: the zero-
+    shuffle projections really are zero-shuffle with pruned scans, the
+    Bloom probe and anomaly stats joins broadcast, and the politeness
+    window hash-partitions on host."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    # pure projections: no Exchange, scan pruned to the used columns
+    plan = plan_of(qs["corpus_split_assign"](spark, SF))
+    assert "Exchange" not in plan
+    assert "struct<doc_id:bigint>" in plan.split("ReadSchema:")[-1]
+    plan = plan_of(qs["text_readability_stats"](spark, SF))
+    assert "Exchange" not in plan
+    assert (
+        "struct<doc_id:bigint,text:string>"
+        in plan.split("ReadSchema:")[-1]
+    )
+    # Bloom: bit-set and exact-eval joins broadcast (kilobyte filter),
+    # and the fingerprint sub-plan is materialized once (checkpointed),
+    # not recomputed per consumer
+    plan = plan_of(qs["dedup_bloom_snapshot"](spark, SF))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "Scan ExistingRDD" in plan  # the shared fp checkpoint
+    # anomaly: per-type stats broadcast back onto the counts
+    plan = plan_of(qs["events_anomaly_hours"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # politeness: window hash-partitions on the host key
+    plan = plan_of(qs["crawl_politeness_schedule"](spark, SF))
+    assert "hashpartitioning(source" in plan
