@@ -4738,3 +4738,68 @@ def text_bigram_lm(spark, sf):
             .alias("p_cond"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# text_hashed_ngram_features — hashing-trick char-trigram features
+# --------------------------------------------------------------------------
+
+_FEAT_BUCKETS = 32
+
+_HASHED_NGRAM_SQL = f"""
+    WITH grams AS (
+      SELECT doc_id,
+             substr(text, CAST(i AS INTEGER), 3) AS g
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 1, 1))) AS i
+        FROM documents WHERE text IS NOT NULL)),
+    b AS (
+      SELECT doc_id,
+             (ascii(substr(g, 1, 1)) * 961
+              + ascii(substr(g, 2, 1)) * 31
+              + ascii(substr(g, 3, 1))) % {_FEAT_BUCKETS} AS bucket
+      FROM grams WHERE length(g) = 3)
+    SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY doc_id, bucket
+    """
+
+
+@register("text_hashed_ngram_features", _HASHED_NGRAM_SQL)
+def text_hashed_ngram_features(spark, sf):
+    """Hashing-trick char-trigram features in COO form (doc_id,
+    bucket, count) — the fastText-style input layer: a fixed 32-bucket
+    featurizer with NO vocabulary to build, broadcast, or keep in sync
+    across executors, which is why production quality classifiers at
+    crawl scale hash instead of indexing. The output shape is exactly
+    what the distributed trainer (octospark/trainer.py) consumes, and
+    the polynomial char hash (a*31^2 + b*31 + c mod 32) is integer
+    arithmetic both engines share bitwise.
+
+    Scale shape: trigram enumeration is a JVM sequence+transform inside
+    the scan stage (no Python), exploded and counted with ONE
+    groupBy(doc_id, bucket) whose partial aggregates collapse each
+    doc's grams map-side — at most 32 rows per doc cross the shuffle
+    regardless of document length. Reference analog: R6 shared feature
+    precompute (/root/reference/src/octopy/segment.py per-region
+    features) as a corpus-wide table."""
+    d = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 2, 0)),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("g"),
+    ).filter(F.length("g") == 3)
+    bucket = (
+        F.ascii(F.substring("g", 1, 1)) * 961
+        + F.ascii(F.substring("g", 2, 1)) * 31
+        + F.ascii(F.substring("g", 3, 1))
+    ) % _FEAT_BUCKETS
+    return (
+        grams.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n"))
+    )

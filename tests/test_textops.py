@@ -1516,3 +1516,36 @@ def test_bigram_lm_matches_recount_and_probability_laws(spark, sf_dir):
         assert r.p_cond == r.pair_n / r.ctx_n
         mass[r.w1] = mass.get(r.w1, 0.0) + r.p_cond
     assert mass and all(m <= 1.0 + 1e-12 for m in mass.values())
+
+
+def test_hashed_ngram_features_match_recount_and_conservation(
+    spark, sf_dir
+):
+    """Bucket counts equal a Python recount of the polynomial char
+    hash; per-doc total count equals len(text) - 2 (every trigram
+    lands in exactly one bucket)."""
+    from collections import defaultdict
+
+    from octospark.sources import load_table
+    from octospark.textops import _FEAT_BUCKETS, QUERIES
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    want: dict = defaultdict(lambda: defaultdict(int))
+    for d in docs:
+        t = d.text
+        if t is None:
+            continue
+        for i in range(len(t) - 2):
+            g = t[i : i + 3]
+            b = (
+                ord(g[0]) * 961 + ord(g[1]) * 31 + ord(g[2])
+            ) % _FEAT_BUCKETS
+            want[d.doc_id][b] += 1
+    rows = QUERIES["text_hashed_ngram_features"](spark, sf_dir).collect()
+    got: dict = defaultdict(dict)
+    for r in rows:
+        got[r.doc_id][r.bucket] = r.n
+    assert {k: dict(v) for k, v in want.items() if v} == dict(got)
+    for d in docs:
+        if d.text and len(d.text) >= 3:
+            assert sum(got[d.doc_id].values()) == len(d.text) - 2
