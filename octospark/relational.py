@@ -2285,3 +2285,48 @@ def events_anomaly_hours(spark, sf):
         ).alias("z"),
         (num * num > _ANOMALY_Z * _ANOMALY_Z * varn).alias("is_anomaly"),
     )
+
+
+# --------------------------------------------------------------------------
+# scan_jsonl_corrupt_tolerant — PERMISSIVE scan of a dirty JSONL landing
+# --------------------------------------------------------------------------
+
+_CORRUPT_SCAN_SQL = """
+    SELECT doc_id, lang, FALSE AS is_corrupt
+    FROM documents WHERE doc_id % 17 <> 0
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), TRUE
+    FROM documents WHERE doc_id % 17 = 0
+    """
+
+
+@register("scan_jsonl_corrupt_tolerant", _CORRUPT_SCAN_SQL)
+def scan_jsonl_corrupt_tolerant(spark, sf):
+    """PERMISSIVE scan of a JSONL landing with malformed lines — the
+    third-party-crawl-dump reality: every 17th line is truncated
+    mid-object, and the scan must recover every parseable row while
+    SURFACING (not dropping, not failing on) the corrupt ones via the
+    _corrupt_record column. One row per input line, always — the
+    source-level never-drop contract (R17 at the scan instead of the
+    UDF): is_corrupt=true rows carry NULL fields and feed the
+    quarantine/reingest path, and the count of them is the data-quality
+    metric lineage tracks per landing.
+
+    Scale shape: JSON line parsing is per-line and splittable; the
+    corrupt flag is a projection of the parser's own error channel —
+    no second pass, no Python, no shuffle. DROPMALFORMED/FAILFAST are
+    one option away but destroy the audit trail; PERMISSIVE is the
+    production default for exactly that reason."""
+    from octospark.sources import stage_corrupt_jsonl
+
+    dest = stage_corrupt_jsonl(sf)
+    df = (
+        spark.read.schema("doc_id long, lang string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(dest)
+    )
+    return df.select(
+        "doc_id", "lang",
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+    )

@@ -211,6 +211,38 @@ def stage_partitioned_copy(
     )
 
 
+def stage_corrupt_jsonl(sf_dir: str) -> str:
+    """Materialize documents as a JSONL landing where every 17th row
+    (doc_id % 17 == 0) is TRUNCATED mid-object — the malformed-line
+    reality of third-party crawl dumps. Deterministic, so the tolerant
+    scan's recovered/corrupt split is oracle-reconstructable. Same
+    staging contract as stage_format_copy (see _staged_dir); one file
+    here, many files at scale (the corruption is per-line either way)."""
+    import json
+
+    def write(dest: str) -> None:
+        import duckdb
+
+        os.makedirs(dest, exist_ok=True)
+        rows = duckdb.sql(
+            "SELECT doc_id, lang FROM "
+            f"'{os.path.join(sf_dir, 'documents.parquet')}' ORDER BY doc_id"
+        ).fetchall()
+        with open(os.path.join(dest, "part-0.jsonl"), "w") as f:
+            for doc_id, lang in rows:
+                line = json.dumps({"doc_id": doc_id, "lang": lang})
+                if doc_id % 17 == 0:
+                    line = line[: max(len(line) - 7, 1)]  # truncate
+                f.write(line + "\n")
+        with open(os.path.join(dest, "_STAGED"), "w") as f:
+            f.write("ok")
+
+    return _staged_dir(
+        sf_dir, "documents", "octospark_badjson", "corrupt", "_STAGED",
+        write,
+    )
+
+
 def stage_evolved_copy(spark: SparkSession, sf_dir: str) -> str:
     """Materialize a parquet dataset whose files carry TWO schema
     versions — batch=1 was written before the c_acctbal column existed

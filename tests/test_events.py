@@ -226,3 +226,25 @@ def test_anomaly_flag_is_exact_and_matches_z(spark):
         per_type[r.event_type].append(r.is_anomaly)
     for t, flags in per_type.items():
         assert sum(flags) < len(flags) / 2, t
+
+
+def test_corrupt_jsonl_scan_recovers_and_surfaces(spark):
+    """The PERMISSIVE scan emits one row per input line: recovered
+    rows carry intact values, corrupt rows (every 17th doc) carry NULL
+    fields and is_corrupt=true — never dropped, never a task failure."""
+    from octospark.sources import load_table
+
+    docs = {
+        d.doc_id: d.lang
+        for d in load_table(spark, SF, "documents").collect()
+    }
+    rows = R.QUERIES["scan_jsonl_corrupt_tolerant"](spark, SF).collect()
+    assert len(rows) == len(docs)
+    n_corrupt_want = sum(1 for d in docs if d % 17 == 0)
+    good = [r for r in rows if not r.is_corrupt]
+    bad = [r for r in rows if r.is_corrupt]
+    assert len(bad) == n_corrupt_want
+    assert all(r.doc_id is None and r.lang is None for r in bad)
+    assert {r.doc_id: r.lang for r in good} == {
+        d: lg for d, lg in docs.items() if d % 17 != 0
+    }
