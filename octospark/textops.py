@@ -4803,3 +4803,114 @@ def text_hashed_ngram_features(spark, sf):
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# sim_margin_bitext_mining — margin-based cross-pool alignment mining
+# --------------------------------------------------------------------------
+
+_MARGIN_K = 4
+_MARGIN_THRESHOLD = 1.05
+
+
+def _margin_oracle_sql() -> str:
+    dab = _sql_dot("s.av", "t.bv")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE label IN (0, 1)),
+    n AS (SELECT vec_id, label, v,
+                 sqrt({_sql_dot("e.v", "e.v")}) AS nm FROM e),
+    s AS (SELECT vec_id AS a_id, v AS av, nm AS an FROM n WHERE label = 0),
+    t AS (SELECT vec_id AS b_id, v AS bv, nm AS bn FROM n WHERE label = 1),
+    cs AS (
+      SELECT s.a_id, t.b_id, {dab} / (s.an * t.bn) AS cos FROM s, t),
+    rk AS (
+      SELECT a_id, b_id, cos,
+             row_number() OVER (
+               PARTITION BY a_id ORDER BY cos DESC, b_id ASC) AS rnk
+      FROM cs),
+    top AS (
+      SELECT a_id,
+             list(cos ORDER BY rnk) AS cl,
+             list(b_id ORDER BY rnk) AS bl
+      FROM rk WHERE rnk <= {_MARGIN_K} GROUP BY a_id)
+    SELECT a_id AS src_id, bl[1] AS best_tgt, cl[1] AS cos_best,
+           cl[1] / (list_reduce(cl, (x, y) -> x + y) / {_MARGIN_K}.0)
+             AS margin,
+           cl[1] / (list_reduce(cl, (x, y) -> x + y) / {_MARGIN_K}.0)
+             >= {_MARGIN_THRESHOLD} AS accepted
+    FROM top
+    """
+
+
+@register("sim_margin_bitext_mining", _margin_oracle_sql())
+def sim_margin_bitext_mining(spark, sf):
+    """Margin-based alignment mining between two embedding pools (the
+    CCMatrix/LASER bitext-mining criterion, Artetxe & Schwenk 2019):
+    for every source vector (label 0) find its best target (label 1)
+    and score it by margin = cos_best / mean(top-k cos) — absolute
+    cosine thresholds fail under hubness, the margin ratio does not.
+    Accepted pairs (margin >= 1.05) are the mined alignments; the same
+    shape mines image-caption pairs in LAION-style pipelines.
+
+    Cross-engine exactness: dot products are the shared sequential
+    fold (bitwise), and the top-k cosines are folded IN RANK ORDER
+    from a sorted array — never an unordered float SUM aggregate, so
+    the margin is deterministic at any partitioning; one division per
+    row. Ties in the ranking break on the target id.
+
+    Scale shape: the target pool broadcasts against the source scan
+    (BroadcastNestedLoopJoin — brute-force tier exactly like
+    sim_ann_topk; the IVF/LSH keys are the candidate-pruning tier at
+    10^9 targets), the rank window partitions per source vector, and
+    the fold touches k rows per source."""
+    e = (
+        load_table(spark, sf, "embeddings")
+        .filter(F.col("label").isin(0, 1))
+        .select(
+            "vec_id", "label", _as_double_arr("embedding").alias("v")
+        )
+        .withColumn("nm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    s = e.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("av"),
+        F.col("nm").alias("an"),
+    )
+    t = e.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("bv"),
+        F.col("nm").alias("bn"),
+    )
+    pairs = s.crossJoin(F.broadcast(t)).select(
+        "a_id", "b_id",
+        (
+            _dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("a_id").orderBy(
+        F.col("cos").desc(), F.col("b_id").asc()
+    )
+    top = (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _MARGIN_K)
+        .groupBy("a_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("rnk", "cos", "b_id"))
+            ).alias("tl")
+        )
+    )
+    csum = F.aggregate(
+        F.transform("tl", lambda x: x["cos"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    margin = F.col("tl")[0]["cos"] / (csum / float(_MARGIN_K))
+    return top.select(
+        F.col("a_id").alias("src_id"),
+        F.col("tl")[0]["b_id"].alias("best_tgt"),
+        F.col("tl")[0]["cos"].alias("cos_best"),
+        margin.alias("margin"),
+        (margin >= _MARGIN_THRESHOLD).alias("accepted"),
+    )

@@ -1549,3 +1549,64 @@ def test_hashed_ngram_features_match_recount_and_conservation(
     for d in docs:
         if d.text and len(d.text) >= 3:
             assert sum(got[d.doc_id].values()) == len(d.text) - 2
+
+
+def test_margin_mining_matches_replay_and_margin_floor(spark, sf_dir):
+    """Exact Python replay of the margin criterion (sequential-fold
+    dots, rank-order cosine sum): every row matches bitwise, margin is
+    always >= 1 (best cosine cannot be below the top-k mean), and the
+    accepted flag equals the threshold comparison."""
+    from octospark.sources import load_table
+    from octospark.textops import (
+        _MARGIN_K,
+        _MARGIN_THRESHOLD,
+        QUERIES,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    pool = {
+        lbl: [
+            (r.vec_id, [float(x) for x in r.embedding])
+            for r in emb
+            if r.label == lbl
+        ]
+        for lbl in (0, 1)
+    }
+    import math
+
+    norms = {
+        vid: math.sqrt(fold_dot(v, v))
+        for lbl in pool
+        for vid, v in pool[lbl]
+    }
+    want = {}
+    for a_id, av in pool[0]:
+        cands = sorted(
+            (
+                (
+                    -(fold_dot(av, bv) / (norms[a_id] * norms[b_id])),
+                    b_id,
+                )
+                for b_id, bv in pool[1]
+            ),
+        )[:_MARGIN_K]
+        cl = [-c for c, _ in cands]
+        acc = 0.0
+        for c in cl:
+            acc = acc + c
+        margin = cl[0] / (acc / float(_MARGIN_K))
+        want[a_id] = (cands[0][1], cl[0], margin)
+    rows = QUERIES["sim_margin_bitext_mining"](spark, sf_dir).collect()
+    assert {r.src_id for r in rows} == set(want)
+    for r in rows:
+        bt, cb, mg = want[r.src_id]
+        assert (r.best_tgt, r.cos_best, r.margin) == (bt, cb, mg)
+        assert r.margin >= 1.0 - 1e-12
+        assert r.accepted == (r.margin >= _MARGIN_THRESHOLD)
