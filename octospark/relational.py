@@ -2036,14 +2036,15 @@ def stream_windowed_topk(spark, sf):
 # corpus_split_assign — content-stable train/val/test assignment
 # --------------------------------------------------------------------------
 
-_SPLIT_MULT = 2654435761  # Knuth multiplicative constant, shared w/ oracle
+_SPLIT_MULT = 2654435761  # Knuth multiplicative constant
+_SPLIT_REDUCE = 100000007  # pre-multiply modulus (keeps product in BIGINT)
 
 _SPLIT_SQL = f"""
     SELECT doc_id,
-           ((doc_id % 100000007) * 2654435761) % 100 AS bucket,
-           CASE WHEN ((doc_id % 100000007) * 2654435761) % 100 < 80
+           ((doc_id % {_SPLIT_REDUCE}) * {_SPLIT_MULT}) % 100 AS bucket,
+           CASE WHEN ((doc_id % {_SPLIT_REDUCE}) * {_SPLIT_MULT}) % 100 < 80
                   THEN 'train'
-                WHEN ((doc_id % 100000007) * 2654435761) % 100 < 90
+                WHEN ((doc_id % {_SPLIT_REDUCE}) * {_SPLIT_MULT}) % 100 < 90
                   THEN 'val'
                 ELSE 'test' END AS split
     FROM documents
@@ -2073,7 +2074,7 @@ def corpus_split_assign(spark, sf):
     # BIGINT at doc_id >= 2^63/2654435761 ~ 3.47e9 (both engines THROW,
     # neither wraps); the reduced operand keeps the product < 2.7e17
     # for EVERY BIGINT id, and is the identity for ids < 1e8+7
-    bucket = ((F.col("doc_id") % 100000007) * _SPLIT_MULT) % 100
+    bucket = ((F.col("doc_id") % _SPLIT_REDUCE) * _SPLIT_MULT) % 100
     return d.select(
         "doc_id",
         bucket.alias("bucket"),

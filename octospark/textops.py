@@ -1006,7 +1006,7 @@ def _fake_media(spark, sf, kind: str) -> DataFrame:
     enc = {
         "image": _fake_image_bytes,
         "video": _fake_video_bytes,
-        "audio": lambda d: _fake_audio_bytes(d),
+        "audio": _fake_audio_bytes,
     }[kind]
 
     def gen(batches):
@@ -4601,6 +4601,8 @@ def audio_vad_batches(batches):
                     raise ValueError("bad magic")
                 n = int.from_bytes(b[4:6], "big")
                 s = np.frombuffer(b[6 : 6 + n], dtype=np.uint8)
+                if len(s) != n:
+                    raise ValueError("truncated audio payload")
                 active = s >= _VAD_THRESHOLD
                 starts = int(active[0]) + int(
                     (active[1:] & ~active[:-1]).sum()
@@ -4837,9 +4839,10 @@ def _margin_oracle_sql() -> str:
              list(b_id ORDER BY rnk) AS bl
       FROM rk WHERE rnk <= {_MARGIN_K} GROUP BY a_id)
     SELECT a_id AS src_id, bl[1] AS best_tgt, cl[1] AS cos_best,
-           cl[1] / (list_reduce(cl, (x, y) -> x + y) / {_MARGIN_K}.0)
-             AS margin,
-           cl[1] / (list_reduce(cl, (x, y) -> x + y) / {_MARGIN_K}.0)
+           cl[1] / (list_reduce(cl, (x, y) -> x + y)
+                    / CAST(len(cl) AS DOUBLE)) AS margin,
+           cl[1] / (list_reduce(cl, (x, y) -> x + y)
+                    / CAST(len(cl) AS DOUBLE))
              >= {_MARGIN_THRESHOLD} AS accepted
     FROM top
     """
@@ -4906,7 +4909,12 @@ def sim_margin_bitext_mining(spark, sf):
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    margin = F.col("tl")[0]["cos"] / (csum / float(_MARGIN_K))
+    # divide by the ACTUAL retrieved count, not the constant K: a
+    # target pool smaller than K would otherwise inflate every margin
+    # (cos / (cos/K) = K) and auto-accept arbitrary pairs
+    margin = F.col("tl")[0]["cos"] / (
+        csum / F.size("tl").cast("double")
+    )
     return top.select(
         F.col("a_id").alias("src_id"),
         F.col("tl")[0]["b_id"].alias("best_tgt"),

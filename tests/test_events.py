@@ -115,7 +115,7 @@ def test_split_assign_stable_proportions_and_determinism(spark):
     n = load_table(spark, SF, "documents").count()
     assert len(out) == n
     for doc_id, (bucket, split) in out.items():
-        want_bucket = ((doc_id % 100000007) * R._SPLIT_MULT) % 100
+        want_bucket = ((doc_id % R._SPLIT_REDUCE) * R._SPLIT_MULT) % 100
         assert bucket == want_bucket
         assert split == (
             "train" if bucket < 80 else "val" if bucket < 90 else "test"

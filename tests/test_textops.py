@@ -1478,10 +1478,17 @@ def test_audio_vad_segments_match_replay_and_never_drop():
         assert r.n_segments == segs
         assert r.n_segments >= 1  # every sawtooth period crosses the gate
     bad = pd.DataFrame(
-        {"doc_id": [1, 2, 3], "media": [None, b"XXXX\x00\x05junk", b"OA"]}
+        {
+            "doc_id": [1, 2, 3, 4],
+            "media": [
+                None, b"XXXX\x00\x05junk", b"OA",
+                # valid magic, header says 200 samples, only 10 present
+                b"OAUD" + (200).to_bytes(2, "big") + bytes(10),
+            ],
+        }
     )
     rows = pd.concat(list(audio_vad_batches(iter([bad]))))
-    assert len(rows) == 3 and all(
+    assert len(rows) == 4 and all(
         r.error is not None for _, r in rows.iterrows()
     )
 
@@ -1601,7 +1608,7 @@ def test_margin_mining_matches_replay_and_margin_floor(spark, sf_dir):
         acc = 0.0
         for c in cl:
             acc = acc + c
-        margin = cl[0] / (acc / float(_MARGIN_K))
+        margin = cl[0] / (acc / float(len(cl)))
         want[a_id] = (cands[0][1], cl[0], margin)
     rows = QUERIES["sim_margin_bitext_mining"](spark, sf_dir).collect()
     assert {r.src_id for r in rows} == set(want)
