@@ -4922,3 +4922,98 @@ def sim_margin_bitext_mining(spark, sf):
         margin.alias("margin"),
         (margin >= _MARGIN_THRESHOLD).alias("accepted"),
     )
+
+
+# --------------------------------------------------------------------------
+# text_langid_eval — language-ID confusion matrix vs the gold labels
+# --------------------------------------------------------------------------
+
+def _langid_eval_sql() -> str:
+    return f"""
+    WITH pred AS ({ORACLE["text_langid"]})
+    SELECT d.lang AS actual, p.langid AS predicted,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY d.lang, p.langid
+    """
+
+
+@register("text_langid_eval", _langid_eval_sql())
+def text_langid_eval(spark, sf):
+    """Language-ID confusion matrix — the eval every langid deployment
+    watches (same discipline as sim_ann_recall_eval: the eval leg
+    reuses the registered operator verbatim, so drift in text_langid
+    fails this key too). Each (gold lang, predicted lang) cell counts
+    docs; off-diagonal mass is the misrouting that poisons per-language
+    corpora downstream (wrong-language docs entering a monolingual
+    training mix).
+
+    Scale shape: the langid projection stays in the scan stage; the
+    join back to the gold column is doc_id-keyed; the confusion matrix
+    aggregate outputs at most n_langs^2 rows with map-side partials —
+    constant-size eval at any corpus size."""
+    pred = text_langid(spark, sf).select("doc_id", "langid")
+    gold = load_table(spark, sf, "documents").select("doc_id", "lang")
+    return (
+        gold.join(pred, "doc_id")
+        .groupBy(
+            F.col("lang").alias("actual"),
+            F.col("langid").alias("predicted"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus_host_coverage_curve — Zipf head-coverage census
+# --------------------------------------------------------------------------
+
+_COVERAGE_SQL = """
+    WITH h AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS bytes
+      FROM documents GROUP BY source),
+    t AS (SELECT CAST(sum(bytes) AS BIGINT) AS total FROM h)
+    SELECT h.source,
+           row_number() OVER (
+             ORDER BY h.bytes DESC, h.source ASC) AS host_rank,
+           h.bytes,
+           CAST(sum(h.bytes) OVER (
+             ORDER BY h.bytes DESC, h.source ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) / t.total AS cum_share
+    FROM h CROSS JOIN t
+    """
+
+
+@register("corpus_host_coverage_curve", _COVERAGE_SQL)
+def corpus_host_coverage_curve(spark, sf):
+    """Zipf head-coverage curve over hosts: rank hosts by total bytes
+    and emit the cumulative corpus share at each rank — the capacity-
+    planning census behind 'the top N hosts hold X% of the crawl'
+    (drives per-host quota tuning, fetch-capacity allocation, and
+    where dedup effort pays). The running sum is over exact BIGINTs in
+    a fully-ordered frame, so cum_share is one deterministic division
+    per row.
+
+    Scale shape: ONE corpus aggregation (per-host byte sums,
+    partial-aggregated map-side) and then a global window over the
+    HOST table only — bounded by the number of hosts (~10^7 at web
+    scale, kilobytes per row), never the document count; this is the
+    documented exception where a single-partition window is correct
+    because its input is already the collapsed aggregate (same class
+    as window_ntile_percent, allow-listed with that justification)."""
+    d = load_table(spark, sf, "documents")
+    h = d.groupBy("source").agg(F.sum("n_chars").alias("bytes"))
+    t = h.agg(F.sum("bytes").alias("total"))
+    wo = Window.orderBy(F.col("bytes").desc(), F.col("source").asc())
+    wcum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        h.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            F.row_number().over(wo).alias("host_rank"),
+            "bytes",
+            (F.sum("bytes").over(wcum).cast("double") / F.col("total"))
+            .alias("cum_share"),
+        )
+    )

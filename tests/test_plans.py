@@ -327,6 +327,10 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         # survive TakeOrderedAndProject (asserted separately)
         "sim_ann_topk", "sim_ann_lsh_bucketed", "sim_ann_ivf",
         "sim_ann_topk_int8",
+        # global window over the collapsed HOST aggregate (bounded by
+        # n_hosts, never the doc count) — the documented exception
+        # class; see the key's docstring
+        "corpus_host_coverage_curve",
         # detector false positive, not a global window: the plan's
         # Exchange SinglePartition feeds the SCALAR corpus-count N
         # (one row, broadcast back); the Window node itself is

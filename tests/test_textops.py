@@ -1617,3 +1617,56 @@ def test_margin_mining_matches_replay_and_margin_floor(spark, sf_dir):
         assert (r.best_tgt, r.cos_best, r.margin) == (bt, cb, mg)
         assert r.margin >= 1.0 - 1e-12
         assert r.accepted == (r.margin >= _MARGIN_THRESHOLD)
+
+
+def test_langid_eval_matrix_is_consistent_with_both_legs(spark, sf_dir):
+    """Composition integrity: the confusion matrix equals the join of
+    the registered text_langid output with the gold lang column, and
+    its cells sum to the doc count."""
+    from collections import Counter
+
+    from octospark.sources import load_table
+    from octospark.textops import QUERIES
+
+    gold = {
+        d.doc_id: d.lang
+        for d in load_table(spark, sf_dir, "documents").collect()
+    }
+    pred = {
+        r.doc_id: r.langid
+        for r in QUERIES["text_langid"](spark, sf_dir).collect()
+    }
+    want = Counter((gold[i], pred[i]) for i in gold)
+    rows = QUERIES["text_langid_eval"](spark, sf_dir).collect()
+    assert {(r.actual, r.predicted): r.n for r in rows} == dict(want)
+    assert sum(r.n for r in rows) == len(gold)
+
+
+def test_host_coverage_curve_laws(spark, sf_dir):
+    """Ranks are dense 1..n_hosts, bytes non-increasing with rank,
+    cum_share strictly increasing to exactly 1.0, and per-host bytes
+    recount from the documents table."""
+    from collections import defaultdict
+
+    from octospark.sources import load_table
+    from octospark.textops import QUERIES
+
+    per_host: dict = defaultdict(int)
+    for d in load_table(spark, sf_dir, "documents").collect():
+        per_host[d.source] += d.n_chars
+    rows = sorted(
+        QUERIES["corpus_host_coverage_curve"](spark, sf_dir).collect(),
+        key=lambda r: r.host_rank,
+    )
+    assert [r.host_rank for r in rows] == list(range(1, len(per_host) + 1))
+    total = sum(per_host.values())
+    cum = 0
+    prev_bytes = None
+    for r in rows:
+        assert r.bytes == per_host[r.source]
+        if prev_bytes is not None:
+            assert r.bytes <= prev_bytes
+        prev_bytes = r.bytes
+        cum += r.bytes
+        assert r.cum_share == cum / total
+    assert rows[-1].cum_share == 1.0
