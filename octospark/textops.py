@@ -5017,3 +5017,175 @@ def corpus_host_coverage_curve(spark, sf):
             .alias("cum_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# text_ngram_novelty — per-doc share of never-seen-before shingles
+# --------------------------------------------------------------------------
+
+_NOVELTY_N = 3  # shingle order
+
+_NOVELTY_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, word, ord
+      FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS word,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS ord
+        FROM documents WHERE text IS NOT NULL)),
+    sh AS (
+      SELECT a.doc_id,
+             a.word || ' ' || b.word || ' ' || c.word AS shingle
+      FROM toks a
+      JOIN toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+      JOIN toks c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2),
+    dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    firsts AS (
+      SELECT shingle, min(doc_id) AS first_doc FROM dsh GROUP BY shingle)
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*) AS novelty
+    FROM dsh d JOIN firsts f USING (shingle)
+    GROUP BY d.doc_id
+    """
+
+
+@register("text_ngram_novelty", _NOVELTY_SQL)
+def text_ngram_novelty(spark, sf):
+    """Per-document n-gram novelty: the share of a doc's DISTINCT
+    3-gram shingles whose FIRST appearance (lowest doc_id — ingestion
+    order) is this doc. This is the information-gain signal the
+    dedup literature ranks documents by: near-zero novelty means the
+    doc's content already exists earlier in the corpus even when no
+    single earlier doc is an exact or near duplicate (mosaic
+    duplication, boilerplate assembly) — the case pairwise dedup keys
+    structurally miss.
+
+    Scale shape: shingle -> min(doc_id) is ONE partial-aggregated
+    groupBy (min combines map-side; no per-shingle membership lists,
+    so no hot-shingle blowup — the df-cap concern from the Jaccard
+    keys does not arise); the join back is shingle-keyed and the final
+    per-doc rollup reuses the doc_id key. One division per row."""
+    d = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(
+        "doc_id", F.posexplode(_words(F.col("text"))).alias("pos", "word")
+    )
+    a = toks.select("doc_id", F.col("pos").alias("p"),
+                    F.col("word").alias("w1"))
+    b = toks.select("doc_id", (F.col("pos") - 1).alias("p"),
+                    F.col("word").alias("w2"))
+    c = toks.select("doc_id", (F.col("pos") - 2).alias("p"),
+                    F.col("word").alias("w3"))
+    dsh = (
+        a.join(b, ["doc_id", "p"]).join(c, ["doc_id", "p"])
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "w1", "w2", "w3").alias("shingle"),
+        )
+        .distinct()
+    )
+    firsts = dsh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        (F.col("first_doc") == F.col("doc_id")).cast("long")
+    ).alias("n_novel")
+    return (
+        dsh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"), novel)
+        .select(
+            "doc_id", "n_shingles", "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_shingles"))
+            .alias("novelty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_triangle_count — per-node triangle participation
+# --------------------------------------------------------------------------
+
+# the shared modular edges close no triangles (affine maps rarely
+# cycle in 3 steps), so the triangle key ADDS the i->i+2 ring chord:
+# every (i, i+1, i+2) then closes, giving a dense known triangle set
+# on top of whatever the affine edges contribute.
+_TRIANGLE_SQL = """
+    WITH """ + ",\n    ".join(_MODULAR_EDGES_CTES) + """,
+    edges2 AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT doc_id AS src, (doc_id + 2) % n.n AS dst
+      FROM documents, n),
+    und AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges2 WHERE src <> dst),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+    m AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+    SELECT d.doc_id AS node,
+           CAST(COALESCE(t.n, 0) AS BIGINT) AS n_triangles
+    FROM documents d
+    LEFT JOIN (SELECT node, count(*) AS n FROM m GROUP BY node) t
+      ON d.doc_id = t.node
+    """
+
+
+@register("graph_triangle_count", _TRIANGLE_SQL)
+def graph_triangle_count(spark, sf):
+    """Per-node triangle participation over the (undirected) link
+    graph — the clustering-coefficient numerator, and the classic
+    link-farm / spam-cluster signal: organic web neighborhoods are
+    sparse, while paid-link rings and mirror farms close triangles
+    densely. Canonical a<b edge orientation makes each triangle
+    x<y<z counted exactly once, then each corner is credited.
+
+    Scale shape: the standard two-join triangle enumeration over the
+    canonicalized edge list (join on the shared middle vertex, then a
+    closing-edge hash join) — each join is edge-keyed and
+    partial-agg-friendly; at web scale the canonical orientation
+    (low-degree vertex first) is the known mitigation for high-degree
+    hubs, documented here and applied implicitly by the a<b ordering
+    on the synthetic graph. Reference analog: R27 class-cooccurrence
+    stats over the link graph."""
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    n = docs.count()
+    chord = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") + 2) % n).alias("dst"),
+    )
+    edges = (
+        _modular_edges(docs, n)
+        .unionByName(chord)
+        .filter(F.col("src") != F.col("dst"))
+    )
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    m = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n"))
+    )
+    return docs.join(m, docs["doc_id"] == m["node"], "left").select(
+        F.col("doc_id").alias("node"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_triangles"),
+    )

@@ -1670,3 +1670,84 @@ def test_host_coverage_curve_laws(spark, sf_dir):
         cum += r.bytes
         assert r.cum_share == cum / total
     assert rows[-1].cum_share == 1.0
+
+
+def test_ngram_novelty_matches_recount_and_first_doc_law(spark, sf_dir):
+    """Novelty equals a Python recount of first-appearance shingles;
+    the lowest doc_id with text has novelty 1.0 (everything it says is
+    new); counts are over DISTINCT shingles."""
+    from octospark.sources import load_table
+    from octospark.textops import QUERIES
+
+    docs = sorted(
+        (
+            (d.doc_id, d.text)
+            for d in load_table(spark, sf_dir, "documents").collect()
+            if d.text is not None
+        )
+    )
+    firsts: dict = {}
+    per_doc: dict = {}
+    for doc_id, text in docs:
+        ws = text.split(" ")
+        sh = {
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        }
+        per_doc[doc_id] = sh
+        for g in sh:
+            firsts.setdefault(g, doc_id)
+    rows = QUERIES["text_ngram_novelty"](spark, sf_dir).collect()
+    got = {r.doc_id: r for r in rows}
+    want_ids = {d for d, sh in per_doc.items() if sh}
+    assert set(got) == want_ids
+    for doc_id, sh in per_doc.items():
+        if not sh:
+            continue
+        novel = sum(1 for g in sh if firsts[g] == doc_id)
+        r = got[doc_id]
+        assert r.n_shingles == len(sh)
+        assert r.n_novel == novel
+        assert r.novelty == novel / len(sh)
+    first_doc = min(want_ids)
+    assert got[first_doc].novelty == 1.0
+
+
+def test_triangle_count_matches_python_enumeration(spark, sf_dir):
+    """Per-node triangle counts equal a brute-force Python enumeration
+    over the same canonical edge set, and the ring-chord construction
+    guarantees a non-trivial triangle count."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from octospark.sources import load_table
+    from octospark.textops import QUERIES
+
+    ids = [
+        d.doc_id for d in load_table(spark, sf_dir, "documents").collect()
+    ]
+    n = len(ids)
+    und = set()
+    for i in ids:
+        for j in (
+            (i * 17 + 1) % n, (i * 31 + 7) % n, (i + 1) % n, (i + 2) % n
+        ):
+            if i != j:
+                und.add((min(i, j), max(i, j)))
+    adj = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    count = defaultdict(int)
+    total = 0
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            if c > b:  # a < b < c exactly once
+                count[a] += 1
+                count[b] += 1
+                count[c] += 1
+                total += 1
+    rows = QUERIES["graph_triangle_count"](spark, sf_dir).collect()
+    assert len(rows) == n
+    assert total > 0
+    for r in rows:
+        assert r.n_triangles == count.get(r.node, 0)
