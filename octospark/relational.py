@@ -2331,3 +2331,117 @@ def scan_jsonl_corrupt_tolerant(spark, sf):
         "doc_id", "lang",
         F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_markov_transitions — event-type transition matrix
+# --------------------------------------------------------------------------
+
+_MARKOV_SQL = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC) AS next_type
+      FROM events),
+    c AS (
+      SELECT event_type AS cur, next_type AS nxt,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type),
+    tot AS (SELECT cur, CAST(sum(n) AS BIGINT) AS row_n FROM c GROUP BY cur)
+    SELECT c.cur, c.nxt, c.n,
+           CAST(c.n AS DOUBLE) / tot.row_n AS p
+    FROM c JOIN tot USING (cur)
+    """
+
+
+@register("events_markov_transitions", _MARKOV_SQL)
+def events_markov_transitions(spark, sf):
+    """First-order Markov transition matrix over per-user event
+    sequences — the session-modeling estimate behind next-action
+    prediction and bot detection (bots have near-deterministic rows,
+    humans don't): P(next | current) from consecutive-event pairs in
+    (ts, event_id) order. The behavioral twin of text_bigram_lm.
+
+    Scale shape: ONE user-keyed window (lead) over the stream — the
+    same single shuffle as sessionization, no self-join — then a
+    types^2-bounded count aggregate with map-side partials; row totals
+    roll up the transition table, not the stream; one IEEE division
+    per cell."""
+    e = load_table(spark, sf, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = e.withColumn("next_type", F.lead("event_type").over(w))
+    c = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("cur"),
+            F.col("next_type").alias("nxt"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tot = c.groupBy("cur").agg(F.sum("n").alias("row_n"))
+    return c.join(F.broadcast(tot), "cur").select(
+        "cur", "nxt", "n",
+        (F.col("n").cast("double") / F.col("row_n")).alias("p"),
+    )
+
+
+# --------------------------------------------------------------------------
+# scalar_edit_distance — cross-engine Levenshtein pin
+# --------------------------------------------------------------------------
+
+_EDIT_NOISE_SQL = """
+    CASE WHEN doc_id % 3 = 0 THEN 'X' || substr(text, 2)
+         WHEN doc_id % 3 = 1 THEN substr(text, 1, length(text) - 1)
+         ELSE text || ' extra' END
+    """
+
+
+@register(
+    "scalar_edit_distance",
+    f"""
+    SELECT doc_id,
+           CAST(levenshtein(text, {_EDIT_NOISE_SQL}) AS INTEGER)
+             AS dist,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents WHERE text IS NOT NULL AND length(text) > 1
+    """,
+)
+def scalar_edit_distance(spark, sf):
+    """Levenshtein edit distance pinned cross-engine — the
+    string-similarity primitive recrawl-drift and OCR-noise
+    quantification runs on (how much did this page's text change since
+    the last crawl?). Deterministic noisy variants (substitution,
+    deletion, append — keyed by doc_id % 3) give known small distances
+    over real document text, so both engines' DP implementations are
+    compared over thousands of long-string cases, not toy literals.
+
+    Scale shape: a pure map-side projection — but an O(len^2) one, so
+    the documented discipline is: gate behind a cheap filter first
+    (length delta or hash inequality) and never run it corpus x corpus;
+    this key's shape (same-row comparison after a deterministic
+    transform) is the bounded use."""
+    d = load_table(spark, sf, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 1)
+    )
+    noisy = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("X"), F.expr("substring(text, 2)")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.expr("substring(text, 1, length(text) - 1)"),
+        )
+        .otherwise(F.concat(F.col("text"), F.lit(" extra")))
+    )
+    return d.select(
+        "doc_id",
+        F.levenshtein(F.col("text"), noisy).alias("dist"),
+        F.length("text").cast("long").alias("n_chars"),
+    )

@@ -248,3 +248,40 @@ def test_corrupt_jsonl_scan_recovers_and_surfaces(spark):
     assert {r.doc_id: r.lang for r in good} == {
         d: lg for d, lg in docs.items() if d % 17 != 0
     }
+
+
+def test_markov_transitions_match_sequential_recount(spark):
+    """Transition counts equal a Python recount over per-user
+    (ts, event_id)-ordered sequences; probabilities are the single
+    divisions and each row of the matrix sums to 1."""
+    from collections import Counter, defaultdict
+
+    ev = _events(spark)
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e.user_id].append(e)
+    want: Counter = Counter()
+    for rows_ in by_user.values():
+        rows_.sort(key=lambda e: (e.ts, e.event_id))
+        for a, b in zip(rows_, rows_[1:]):
+            want[(a.event_type, b.event_type)] += 1
+    out = R.QUERIES["events_markov_transitions"](spark, SF).collect()
+    assert {(r.cur, r.nxt): r.n for r in out} == dict(want)
+    row_mass: dict = defaultdict(float)
+    row_tot: dict = defaultdict(int)
+    for (c, _), n in want.items():
+        row_tot[c] += n
+    for r in out:
+        assert r.p == r.n / row_tot[r.cur]
+        row_mass[r.cur] += r.p
+    assert all(abs(m - 1.0) < 1e-9 for m in row_mass.values())
+
+
+def test_edit_distance_matches_known_noise_distances(spark):
+    """Each noise style has a known exact distance: substitution -> 1,
+    deletion -> 1, append ' extra' -> 6."""
+    rows = R.QUERIES["scalar_edit_distance"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        want = {0: 1, 1: 1, 2: 6}[r.doc_id % 3]
+        assert r.dist == want, (r.doc_id, r.dist)
