@@ -5189,3 +5189,131 @@ def graph_triangle_count(spark, sf):
         F.col("doc_id").alias("node"),
         F.coalesce(F.col("n"), F.lit(0)).alias("n_triangles"),
     )
+
+
+# --------------------------------------------------------------------------
+# graph_reciprocal_links — mutual-link census (link-exchange signal)
+# --------------------------------------------------------------------------
+
+_RECIPROCAL_SQL = """
+    WITH """ + ",\n    ".join(_MODULAR_EDGES_CTES) + """,
+    e AS MATERIALIZED (
+      SELECT src, dst FROM edges WHERE src <> dst),
+    rec AS (
+      SELECT a.src, a.dst
+      FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src),
+    deg AS (
+      SELECT src AS node,
+             CAST(count(*) AS BIGINT) AS out_deg,
+             CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_reciprocal
+      FROM e LEFT JOIN rec r USING (src, dst)
+      GROUP BY e.src)
+    SELECT node, out_deg, n_reciprocal,
+           CAST(n_reciprocal AS DOUBLE) / out_deg AS reciprocity
+    FROM deg
+    """
+
+
+@register("graph_reciprocal_links", _RECIPROCAL_SQL)
+def graph_reciprocal_links(spark, sf):
+    """Per-node link reciprocity — the link-exchange / paid-ring
+    signal complementary to triangle counting: organic linking is
+    largely one-way (page -> reference), while reciprocal pairs in
+    bulk indicate traded links. Per node: out-degree, mutual-edge
+    count, reciprocity share.
+
+    Scale shape: the mutual set is ONE self-join of the edge list on
+    the swapped key (src,dst)=(dst,src) — hash join on the edge pair,
+    no enumeration beyond matched pairs — then a node-keyed
+    partial-aggregated rollup and one division per node."""
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    n = docs.count()
+    e = (
+        _modular_edges(docs, n)
+        .filter(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ).withColumn("mutual", F.lit(1))
+    marked = e.join(rev, ["src", "dst"], "left")
+    return (
+        marked.groupBy(F.col("src").alias("node"))
+        .agg(
+            F.count("*").alias("out_deg"),
+            F.sum(F.coalesce(F.col("mutual"), F.lit(0))).alias(
+                "n_reciprocal"
+            ),
+        )
+        .select(
+            "node", "out_deg", "n_reciprocal",
+            (F.col("n_reciprocal").cast("double") / F.col("out_deg"))
+            .alias("reciprocity"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus_vocab_growth — Heaps'-law vocabulary growth curve
+# --------------------------------------------------------------------------
+
+_VOCAB_THRESHOLDS = (10, 50, 100, 250, 500, 1000, 2500, 5000)
+
+_VOCAB_SQL = f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE text IS NOT NULL),
+    firsts AS (
+      SELECT word, CAST(min(doc_id) AS BIGINT) AS first_doc
+      FROM words GROUP BY word),
+    toks AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(count(*) AS BIGINT) AS n_tok
+      FROM words GROUP BY doc_id),
+    th AS (SELECT unnest({list(_VOCAB_THRESHOLDS)}) AS k)
+    SELECT th.k,
+           CAST(COALESCE((SELECT sum(n_tok) FROM toks
+                          WHERE doc_id < th.k), 0) AS BIGINT)
+             AS cum_tokens,
+           CAST((SELECT count(*) FROM firsts WHERE first_doc < th.k)
+             AS BIGINT) AS vocab_size
+    FROM th
+    """
+
+
+@register("corpus_vocab_growth", _VOCAB_SQL)
+def corpus_vocab_growth(spark, sf):
+    """Heaps'-law vocabulary growth curve: distinct-word count vs
+    cumulative token count at fixed corpus prefixes (doc_id order) —
+    the census tokenizer vocab sizing and OOV-rate budgeting read off
+    (how fast does new vocabulary keep arriving as the crawl grows?).
+    A running distinct count is inherently sequential; the distributed
+    form is first-appearance aggregation: vocab at prefix k = words
+    whose min(doc_id) < k — ONE word-keyed min aggregate (map-side
+    combining, no membership lists) reused for every threshold.
+
+    Scale shape: two partial-agg aggregations over the exploded words
+    (first-doc per word, tokens per doc) and then a thresholds-sized
+    rollup — the curve costs one pass regardless of how many
+    thresholds are evaluated."""
+    d = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    words = d.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("word")
+    )
+    firsts = words.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    toks = words.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    th = spark.range(0).sparkSession.createDataFrame(
+        [(k,) for k in _VOCAB_THRESHOLDS], "k long"
+    )
+    cum = (
+        th.join(toks, toks["doc_id"] < th["k"], "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("n_tok"), F.lit(0)).alias("cum_tokens"))
+    )
+    voc = (
+        th.join(firsts, firsts["first_doc"] < th["k"], "left")
+        .groupBy("k")
+        .agg(F.count("first_doc").alias("vocab_size"))
+    )
+    return cum.join(voc, "k").select("k", "cum_tokens", "vocab_size")

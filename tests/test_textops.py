@@ -1751,3 +1751,73 @@ def test_triangle_count_matches_python_enumeration(spark, sf_dir):
     assert total > 0
     for r in rows:
         assert r.n_triangles == count.get(r.node, 0)
+
+
+def test_reciprocal_links_match_python_recount(spark, sf_dir):
+    """Out-degree, mutual count, and reciprocity match a Python
+    recount over the same canonical edge set; mutual edges exist
+    (the i->i+1 / i+1->i+2... affine maps produce some 2-cycles at
+    fixture n or the count is legitimately zero — the law pins
+    equality either way)."""
+    from collections import defaultdict
+
+    from octospark.sources import load_table
+    from octospark.textops import QUERIES
+
+    ids = [
+        d.doc_id for d in load_table(spark, sf_dir, "documents").collect()
+    ]
+    n = len(ids)
+    edges = set()
+    for i in ids:
+        for j in ((i * 17 + 1) % n, (i * 31 + 7) % n, (i + 1) % n):
+            if i != j:
+                edges.add((i, j))
+    out_deg = defaultdict(int)
+    n_rec = defaultdict(int)
+    for s, t in edges:
+        out_deg[s] += 1
+        if (t, s) in edges:
+            n_rec[s] += 1
+    rows = QUERIES["graph_reciprocal_links"](spark, sf_dir).collect()
+    assert {r.node for r in rows} == set(out_deg)
+    for r in rows:
+        assert r.out_deg == out_deg[r.node]
+        assert r.n_reciprocal == n_rec.get(r.node, 0)
+        assert r.reciprocity == n_rec.get(r.node, 0) / out_deg[r.node]
+
+
+def test_vocab_growth_monotone_and_recounts(spark, sf_dir):
+    """Vocab and token counts at every threshold match a Python
+    recount; both are monotone non-decreasing in k; the final
+    threshold covers the whole fixture corpus."""
+    from octospark.sources import load_table
+    from octospark.textops import _VOCAB_THRESHOLDS, QUERIES
+
+    docs = [
+        (d.doc_id, d.text)
+        for d in load_table(spark, sf_dir, "documents").collect()
+        if d.text is not None
+    ]
+    rows = sorted(
+        QUERIES["corpus_vocab_growth"](spark, sf_dir).collect(),
+        key=lambda r: r.k,
+    )
+    assert [r.k for r in rows] == sorted(_VOCAB_THRESHOLDS)
+    prev_v = prev_t = -1
+    for r in rows:
+        vocab = set()
+        toks = 0
+        for doc_id, text in docs:
+            if doc_id < r.k:
+                ws = text.split(" ")
+                toks += len(ws)
+                vocab.update(ws)
+        assert r.cum_tokens == toks
+        assert r.vocab_size == len(vocab)
+        assert r.vocab_size >= prev_v and r.cum_tokens >= prev_t
+        prev_v, prev_t = r.vocab_size, r.cum_tokens
+    all_vocab = set()
+    for doc_id, text in docs:
+        all_vocab.update(text.split(" "))
+    assert rows[-1].vocab_size == len(all_vocab)
