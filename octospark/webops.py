@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from octospark.sources import build_pages, load_table
-from octospark.textops import _WORD_FREQ_CTES_SQL, word_frequency_scored
+from octospark.textops import (
+    _WORD_FREQ_CTES_SQL,
+    _words,
+    word_frequency_scored,
+)
 
 QUERIES: dict = {}
 ORACLE: dict = {}
@@ -1307,4 +1311,108 @@ def corpus_dsir_weights(spark, sf):
             F.sum(ratio_fp).cast("double")
             / (F.count("*") * _DSIR_FP_SHIFT)
         ).alias("importance"),
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus_mix_temperature — temperature-scaled language sampling weights
+# --------------------------------------------------------------------------
+
+_TEMP_SQL = """
+    WITH lc AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS lang_docs
+      FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    sc AS (
+      SELECT lang, lang_docs,
+             sqrt(CAST(lang_docs AS DOUBLE) / tot.n) AS scaled
+      FROM lc CROSS JOIN tot),
+    z AS (SELECT sum(scaled ORDER BY lang) AS zsum FROM sc)
+    SELECT sc.lang, sc.lang_docs, sc.scaled,
+           sc.scaled / z.zsum AS sample_prob
+    FROM sc CROSS JOIN z
+    """
+
+
+@register("corpus_mix_temperature", _TEMP_SQL)
+def corpus_mix_temperature(spark, sf):
+    """Temperature-scaled language sampling probabilities (the
+    mT5/XLM-R mixture rule p_l ∝ share^alpha): low-resource languages
+    are upsampled relative to their raw share. alpha is pinned at 0.5
+    — i.e. sqrt — deliberately: sqrt is the ONE power function IEEE
+    requires correctly rounded, so the scaled shares are bitwise
+    engine-identical, where a general pow() would drift between libms
+    (the same reason the trainer uses a rational sigmoid). The
+    normalizer folds the per-language scaled shares IN LANG ORDER
+    (ordered-sum, not an unordered float aggregate), so sample_prob is
+    deterministic at any parallelism.
+
+    Scale shape: one n_langs-row aggregate + single-row total, both
+    broadcast — zero corpus shuffles, the corpus_mix_weights shape
+    with the temperature knob."""
+    d = load_table(spark, sf, "documents").select("lang")
+    lc = d.groupBy("lang").agg(F.count("*").alias("lang_docs"))
+    tot = d.agg(F.count("*").alias("n"))
+    sc = lc.crossJoin(F.broadcast(tot)).select(
+        "lang", "lang_docs",
+        F.sqrt(F.col("lang_docs").cast("double") / F.col("n"))
+        .alias("scaled"),
+    )
+    z = sc.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("lang", "scaled"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["scaled"],
+        ).alias("zsum")
+    )
+    return sc.crossJoin(F.broadcast(z)).select(
+        "lang", "lang_docs", "scaled",
+        (F.col("scaled") / F.col("zsum")).alias("sample_prob"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_zipf_histogram — rank-frequency histogram in power-of-2 buckets
+# --------------------------------------------------------------------------
+
+_ZIPF_SQL = """
+    WITH wf AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM (
+        SELECT unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE text IS NOT NULL)
+      GROUP BY word)
+    SELECT CAST(length(printf('%b', freq)) - 1 AS INTEGER) AS log2_freq,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(freq) AS BIGINT) AS total_occurrences
+    FROM wf GROUP BY 1
+    """
+
+
+@register("text_zipf_histogram", _ZIPF_SQL)
+def text_zipf_histogram(spark, sf):
+    """Zipf rank-frequency histogram: word-frequency distribution in
+    power-of-2 buckets (bucket b holds words with 2^b <= freq <
+    2^(b+1)) — the one-page corpus-health diagnostic (a healthy crawl
+    shows the straight-line Zipf decay; boilerplate contamination
+    bulges the head, templated spam bulges a middle band). floor(log2)
+    is computed EXACTLY as binary-digit count minus one — pure integer
+    both engines (Spark conv(freq,10,2), DuckDB printf('%b')) — no
+    floating log whose libm rounding could flip a power-of-2 boundary.
+
+    Scale shape: one word-keyed count (Zipf head partial-aggregates
+    map-side) and a ~60-row bucket rollup; the histogram is
+    constant-size output at any corpus size."""
+    d = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    wf = (
+        d.select(F.explode(_words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    log2f = (
+        F.length(F.conv(F.col("freq").cast("string"), 10, 2)) - 1
+    ).cast("int")
+    return wf.groupBy(log2f.alias("log2_freq")).agg(
+        F.count("*").alias("n_words"),
+        F.sum("freq").alias("total_occurrences"),
     )

@@ -520,3 +520,62 @@ def test_fertility_zero_token_lang_yields_null_not_error(spark):
         "SELECT CAST(11 AS DOUBLE) / nullif(0, 0) AS cpt"
     ).fetchone()[0]
     assert duck is None
+
+
+def test_mix_temperature_matches_sqrt_law(spark, sf_dir):
+    """Scaled shares equal sqrt(share) exactly, probabilities sum to 1
+    within an ulp, and low-resource languages gain share relative to
+    their raw proportion while the head loses."""
+    import math
+    from collections import Counter
+
+    from octospark.sources import load_table
+
+    langs = Counter(
+        d.lang for d in load_table(spark, sf_dir, "documents").collect()
+    )
+    n = sum(langs.values())
+    rows = W.QUERIES["corpus_mix_temperature"](spark, sf_dir).collect()
+    assert {r.lang for r in rows} == set(langs)
+    zsum = 0.0
+    for lang, cnt in sorted(langs.items()):
+        zsum = zsum + math.sqrt(float(cnt) / n)
+    for r in rows:
+        assert r.lang_docs == langs[r.lang]
+        assert r.scaled == math.sqrt(float(langs[r.lang]) / n)
+        assert r.sample_prob == r.scaled / zsum
+        raw_share = langs[r.lang] / n
+        if raw_share < 1.0 / len(langs):
+            assert r.sample_prob > raw_share  # upsampled tail
+    assert abs(sum(r.sample_prob for r in rows) - 1.0) < 1e-12
+
+
+def test_zipf_histogram_buckets_recount(spark, sf_dir):
+    """Bucket membership equals a Python recount with exact integer
+    log2, and the bucket totals conserve both the vocabulary size and
+    the corpus token count."""
+    from collections import Counter, defaultdict
+
+    from octospark.sources import load_table
+
+    freq: Counter = Counter()
+    total_tokens = 0
+    for d in load_table(spark, sf_dir, "documents").collect():
+        if d.text is None:
+            continue
+        ws = d.text.split(" ")
+        total_tokens += len(ws)
+        freq.update(ws)
+    want_n: dict = defaultdict(int)
+    want_occ: dict = defaultdict(int)
+    for w, f in freq.items():
+        b = f.bit_length() - 1
+        want_n[b] += 1
+        want_occ[b] += f
+    rows = W.QUERIES["text_zipf_histogram"](spark, sf_dir).collect()
+    assert {r.log2_freq: r.n_words for r in rows} == dict(want_n)
+    assert {r.log2_freq: r.total_occurrences for r in rows} == dict(
+        want_occ
+    )
+    assert sum(r.n_words for r in rows) == len(freq)
+    assert sum(r.total_occurrences for r in rows) == total_tokens
