@@ -2395,8 +2395,13 @@ def events_markov_transitions(spark, sf):
 # scalar_edit_distance — cross-engine Levenshtein pin
 # --------------------------------------------------------------------------
 
+# the substitution char adapts so it ALWAYS differs from the original
+# first char — distance 1 holds for any fixture, not just ones whose
+# texts avoid 'X'
 _EDIT_NOISE_SQL = """
-    CASE WHEN doc_id % 3 = 0 THEN 'X' || substr(text, 2)
+    CASE WHEN doc_id % 3 = 0 THEN
+           (CASE WHEN substr(text, 1, 1) = 'X' THEN 'Y' ELSE 'X' END)
+             || substr(text, 2)
          WHEN doc_id % 3 = 1 THEN substr(text, 1, length(text) - 1)
          ELSE text || ' extra' END
     """
@@ -2429,10 +2434,13 @@ def scalar_edit_distance(spark, sf):
     d = load_table(spark, sf, "documents").filter(
         F.col("text").isNotNull() & (F.length("text") > 1)
     )
+    sub_char = F.when(
+        F.expr("substring(text, 1, 1)") == "X", F.lit("Y")
+    ).otherwise(F.lit("X"))
     noisy = (
         F.when(
             F.col("doc_id") % 3 == 0,
-            F.concat(F.lit("X"), F.expr("substring(text, 2)")),
+            F.concat(sub_char, F.expr("substring(text, 2)")),
         )
         .when(
             F.col("doc_id") % 3 == 1,

@@ -4970,15 +4970,15 @@ def text_langid_eval(spark, sf):
 
 _COVERAGE_SQL = """
     WITH h AS (
-      SELECT source, CAST(sum(n_chars) AS BIGINT) AS bytes
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_chars
       FROM documents GROUP BY source),
-    t AS (SELECT CAST(sum(bytes) AS BIGINT) AS total FROM h)
+    t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total FROM h)
     SELECT h.source,
            row_number() OVER (
-             ORDER BY h.bytes DESC, h.source ASC) AS host_rank,
-           h.bytes,
-           CAST(sum(h.bytes) OVER (
-             ORDER BY h.bytes DESC, h.source ASC
+             ORDER BY h.n_chars DESC, h.source ASC) AS host_rank,
+           h.n_chars,
+           CAST(sum(h.n_chars) OVER (
+             ORDER BY h.n_chars DESC, h.source ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS DOUBLE) / t.total AS cum_share
     FROM h CROSS JOIN t
@@ -4987,8 +4987,9 @@ _COVERAGE_SQL = """
 
 @register("corpus_host_coverage_curve", _COVERAGE_SQL)
 def corpus_host_coverage_curve(spark, sf):
-    """Zipf head-coverage curve over hosts: rank hosts by total bytes
-    and emit the cumulative corpus share at each rank — the capacity-
+    """Zipf head-coverage curve over hosts: rank hosts by total text
+    volume (characters; swap in octet_length for true bytes) and emit
+    the cumulative corpus share at each rank — the capacity-
     planning census behind 'the top N hosts hold X% of the crawl'
     (drives per-host quota tuning, fetch-capacity allocation, and
     where dedup effort pays). The running sum is over exact BIGINTs in
@@ -5003,17 +5004,17 @@ def corpus_host_coverage_curve(spark, sf):
     because its input is already the collapsed aggregate (same class
     as window_ntile_percent, allow-listed with that justification)."""
     d = load_table(spark, sf, "documents")
-    h = d.groupBy("source").agg(F.sum("n_chars").alias("bytes"))
-    t = h.agg(F.sum("bytes").alias("total"))
-    wo = Window.orderBy(F.col("bytes").desc(), F.col("source").asc())
+    h = d.groupBy("source").agg(F.sum("n_chars").alias("n_chars"))
+    t = h.agg(F.sum("n_chars").alias("total"))
+    wo = Window.orderBy(F.col("n_chars").desc(), F.col("source").asc())
     wcum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         h.crossJoin(F.broadcast(t))
         .select(
             "source",
             F.row_number().over(wo).alias("host_rank"),
-            "bytes",
-            (F.sum("bytes").over(wcum).cast("double") / F.col("total"))
+            "n_chars",
+            (F.sum("n_chars").over(wcum).cast("double") / F.col("total"))
             .alias("cum_share"),
         )
     )
@@ -5303,7 +5304,7 @@ def corpus_vocab_growth(spark, sf):
     )
     firsts = words.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
     toks = words.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
-    th = spark.range(0).sparkSession.createDataFrame(
+    th = spark.createDataFrame(
         [(k,) for k in _VOCAB_THRESHOLDS], "k long"
     )
     cum = (

@@ -1663,11 +1663,11 @@ def test_host_coverage_curve_laws(spark, sf_dir):
     cum = 0
     prev_bytes = None
     for r in rows:
-        assert r.bytes == per_host[r.source]
+        assert r.n_chars == per_host[r.source]
         if prev_bytes is not None:
-            assert r.bytes <= prev_bytes
-        prev_bytes = r.bytes
-        cum += r.bytes
+            assert r.n_chars <= prev_bytes
+        prev_bytes = r.n_chars
+        cum += r.n_chars
         assert r.cum_share == cum / total
     assert rows[-1].cum_share == 1.0
 
