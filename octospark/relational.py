@@ -2453,3 +2453,92 @@ def scalar_edit_distance(spark, sf):
         F.levenshtein(F.col("text"), noisy).alias("dist"),
         F.length("text").cast("long").alias("n_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_ab_lift_test — integer-exact two-proportion A/B significance
+# --------------------------------------------------------------------------
+
+_AB_Z = 2  # |z| threshold (~95%)
+
+_AB_SQL = f"""
+    WITH g AS (
+      SELECT user_id % 2 AS grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x
+      FROM events GROUP BY user_id % 2),
+    w AS (
+      SELECT max(CASE WHEN grp = 0 THEN n END) AS n_a,
+             max(CASE WHEN grp = 0 THEN x END) AS x_a,
+             max(CASE WHEN grp = 1 THEN n END) AS n_b,
+             max(CASE WHEN grp = 1 THEN x END) AS x_b
+      FROM g)
+    SELECT n_a, x_a, n_b, x_b,
+           CAST(x_a AS DOUBLE) / n_a AS rate_a,
+           CAST(x_b AS DOUBLE) / n_b AS rate_b,
+           CASE WHEN (x_a + x_b) * (n_a + n_b - x_a - x_b) > 0
+                THEN CAST(x_a * n_b - x_b * n_a AS DOUBLE)
+                  / sqrt(CAST(n_a * n_b AS DOUBLE)
+                         * (x_a + x_b) * (n_a + n_b - x_a - x_b)
+                         / (n_a + n_b))
+                ELSE NULL END AS z,
+           (x_a * n_b - x_b * n_a) * (x_a * n_b - x_b * n_a)
+             * (n_a + n_b)
+             > {_AB_Z * _AB_Z} * n_a * n_b * (x_a + x_b)
+               * (n_a + n_b - x_a - x_b) AS significant
+    FROM w
+    """
+
+
+@register("events_ab_lift_test", _AB_SQL)
+def events_ab_lift_test(spark, sf):
+    """Two-proportion A/B significance test (pooled z-test) — the
+    ship/hold gate every experiment platform runs, here over purchase
+    share by user-id parity as the assignment. The DECISION is pure
+    integer arithmetic: |z| > 2 is squared into
+    (x_a*n_b - x_b*n_a)^2 * n > 4 * n_a*n_b*x*(n-x) over exact BIGINT
+    counts — bit-identical at any parallelism and immune to libm and
+    float-order effects (the events_anomaly_hours recipe for the
+    two-sample case); the reported z is a few IEEE ops on the same
+    exact integers, NULL-guarded for the degenerate all-or-nothing
+    pooled rate. Magnitude bound: products stay in BIGINT while group
+    event counts are < ~10^4.5 * sqrt ratio — beyond that lift the
+    decision products to decimal(38,0) (trainer recipe).
+
+    Scale shape: one partial-aggregated two-row group count, pivoted
+    to a single row — the stream is read once, the test costs nothing
+    more at any scale."""
+    e = load_table(spark, sf, "events")
+    g = e.groupBy((F.col("user_id") % 2).alias("grp")).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (F.col("event_type") == "purchase").cast("long")
+        ).alias("x"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == 0, F.col("x"))).alias("x_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("grp") == 1, F.col("x"))).alias("x_b"),
+    )
+    num = F.col("x_a") * F.col("n_b") - F.col("x_b") * F.col("n_a")
+    x = F.col("x_a") + F.col("x_b")
+    n = F.col("n_a") + F.col("n_b")
+    nx = n - x
+    return w.select(
+        "n_a", "x_a", "n_b", "x_b",
+        (F.col("x_a").cast("double") / F.col("n_a")).alias("rate_a"),
+        (F.col("x_b").cast("double") / F.col("n_b")).alias("rate_b"),
+        F.when(
+            x * nx > 0,
+            num.cast("double")
+            / F.sqrt(
+                (F.col("n_a") * F.col("n_b")).cast("double") * x * nx / n
+            ),
+        ).alias("z"),
+        (
+            num * num * n
+            > F.lit(_AB_Z * _AB_Z) * F.col("n_a") * F.col("n_b") * x * nx
+        ).alias("significant"),
+    )

@@ -1416,3 +1416,69 @@ def text_zipf_histogram(spark, sf):
         F.count("*").alias("n_words"),
         F.sum("freq").alias("total_occurrences"),
     )
+
+
+# --------------------------------------------------------------------------
+# extract_spans_consistency_check — the span-offsets half of the north rule
+# --------------------------------------------------------------------------
+
+_SPANS_CHECK_SQL = """
+    SELECT doc_id % 6 AS template,
+           count(*) AS n_docs,
+           count(*) AS n_consistent
+    FROM documents GROUP BY doc_id % 6
+    """
+
+
+@register("extract_spans_consistency_check", _SPANS_CHECK_SQL)
+def extract_spans_consistency_check(spark, sf):
+    """The span-offset contract as an oracle-checked key (the sibling
+    of extract_regression_check: that key pins the TEXT, this one pins
+    the OFFSETS the north rule also requires): per template, docs
+    whose span list exactly tiles its extracted text — first span
+    starts at 0, consecutive spans are separated by exactly the
+    one-char block separator, every span is non-empty, and the last
+    span ends at len(text). The oracle asserts n_consistent == n_docs,
+    so any offset-bookkeeping drift (the reference's R7 per-unit
+    resolve / R13 clamp logic) fails the driver's correctness sweep.
+
+    Scale shape: the extraction is the fused salted pipeline; the
+    consistency predicate is pure JVM array algebra over the spans
+    column (zip_with over adjacent spans + boundary checks) — no
+    Python beyond the extraction itself, no extra shuffle beyond the
+    final per-template rollup."""
+    from octospark.pipeline import extract_pages
+
+    pages = build_pages(spark, sf)
+    ext = extract_pages(pages, salted=True, num_partitions=8).select(
+        "url", "text", "spans"
+    )
+    n = F.size("spans")
+    first_ok = F.element_at("spans", 1)["start"] == 0
+    last_ok = F.element_at("spans", -1)["end"] == F.length("text")
+    nonempty = F.forall(
+        "spans", lambda s: s["end"] > s["start"]
+    )
+    adjacent = F.when(
+        n > 1,
+        F.forall(
+            F.zip_with(
+                F.slice("spans", 1, n - 1),
+                F.slice("spans", 2, n - 1),
+                lambda a, b: b["start"] == a["end"] + 1,
+            ),
+            lambda ok: ok,
+        ),
+    ).otherwise(F.lit(True))
+    consistent = F.when(
+        n >= 1, first_ok & last_ok & nonempty & adjacent
+    ).otherwise(F.length("text") == 0)
+    doc_id = F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+    return (
+        ext.select((doc_id % 6).alias("template"), consistent.alias("c"))
+        .groupBy("template")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("c").cast("long")).alias("n_consistent"),
+        )
+    )

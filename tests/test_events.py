@@ -285,3 +285,30 @@ def test_edit_distance_matches_known_noise_distances(spark):
     for r in rows:
         want = {0: 1, 1: 1, 2: 6}[r.doc_id % 3]
         assert r.dist == want, (r.doc_id, r.dist)
+
+
+def test_ab_lift_test_matches_integer_decision(spark):
+    """Counts recount from the stream; z matches the pooled formula on
+    the exact integers; the integer decision agrees with |z| > 2."""
+    import math
+
+    ev = _events(spark)
+    n_a = sum(1 for e in ev if e.user_id % 2 == 0)
+    x_a = sum(
+        1 for e in ev if e.user_id % 2 == 0 and e.event_type == "purchase"
+    )
+    n_b = len(ev) - n_a
+    x_b = sum(
+        1 for e in ev if e.user_id % 2 == 1 and e.event_type == "purchase"
+    )
+    r = R.QUERIES["events_ab_lift_test"](spark, SF).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert (r.n_a, r.x_a, r.n_b, r.x_b) == (n_a, x_a, n_b, x_b)
+    num = x_a * n_b - x_b * n_a
+    x, n = x_a + x_b, n_a + n_b
+    want_sig = num * num * n > 4 * n_a * n_b * x * (n - x)
+    assert r.significant == want_sig
+    z = float(num) / math.sqrt(float(n_a * n_b) * x * (n - x) / n)
+    assert r.z == z
+    assert want_sig == (abs(z) > 2) or abs(abs(z) - 2) < 1e-9

@@ -320,6 +320,8 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         # full-pipeline regression gate: runs extract_pages (the one
         # Python stage) against the synthesized golden text
         "extract_regression_check",
+        # same full-pipeline gate, offsets half
+        "extract_spans_consistency_check",
     }
     ALLOW_GLOBAL_WINDOW = {
         "window_ntile_percent",  # global rank semantically inherent

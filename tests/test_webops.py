@@ -579,3 +579,15 @@ def test_zipf_histogram_buckets_recount(spark, sf_dir):
     )
     assert sum(r.n_words for r in rows) == len(freq)
     assert sum(r.total_occurrences for r in rows) == total_tokens
+
+
+def test_spans_consistency_gate_all_templates(spark, sf_dir):
+    """Every template reports n_consistent == n_docs: spans tile the
+    extracted text exactly (start 0, one-char separators, non-empty,
+    last end == len)."""
+    rows = W.QUERIES["extract_spans_consistency_check"](
+        spark, sf_dir
+    ).collect()
+    assert {r.template for r in rows} == set(range(6))
+    for r in rows:
+        assert r.n_consistent == r.n_docs, r
