@@ -2542,3 +2542,55 @@ def events_ab_lift_test(spark, sf):
             > F.lit(_AB_Z * _AB_Z) * F.col("n_a") * F.col("n_b") * x * nx
         ).alias("significant"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_ewma_hourly — truncated EWMA smoothing with exact halving
+# --------------------------------------------------------------------------
+
+_EWMA_WINDOW = 8  # hours of history folded into the smooth
+
+_EWMA_SQL = f"""
+    WITH c AS ({_HOURLY_COUNTS_CTE}),
+    w AS (
+      SELECT event_type, win_start, n,
+             list(CAST(n AS DOUBLE)) OVER (
+               PARTITION BY event_type ORDER BY win_start
+               ROWS BETWEEN {_EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW
+             ) AS hist
+      FROM c)
+    SELECT event_type, win_start, n,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE), hist),
+                       (acc, x) -> (acc + x) / 2) AS ewma
+    FROM w
+    """
+
+
+@register("events_ewma_hourly", _EWMA_SQL)
+def events_ewma_hourly(spark, sf):
+    """Truncated exponential smoothing of hourly volumes per event
+    type (alpha = 0.5) — the denoised baseline the anomaly alarm
+    (events_anomaly_hours) compares against in a real deployment,
+    where raw hourly counts are too jumpy to threshold directly.
+    alpha is pinned at 0.5 DELIBERATELY: the recursion
+    ewma = (x + ewma_prev) / 2 is one addition (single rounding) and
+    one EXACT halving per step, folded over the ordered window
+    history from a seed of 0 — identical op sequence in both engines
+    (Spark F.aggregate, DuckDB list_reduce with a prepended seed,
+    which otherwise seeds from the first element), so the smooth is
+    bitwise deterministic; a general alpha would compound libm-free
+    but order-sensitive multiplies.
+
+    Scale shape: the shared hourly count table, one type-partitioned
+    ordered window collecting at most 8 values per row, and a
+    constant-length fold — no second shuffle, output rows = the count
+    table's."""
+    c = _hourly_type_counts(load_table(spark, sf, "events"))
+    w = Window.partitionBy("event_type").orderBy("win_start").rowsBetween(
+        -(_EWMA_WINDOW - 1), Window.currentRow
+    )
+    hist = F.collect_list(F.col("n").cast("double")).over(w)
+    ewma = F.aggregate(
+        hist, F.lit(0.0), lambda acc, x: (acc + x) / 2
+    )
+    return c.select("event_type", "win_start", "n", ewma.alias("ewma"))

@@ -312,3 +312,31 @@ def test_ab_lift_test_matches_integer_decision(spark):
     z = float(num) / math.sqrt(float(n_a * n_b) * x * (n - x) / n)
     assert r.z == z
     assert want_sig == (abs(z) > 2) or abs(abs(z) - 2) < 1e-9
+
+
+def test_ewma_matches_ordered_fold_replay(spark):
+    """EWMA equals the exact Python replay of the halving fold over
+    each row's 8-hour ordered history, and never exceeds the window
+    max (seeded from 0)."""
+    from collections import defaultdict
+
+    ev = _events(spark)
+    counts = defaultdict(lambda: defaultdict(int))
+    for e in ev:
+        w = e.ts.replace(minute=0, second=0, microsecond=0)
+        counts[e.event_type][w.strftime("%Y-%m-%d %H:%M:%S")] += 1
+    rows = R.QUERIES["events_ewma_hourly"](spark, SF).collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r.win_start)
+        series = [(w, counts[t][w]) for w in sorted(counts[t])]
+        assert [(r.win_start, r.n) for r in rs] == series
+        for i, r in enumerate(rs):
+            hist = [float(n) for _, n in series[max(0, i - 7) : i + 1]]
+            acc = 0.0
+            for x in hist:
+                acc = (acc + x) / 2
+            assert r.ewma == acc
+            assert r.ewma <= max(hist)
