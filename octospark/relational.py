@@ -1772,21 +1772,34 @@ def _stage_bucketed_tables(spark: SparkSession, sf_dir: str):
     fp = f"{st.st_mtime_ns}_{st.st_size}"
     pid = os.getpid()
     docs_t, stats_t = f"docs_bkt_{fp}_{pid}", f"stats_bkt_{fp}_{pid}"
+    base = "/tmp/octospark_bucketed"
     if spark.catalog.tableExists(docs_t) and spark.catalog.tableExists(
         stats_t
     ):
-        return docs_t, stats_t
-    base = "/tmp/octospark_bucketed"
-    try:  # evict: other fingerprints always; same fingerprint only if
-        for d in os.listdir(base):  # its owning pid is no longer alive
-            tag = d.rsplit("_", 1)
-            owner = int(tag[1]) if tag[-1].isdigit() else -1
+        # Trust the cached names only if the backing paths still exist
+        # (another session's eviction may have removed them while the
+        # catalog entry lives on); otherwise drop and re-stage below.
+        if os.path.isdir(os.path.join(base, docs_t)) and os.path.isdir(
+            os.path.join(base, stats_t)
+        ):
+            return docs_t, stats_t
+        spark.sql(f"DROP TABLE IF EXISTS {docs_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {stats_t}")
+    try:  # evict ONLY dirs whose owning pid is dead — never a live
+        for d in os.listdir(base):  # owner's dirs, whatever their
+            tag = d.rsplit("_", 1)  # fingerprint (a live session may
+            # legitimately hold tables staged from a DIFFERENT sf_dir).
+            owner = (
+                int(tag[-1])
+                if len(tag) == 2 and tag[-1].isdigit()
+                else -1
+            )
             alive = owner == pid or (
                 owner > 0 and os.path.exists(f"/proc/{owner}")
             )
-            if fp not in d or not alive:
+            if not alive:
                 shutil.rmtree(os.path.join(base, d), ignore_errors=True)
-    except OSError:
+    except Exception:
         pass
     docs = load_table(spark, sf_dir, "documents")
     (
@@ -2552,13 +2565,28 @@ _EWMA_WINDOW = 8  # hours of history folded into the smooth
 
 _EWMA_SQL = f"""
     WITH c AS ({_HOURLY_COUNTS_CTE}),
+    span AS (
+      SELECT event_type, min(win_start) AS lo, max(win_start) AS hi
+      FROM c GROUP BY 1),
+    dense AS (
+      SELECT s.event_type,
+             strftime(unnest(generate_series(
+                 CAST(s.lo AS TIMESTAMP), CAST(s.hi AS TIMESTAMP),
+                 INTERVAL 1 HOUR)), '%Y-%m-%d %H:%M:%S') AS win_start
+      FROM span s),
+    d AS (
+      SELECT dense.event_type, dense.win_start,
+             COALESCE(c.n, CAST(0 AS BIGINT)) AS n
+      FROM dense LEFT JOIN c
+        ON c.event_type = dense.event_type
+       AND c.win_start = dense.win_start),
     w AS (
       SELECT event_type, win_start, n,
              list(CAST(n AS DOUBLE)) OVER (
                PARTITION BY event_type ORDER BY win_start
                ROWS BETWEEN {_EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW
              ) AS hist
-      FROM c)
+      FROM d)
     SELECT event_type, win_start, n,
            list_reduce(list_prepend(CAST(0 AS DOUBLE), hist),
                        (acc, x) -> (acc + x) / 2) AS ewma
@@ -2581,11 +2609,47 @@ def events_ewma_hourly(spark, sf):
     bitwise deterministic; a general alpha would compound libm-free
     but order-sensitive multiplies.
 
-    Scale shape: the shared hourly count table, one type-partitioned
-    ordered window collecting at most 8 values per row, and a
-    constant-length fold — no second shuffle, output rows = the count
-    table's."""
+    The hourly series is DENSIFIED first: every hour between each
+    type's first and last observed event gets a row (zero-count where
+    silent), so multi-hour gaps pull the baseline toward zero instead
+    of being smoothed as if adjacent — the behavior an anomaly alarm
+    actually needs, and zeros are exact in the halving fold. The
+    densifying join's build side is tiny (one sequence row per
+    type-hour), so the extra shuffle is over the already-aggregated
+    count table, never the raw events.
+
+    Scale shape: the shared hourly count table, a per-type hour-range
+    generate + left join to fill gaps, one type-partitioned ordered
+    window collecting at most 8 values per row, and a constant-length
+    fold."""
     c = _hourly_type_counts(load_table(spark, sf, "events"))
+    span = c.groupBy("event_type").agg(
+        F.min("win_start").alias("lo"), F.max("win_start").alias("hi")
+    )
+    hours = span.select(
+        "event_type",
+        F.explode(
+            F.sequence(
+                F.to_timestamp("lo"),
+                F.to_timestamp("hi"),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("ts_h"),
+    )
+    dense = (
+        hours.select(
+            "event_type",
+            F.date_format("ts_h", "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+        )
+        .join(c, ["event_type", "win_start"], "left")
+        .select(
+            "event_type",
+            "win_start",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
     w = Window.partitionBy("event_type").orderBy("win_start").rowsBetween(
         -(_EWMA_WINDOW - 1), Window.currentRow
     )
@@ -2593,4 +2657,6 @@ def events_ewma_hourly(spark, sf):
     ewma = F.aggregate(
         hist, F.lit(0.0), lambda acc, x: (acc + x) / 2
     )
-    return c.select("event_type", "win_start", "n", ewma.alias("ewma"))
+    return dense.select(
+        "event_type", "win_start", "n", ewma.alias("ewma")
+    )

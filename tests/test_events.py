@@ -316,22 +316,34 @@ def test_ab_lift_test_matches_integer_decision(spark):
 
 def test_ewma_matches_ordered_fold_replay(spark):
     """EWMA equals the exact Python replay of the halving fold over
-    each row's 8-hour ordered history, and never exceeds the window
-    max (seeded from 0)."""
+    each row's 8-hour ordered DENSIFIED history (every hour between a
+    type's first and last event present, zero-count where silent),
+    and never exceeds the window max (seeded from 0)."""
     from collections import defaultdict
+    from datetime import timedelta
 
     ev = _events(spark)
     counts = defaultdict(lambda: defaultdict(int))
     for e in ev:
         w = e.ts.replace(minute=0, second=0, microsecond=0)
-        counts[e.event_type][w.strftime("%Y-%m-%d %H:%M:%S")] += 1
+        counts[e.event_type][w] += 1
     rows = R.QUERIES["events_ewma_hourly"](spark, SF).collect()
     by_type = defaultdict(list)
     for r in rows:
         by_type[r.event_type].append(r)
+    assert set(by_type) == set(counts)
     for t, rs in by_type.items():
         rs.sort(key=lambda r: r.win_start)
-        series = [(w, counts[t][w]) for w in sorted(counts[t])]
+        lo, hi = min(counts[t]), max(counts[t])
+        series, w = [], lo
+        while w <= hi:  # densified: zero rows for silent hours
+            series.append(
+                (w.strftime("%Y-%m-%d %H:%M:%S"), counts[t].get(w, 0))
+            )
+            w += timedelta(hours=1)
+        assert any(n == 0 for _, n in series) or len(series) == len(
+            counts[t]
+        )
         assert [(r.win_start, r.n) for r in rs] == series
         for i, r in enumerate(rs):
             hist = [float(n) for _, n in series[max(0, i - 7) : i + 1]]
