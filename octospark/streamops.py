@@ -19,6 +19,8 @@ Patterns covered (SURVEY.md §2.2 streaming extras):
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -238,6 +240,128 @@ def run_stream_to_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_stream_exactly_once(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int = 8,
+    fail_after_batches: int | None = None,
+):
+    """Streaming extraction with an EXACTLY-ONCE manifest sink — the
+    streaming twin of :func:`octospark.lineage.run_extract`'s R22-R24
+    checkpoint/resume protocol (reference analog: the train loop's
+    resumable checkpoints, /root/reference/src/octopy/cli/train.py:76-97).
+
+    Why foreachBatch and not the plain file sink: the transactional
+    file sink gives exactly-once FILES, but no lineage rows, no
+    checksums, and no manifest a downstream batch consumer (or
+    ``jobs/inspect_run.py``) can read — this sink commits every
+    micro-batch through the SAME atomic ``_manifest.json`` protocol as
+    the batch path, so one inspection/read surface covers both.
+
+    The exactly-once argument, both halves:
+    - REPLAY SAFETY: Spark writes the batch's source offsets to the
+      checkpoint WAL before running it, so after a crash the SAME
+      batch_id re-runs with the SAME input slice. The commit fn is a
+      transaction keyed on batch_id: already-in-manifest => no-op;
+      otherwise data files go to a per-batch directory with
+      mode("overwrite") (scrubbing any partial files the crashed
+      attempt left) and only then is the manifest atomically replaced.
+    - READER ISOLATION: :func:`read_stream_extracted` reads ONLY the
+      directories named in the manifest, so a torn batch (data written,
+      crash before manifest commit) is invisible — no dup, no partial.
+
+    ``fail_after_batches=k`` simulates the worst-case crash for tests:
+    the (k+1)-th batch of the run writes its data files and dies BEFORE
+    the manifest commit.
+
+    Scale shape: per-batch stats are one partial-agg pass (count, error
+    count, xor-of-hash checksum) over the already-extracted batch; the
+    manifest grows one small JSON row per micro-batch, never per page."""
+    import os
+
+    from octospark.lineage import commit_manifest, read_manifest
+
+    os.makedirs(out_dir, exist_ok=True)
+    committed_this_run = [0]
+
+    def _commit(batch_df, batch_id: int) -> None:
+        m = read_manifest(out_dir)
+        m.setdefault("batches", {})
+        if str(batch_id) in m["batches"]:
+            return  # checkpoint replay of a committed batch: no-op
+        batch_df = batch_df.persist()
+        try:
+            stats = batch_df.agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.when(F.col("error").isNotNull(), 1).otherwise(0)
+                ).alias("errs"),
+                F.bit_xor(F.xxhash64("url", "text")).alias("checksum"),
+            ).collect()[0]
+            path = os.path.join(out_dir, "data", f"batch_id={batch_id}")
+            batch_df.write.mode("overwrite").parquet(path)
+            if (
+                fail_after_batches is not None
+                and committed_this_run[0] >= fail_after_batches
+            ):
+                raise RuntimeError(
+                    "simulated crash after data write, before manifest "
+                    f"commit (batch {batch_id})"
+                )
+            m["batches"][str(batch_id)] = {
+                "output_count": int(stats["n"]),
+                "error_count": int(stats["errs"] or 0),
+                "checksum": int(stats["checksum"])
+                if stats["checksum"] is not None
+                else 0,
+                "committed_at": time.time(),
+            }
+            commit_manifest(out_dir, m)
+            committed_this_run[0] += 1
+        finally:
+            batch_df.unpersist()
+
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    extracted = extract_stream(pages, watermark=watermark)
+    writer = (
+        extracted.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_stream_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Committed-batches-only reader for :func:`run_stream_exactly_once`
+    output: directories not named in the manifest (torn batches) are
+    invisible, mirroring octospark.lineage.read_extracted's bucket
+    filter."""
+    import os
+
+    from octospark.lineage import read_manifest
+
+    ids = sorted(
+        int(k) for k in read_manifest(out_dir).get("batches", {})
+    )
+    if not ids:
+        return spark.createDataFrame([], EXTRACTED_SCHEMA)
+    return spark.read.option(
+        "basePath", os.path.join(out_dir, "data")
+    ).parquet(
+        *[os.path.join(out_dir, "data", f"batch_id={i}") for i in ids]
+    ).drop("batch_id")
 
 
 def windowed_page_counts(
