@@ -1005,6 +1005,7 @@ def _fake_media(spark, sf, kind: str) -> DataFrame:
 
     enc = {
         "image": _fake_image_bytes,
+        "image_ramp": _fake_image_ramp_bytes,
         "video": _fake_video_bytes,
         "audio": _fake_audio_bytes,
     }[kind]
@@ -5318,3 +5319,431 @@ def corpus_vocab_growth(spark, sf):
         .agg(F.count("first_doc").alias("vocab_size"))
     )
     return cum.join(voc, "k").select("k", "cum_tokens", "vocab_size")
+
+
+# --------------------------------------------------------------------------
+# dedup_image_phash — banded perceptual-hash image dedup
+# --------------------------------------------------------------------------
+
+_PHASH_CAP = 64  # per-bucket member cap (deterministic, oracle-mirrored)
+_PHASH_HAM_T = 3  # <= 3 differing bits over 4 bands => pigeonhole-complete
+
+_PHASH_SQL = f"""
+    WITH img AS (
+      SELECT doc_id,
+             16 + doc_id % 48 AS w, 16 + (doc_id * 7) % 32 AS h,
+             doc_id % 256 AS base, 1 + doc_id % 97 AS xstep,
+             doc_id % 5 AS ystep
+      FROM documents),
+    bits AS (
+      SELECT doc_id, gi.i AS i, gj.j AS j,
+             CASE WHEN (base + (((gj.j + 1) * w) // 9) * xstep
+                        + ((gi.i * h) // 8) * ystep) % 256
+                      > (base + ((gj.j * w) // 9) * xstep
+                        + ((gi.i * h) // 8) * ystep) % 256
+                  THEN 1 ELSE 0 END AS bit
+      FROM img, generate_series(0, 7) gi(i), generate_series(0, 7) gj(j)),
+    bands AS (
+      SELECT doc_id, i // 2 AS band_idx,
+             CAST(sum(bit * (1 << ((i % 2) * 8 + j))) AS BIGINT)
+               AS band_val
+      FROM bits GROUP BY doc_id, i // 2),
+    mem AS (
+      SELECT band_idx, band_val, doc_id,
+             row_number() OVER (
+               PARTITION BY band_idx, band_val ORDER BY doc_id) AS rn
+      FROM bands),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM mem a JOIN mem b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+      WHERE a.rn <= {_PHASH_CAP} AND b.rn <= {_PHASH_CAP}),
+    ham AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(sum(bit_count(xor(x.band_val, y.band_val))) AS BIGINT)
+               AS hamming
+      FROM pairs p
+      JOIN bands x ON x.doc_id = p.doc_a
+      JOIN bands y ON y.doc_id = p.doc_b AND y.band_idx = x.band_idx
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= {_PHASH_HAM_T}
+    """
+
+
+def _fake_image_ramp_bytes(doc_id: int) -> bytes:
+    """OIMG container with a two-axis modular RAMP fill (px[y][x] =
+    (base + x*xstep + y*ystep) mod 256) instead of the constant fill —
+    constant images hash identically under any perceptual hash, so the
+    dedup key needs structured pixels; the ramp keeps every pixel (and
+    therefore the expected dHash) SQL-reconstructable from doc_id alone,
+    the multimodal_scene_cut oracle discipline."""
+    import numpy as np
+
+    w = 16 + doc_id % 48
+    h = 16 + (doc_id * 7) % 32
+    base = doc_id % 256
+    xstep = 1 + doc_id % 97
+    ystep = doc_id % 5
+    x = np.arange(w, dtype=np.int64)
+    y = np.arange(h, dtype=np.int64)
+    px = (
+        (base + x[None, :] * xstep + y[:, None] * ystep) % 256
+    ).astype(np.uint8)
+    return (
+        _IMG_MAGIC
+        + w.to_bytes(2, "big")
+        + h.to_bytes(2, "big")
+        + bytes([1])
+        + px.tobytes()
+    )
+
+
+_PHASH_SCHEMA = (
+    "doc_id long, b0 long, b1 long, b2 long, b3 long, error string"
+)
+
+
+def phash_batches(batches):
+    """mapInPandas body: decode OIMG -> 8x9 grid sample -> dHash
+    (horizontal neighbor comparisons, 64 bits) emitted as FOUR 16-bit
+    band values (b0..b3, rows 2k/2k+1) — banding is the point, and four
+    bounded ints also sidestep the signed-BIGINT overflow a packed
+    64-bit hash would hit in cross-engine sums. Row-level try/except:
+    malformed blobs yield an error row, never a task failure (R8)."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+            try:
+                if blob is None:
+                    raise ValueError("null media")
+                b = bytes(blob)
+                if b[:4] != _IMG_MAGIC:
+                    raise ValueError("bad image magic")
+                w = int.from_bytes(b[4:6], "big")
+                h = int.from_bytes(b[6:8], "big")
+                px = np.frombuffer(b[9 : 9 + w * h], dtype=np.uint8)
+                if px.size != w * h or w < 9 or h < 8:
+                    raise ValueError("truncated or tiny image")
+                g = px.reshape(h, w)[
+                    np.ix_(
+                        (np.arange(8) * h) // 8, (np.arange(9) * w) // 9
+                    )
+                ].astype(np.int64)
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)
+                vals = [
+                    int(
+                        (
+                            bits[2 * k : 2 * k + 2].reshape(-1)
+                            << np.arange(16)
+                        ).sum()
+                    )
+                    for k in range(4)
+                ]
+                rows.append((int(doc_id), *vals, None))
+            except Exception as exc:  # never-drop fallback (R8)
+                rows.append(
+                    (int(doc_id), None, None, None, None, str(exc))
+                )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "b0", "b1", "b2", "b3", "error"]
+        )
+
+
+@register("dedup_image_phash", _PHASH_SQL)
+def dedup_image_phash(spark, sf):
+    """Near-duplicate IMAGE detection via banded perceptual hashing —
+    the dedup x multimodal cell: dHash over the decoded pixel grid,
+    split into 4 x 16-bit bands, candidate pairs only WITHIN shared
+    band buckets (never all-pairs), exact Hamming verify <= 3. With 4
+    bands, any pair within Hamming 3 differs in at most 3 bands and
+    therefore SHARES at least one — the same pigeonhole completeness
+    law as dedup_simhash_banded, here over pixels instead of text.
+
+    Buckets are capped at the 64 LOWEST doc_ids (not the keyed-hash
+    sample minhash uses) because this key's cap must replay exactly in
+    the DuckDB oracle — row_number over doc_id is the SQL-expressible
+    deterministic choice; the bias (hot buckets keep early docs) is
+    acceptable for a guardrail that, like every LSH cap here, only
+    bounds degenerate buckets. Members carry their full hash in the
+    struct so pair expansion needs NO join back to the hash table (and
+    therefore never recomputes the Python decode stage — the
+    minhash-lsh no-self-join lesson).
+
+    Scale shape: one Arrow-batched mapInPandas (decode + hash, the only
+    Python stage), one groupBy shuffle on (band_idx, band_val), pair
+    expansion from capped member arrays, distinct. At 100 TB the decode
+    stage is embarrassingly parallel and the banding keeps candidate
+    generation linear in bucket count. Reference analog: R3 stage-1
+    segmentation features feeding R9 classification
+    (/root/reference/src/octopy/segment.py) — here the 'features' are
+    the perceptual hash and the 'classes' are dup clusters."""
+    media = _fake_media(spark, sf, "image_ramp")
+    hashes = media.mapInPandas(phash_batches, _PHASH_SCHEMA).filter(
+        F.col("error").isNull()
+    )
+    bands = hashes.select(
+        "doc_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    buckets = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_set(
+                        F.struct(
+                            F.col("doc_id").alias("id"),
+                            F.col("b0"),
+                            F.col("b1"),
+                            F.col("b2"),
+                            F.col("b3"),
+                        )
+                    )
+                ),
+                1,
+                _PHASH_CAP,
+            ).alias("members")
+        )
+        .filter(F.size("members") >= 2)
+    )
+    lhs = buckets.select(
+        F.posexplode("members").alias("i", "m"), "members"
+    )
+    pairs = lhs.select(
+        F.col("m"),
+        F.explode(
+            F.slice(F.col("members"), F.col("i") + 2, F.size("members"))
+        ).alias("m2"),
+    )
+    hamming = sum(
+        F.bit_count(
+            F.col(f"m.b{k}").bitwiseXOR(F.col(f"m2.b{k}"))
+        ).cast("long")
+        for k in range(4)
+    )
+    return (
+        pairs.select(
+            F.col("m.id").alias("doc_a"),
+            F.col("m2.id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _PHASH_HAM_T)
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# text_bpe_merges — distributed BPE merge learning (vocab induction)
+# --------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_round_ctes(r: int) -> str:
+    """One unrolled BPE round as DuckDB CTEs (the graph_hits_scores
+    generator discipline): pair counts over sym{r}, deterministic
+    argmax (cnt DESC, l ASC, r ASC), greedy left-to-right merge with
+    run-parity handling for l = r overlaps, re-indexed sym{r+1}."""
+    return f"""
+    pairs{r} AS (
+      SELECT sym AS l, nxt AS r, CAST(sum(wt) AS BIGINT) AS cnt
+      FROM (
+        SELECT word, wt, pos, sym,
+               lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        FROM sym{r})
+      WHERE nxt IS NOT NULL
+      GROUP BY 1, 2),
+    top{r} AS (
+      SELECT l, r, cnt FROM pairs{r}
+      ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+    m{r} AS (
+      SELECT s.word, s.wt, s.pos, s.sym, t.l, t.r,
+             (s.sym = t.l AND
+              lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = t.r)
+               AS match
+      FROM sym{r} s CROSS JOIN top{r} t),
+    runs{r} AS (
+      SELECT word, wt, pos, sym, l, r, match,
+             CASE WHEN sym = l THEN
+               pos - row_number() OVER (
+                 PARTITION BY word, (sym = l) ORDER BY pos)
+             END AS grp
+      FROM m{r}),
+    starts{r} AS (
+      SELECT word, wt, pos, sym, l, r,
+             match AND (l <> r OR
+               (pos - min(pos) OVER (PARTITION BY word, grp)) % 2 = 0)
+               AS mstart
+      FROM runs{r}),
+    sym{r + 1} AS (
+      SELECT word, wt,
+             row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+             CASE WHEN mstart THEN l || r ELSE sym END AS sym
+      FROM (
+        SELECT word, wt, pos, sym, l, r, mstart,
+               coalesce(lag(mstart) OVER (
+                 PARTITION BY word ORDER BY pos), false) AS consumed
+        FROM starts{r})
+      WHERE NOT consumed)"""
+
+
+_BPE_SQL = (
+    """
+    WITH vocab AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS wt
+      FROM (SELECT unnest(string_split(text, ' ')) AS word
+            FROM documents WHERE text IS NOT NULL)
+      WHERE word <> '' GROUP BY 1),
+    sym1 AS (
+      SELECT word, wt, pos, substring(word, pos, 1) AS sym
+      FROM (SELECT word, wt,
+                   unnest(generate_series(1, length(word))) AS pos
+            FROM vocab)),"""
+    + ",".join(_bpe_round_ctes(r) for r in range(1, _BPE_ROUNDS + 1))
+    + "\n    SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, l AS merge_left, "
+        f"r AS merge_right, cnt AS pair_count FROM top{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    + ")"
+)
+
+
+@register("text_bpe_merges", _BPE_SQL)
+def text_bpe_merges(spark, sf):
+    """Distributed BPE merge learning — vocabulary induction, the one
+    standard corpus-pipeline stage previously missing (VERDICT r4 #5;
+    reference analog: the train path's dynamic label vocabulary,
+    /root/reference/src/octopy/cli/train.py:228-240). Three unrolled
+    merge rounds: adjacent-symbol pair counts weighted by word
+    frequency -> deterministic argmax (count DESC, then lexicographic
+    (l, r) — integer counts + string tie-break, so DuckDB replays every
+    round exactly) -> greedy left-to-right merge. Greedy overlap
+    semantics (the 'aaa' case) are handled with run-parity: within each
+    maximal run of the left symbol, only even offsets start a merge —
+    the same non-overlapping walk a sequential BPE trainer does,
+    expressed as windows so both engines agree bitwise.
+
+    Scale shape: ONE corpus-scale shuffle (the word-frequency groupBy,
+    partial-agg); everything after runs on the VOCAB table (unique
+    words), the standard BPE design point — symbol rows are bounded by
+    total unique-word length, never corpus token count. Per round: one
+    word-partitioned window pass + one pair groupBy + a broadcast
+    1-row top pair; sym/top are localCheckpointed per round to truncate
+    the 3-round lineage (the graph-key discipline) so no subtree is
+    recomputed."""
+    d = load_table(spark, sf, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    vocab = (
+        d.select(F.explode(_words(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("wt"))
+    )
+    sym = vocab.select(
+        "word",
+        "wt",
+        F.posexplode(F.split("word", "")).alias("p0", "sym"),
+    ).select("word", "wt", (F.col("p0") + 1).alias("pos"), "sym")
+    w_word = Window.partitionBy("word").orderBy("pos")
+    tops = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        sym = sym.localCheckpoint(eager=True)
+        pairs = (
+            sym.select(
+                "wt", "sym", F.lead("sym", 1).over(w_word).alias("nxt")
+            )
+            .filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("sym").alias("l"), F.col("nxt").alias("r"))
+            .agg(F.sum("wt").cast("long").alias("cnt"))
+        )
+        top = (
+            pairs.orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        tops.append(
+            top.select(
+                F.lit(rnd).cast("long").alias("round"),
+                F.col("l").alias("merge_left"),
+                F.col("r").alias("merge_right"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        m = sym.crossJoin(F.broadcast(top.select("l", "r"))).select(
+            "word",
+            "wt",
+            "pos",
+            "sym",
+            "l",
+            "r",
+            (
+                (F.col("sym") == F.col("l"))
+                & (F.lead("sym", 1).over(w_word) == F.col("r"))
+            ).alias("match"),
+        )
+        runs = m.withColumn(
+            "grp",
+            F.when(
+                F.col("sym") == F.col("l"),
+                F.col("pos")
+                - F.row_number().over(
+                    Window.partitionBy(
+                        "word", F.col("sym") == F.col("l")
+                    ).orderBy("pos")
+                ),
+            ),
+        )
+        starts = runs.withColumn(
+            "mstart",
+            F.col("match")
+            & (
+                (F.col("l") != F.col("r"))
+                | (
+                    (
+                        F.col("pos")
+                        - F.min("pos").over(
+                            Window.partitionBy("word", "grp")
+                        )
+                    )
+                    % 2
+                    == 0
+                )
+            ),
+        )
+        sym = (
+            starts.withColumn(
+                "consumed",
+                F.coalesce(
+                    F.lag("mstart", 1).over(w_word), F.lit(False)
+                ),
+            )
+            .filter(~F.col("consumed"))
+            .select(
+                "word",
+                "wt",
+                F.row_number().over(w_word).alias("new_pos"),
+                F.when(
+                    F.col("mstart"), F.concat("l", "r")
+                )
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .withColumnRenamed("new_pos", "pos")
+        )
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionByName(t)
+    return out

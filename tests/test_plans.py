@@ -302,6 +302,7 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         "multimodal_meta", "multimodal_decode", "multimodal_resize",
         "multimodal_frame_sample", "multimodal_audio_stats",
         "multimodal_scene_cut", "multimodal_audio_vad",
+        "dedup_image_phash",  # decode+dHash is the one Python stage
         # PDF synthesis + tolerant content-stream parse are inherently
         # Python (no PDF support in Spark/JVM builtins)
         "extract_pdf_layout", "pdf_layout_blocks",
@@ -604,3 +605,52 @@ def test_new_key_plan_shapes_round4(spark):
     # politeness: window hash-partitions on the host key
     plan = plan_of(qs["crawl_politeness_schedule"](spark, SF))
     assert "hashpartitioning(source" in plan
+
+
+def test_plan_fingerprints_unchanged(spark):
+    """Plan REGRESSION gate: every key's physical-plan node-count
+    fingerprint (exchanges, scans, python stages, windows, join
+    strategies) must match the committed PLAN_FINGERPRINTS.json — a new
+    Exchange in a previously one-shuffle key, a duplicated scan, or a
+    Python stage creeping into a JVM key fails here even when no
+    anti-pattern class fires. After an INTENDED plan change, review the
+    diff and regenerate with `python scripts/plan_fingerprints.py`."""
+    import importlib.util
+    import json
+    import os
+
+    import __spark_entry__ as entrymod
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "plan_fingerprints",
+        os.path.join(root, "scripts", "plan_fingerprints.py"),
+    )
+    pf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pf)
+
+    with open(os.path.join(root, "PLAN_FINGERPRINTS.json")) as f:
+        committed = json.load(f)["keys"]
+
+    diffs = []
+    for name, fn in entrymod.queries().items():
+        got = pf.fingerprint_of(
+            fn(spark, pf.SF)._jdf.queryExecution().executedPlan().toString()
+        )
+        want = committed.get(name)
+        if want is None:
+            diffs.append(f"{name}: NEW key with no committed fingerprint")
+        elif got != want:
+            delta = {
+                k: (want.get(k), got[k])
+                for k in got
+                if got[k] != want.get(k)
+            }
+            diffs.append(f"{name}: {delta} (committed, current)")
+    stale = set(committed) - set(entrymod.queries())
+    if stale:
+        diffs.append(f"stale fingerprints for removed keys: {sorted(stale)}")
+    assert not diffs, (
+        "plan fingerprint regression — if intended, regenerate via "
+        f"`python scripts/plan_fingerprints.py`: {diffs}"
+    )

@@ -1821,3 +1821,149 @@ def test_vocab_growth_monotone_and_recounts(spark, sf_dir):
     for doc_id, text in docs:
         all_vocab.update(text.split(" "))
     assert rows[-1].vocab_size == len(all_vocab)
+
+
+def test_image_phash_replay_law_and_pigeonhole_recall(spark, sf_dir):
+    """Full pure-Python replay of the phash pipeline (ramp pixels ->
+    8x9 grid dHash -> 4 bands -> capped buckets -> Hamming<=3 pairs)
+    must equal the registered key's output exactly; and the pigeonhole
+    completeness law: every un-truncated pair within Hamming 3 shares
+    a band, so none can be missed."""
+    import numpy as np
+
+    import octospark.textops as T
+
+    ids = [
+        int(r.doc_id)
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+
+    def bands_of(doc_id: int):
+        w, h = 16 + doc_id % 48, 16 + (doc_id * 7) % 32
+        base, xstep, ystep = doc_id % 256, 1 + doc_id % 97, doc_id % 5
+        px = (
+            base
+            + np.arange(w)[None, :] * xstep
+            + np.arange(h)[:, None] * ystep
+        ) % 256
+        g = px[np.ix_((np.arange(8) * h) // 8, (np.arange(9) * w) // 9)]
+        bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)
+        return tuple(
+            int((bits[2 * k : 2 * k + 2].reshape(-1)
+                 << np.arange(16)).sum())
+            for k in range(4)
+        )
+
+    H = {d: bands_of(d) for d in ids}
+    buckets: dict = {}
+    for d in sorted(ids):
+        for bi in range(4):
+            buckets.setdefault((bi, H[d][bi]), []).append(d)
+    want = set()
+    for mem in buckets.values():
+        mem = mem[: T._PHASH_CAP]
+        for i in range(len(mem)):
+            for j in range(i + 1, len(mem)):
+                a, b = mem[i], mem[j]
+                ham = sum(
+                    bin(x ^ y).count("1") for x, y in zip(H[a], H[b])
+                )
+                if ham <= T._PHASH_HAM_T:
+                    want.add((a, b, ham))
+
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in T.QUERIES["dedup_image_phash"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    # pigeonhole: with no truncated buckets at this sf, EVERY pair
+    # within Hamming<=3 anywhere in the corpus must have been found
+    assert all(len(m) <= T._PHASH_CAP for m in buckets.values())
+    ids_sorted = sorted(ids)
+    for ai in range(0, len(ids_sorted), 17):  # sampled full scan
+        a = ids_sorted[ai]
+        for b in ids_sorted[ai + 1 :: 13]:
+            ham = sum(
+                bin(x ^ y).count("1") for x, y in zip(H[a], H[b])
+            )
+            if ham <= T._PHASH_HAM_T:
+                assert (a, b, ham) in got, (a, b, ham)
+
+
+def test_image_phash_batches_never_drop_on_malformed_blobs():
+    import pandas as pd
+
+    from octospark.textops import (
+        _fake_image_ramp_bytes,
+        phash_batches,
+    )
+
+    ok = _fake_image_ramp_bytes(7)
+    bad = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "media": [None, b"XXXX" + ok[4:], ok[:12], ok],
+        }
+    )
+    rows = pd.concat(list(phash_batches(iter([bad]))))
+    assert len(rows) == 4
+    errs = [r.error for _, r in rows.iterrows()]
+    assert errs[0] is not None  # null
+    assert errs[1] is not None  # bad magic
+    assert errs[2] is not None  # truncated pixels
+    assert errs[3] is None  # clean decode
+
+
+def test_bpe_merges_match_sequential_trainer_and_drop_fertility(
+    spark, sf_dir
+):
+    """The distributed 3-round BPE output must equal a sequential
+    pure-Python BPE trainer's merges exactly (greedy left-to-right,
+    count-then-lexicographic argmax), and applying each learned merge
+    must strictly drop corpus fertility (weighted symbols per word)."""
+    from collections import Counter
+
+    import octospark.textops as T
+
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .collect()
+        if r.text is not None
+    ]
+    vocab = Counter(w for t in texts for w in t.split(" ") if w)
+    syms = {w: list(w) for w in vocab}
+    total0 = sum(len(s) * vocab[w] for w, s in syms.items())
+    want, totals = [], [total0]
+    for rnd in range(1, T._BPE_ROUNDS + 1):
+        pc = Counter()
+        for w, wt in vocab.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += wt
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rnd, l, r, cnt))
+        for w in vocab:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+        totals.append(sum(len(s) * vocab[w] for w, s in syms.items()))
+
+    got = sorted(
+        (r.round, r.merge_left, r.merge_right, r.pair_count)
+        for r in T.QUERIES["text_bpe_merges"](spark, sf_dir).collect()
+    )
+    assert got == want
+    # fertility-drop law: every merge round shrinks the weighted
+    # symbol count (each application removes exactly one symbol)
+    assert all(b < a for a, b in zip(totals, totals[1:])), totals
