@@ -508,8 +508,13 @@ def write_bench_md(result: dict) -> None:
         )
     lines.append("- headline queries (sec): "
                  + json.dumps(result["queries"]) + "\n")
-    diag_path = os.path.join(REPO, "BENCH", "diag_scaling_r4.json")
-    if os.path.exists(diag_path):
+    import glob as _glob
+
+    diag_candidates = sorted(
+        _glob.glob(os.path.join(REPO, "BENCH", "diag_scaling_r*.json"))
+    )
+    diag_path = diag_candidates[-1] if diag_candidates else ""
+    if diag_path and os.path.exists(diag_path):
         with open(diag_path) as f:
             dg = json.load(f)
         l8, l32 = dg["levels"]["8"], dg["levels"]["32"]
@@ -536,6 +541,8 @@ def write_bench_md(result: dict) -> None:
             f"x the machine-granted ceiling. The r3 vs-ceiling dip "
             f"(0.665) was machine drift, not a software regression.\n"
         )
+        if "window_note" in dg:
+            lines.append(f"- {dg['window_note']}\n")
     lines.append(
         "\n## skew handling (e2e-verified)\n\n"
         "- giant-host salting: the bench extraction runs a "
