@@ -2660,3 +2660,158 @@ def events_ewma_hourly(spark, sf):
     return dense.select(
         "event_type", "win_start", "n", ewma.alias("ewma")
     )
+
+
+# --------------------------------------------------------------------------
+# events_sessionize_gap — batch gap-based sessionization
+# --------------------------------------------------------------------------
+
+_SESSION_GAP_US = 1800 * 1_000_000  # 30 min, in epoch microseconds
+
+
+@register(
+    "events_sessionize_gap",
+    f"""
+    WITH e AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    b AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                    OR epoch_us(ts) - epoch_us(prev_ts) > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e),
+    s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM b)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize_gap(spark, sf):
+    """Batch sessionization by inactivity gap — the offline twin of
+    stream_session_window: a new session starts when a user's gap to
+    the previous event exceeds 30 minutes.  lag() flags boundaries,
+    a running sum over the SAME (user_id, ts) window numbers the
+    sessions, then one groupBy rolls them up — two window passes and
+    one aggregation over a single hashpartitioning(user_id) exchange
+    (the windows and the groupBy all cluster by user_id, so Catalyst
+    reuses the shuffle).  Gap and duration compare in exact epoch
+    microseconds (unix_micros / epoch_us), never float seconds.
+
+    Note the running-sum window orders by ts only: is_new is constant
+    across an equal-ts run inside one user (lag's (ts, event_id) order
+    fixes WHICH row sees the gap, but a running sum over a tie group
+    is order-sensitive only if the summand varies within the tie).
+    Synthetic events have unique (user_id, ts) pairs anyway; this
+    keeps the plan one sort cheaper.
+
+    Reference analog: octopy groups OCR lines into reading-order
+    blocks by vertical-gap thresholds (src/octopy/segment.py); this is
+    the temporal version over the events table."""
+    e = load_table(spark, sf, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # ts is TIMESTAMP_NTZ in the parquet; with the session pinned to
+    # UTC the cast to TIMESTAMP is wall-clock-identical, and unix_micros
+    # then matches DuckDB's epoch_us over the same naive values.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.unix_micros(F.lag("ts").over(w_ord).cast("timestamp"))
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = flagged.select(
+        "user_id", "ts", F.sum("is_new").over(w_run).alias("session_id")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (
+            F.max(ts_us) - F.min(ts_us)
+        ).alias("duration_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# table_scd2_history — snapshot stream -> type-2 slowly-changing dimension
+# --------------------------------------------------------------------------
+
+@register(
+    "table_scd2_history",
+    """
+    WITH h AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             lag(o_orderstatus) OVER w AS prev_status
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)),
+    chg AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+      FROM h
+      WHERE prev_status IS NULL OR prev_status <> o_orderstatus)
+    SELECT o_custkey AS custkey, o_orderstatus AS status,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w2 AS valid_to,
+           CASE WHEN lead(o_orderdate) OVER w2 IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM chg
+    WINDOW w2 AS (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def table_scd2_history(spark, sf):
+    """Type-2 slowly-changing-dimension build: compact each customer's
+    order-status timeline into validity intervals — a row per status
+    RUN with [valid_from, valid_to) bounds and an is_current flag.
+    lag() drops within-run repeats, lead() closes each interval with
+    the next change's start; both windows cluster by o_custkey so the
+    whole history build is one exchange and two sorts, no join (the
+    classic join-snapshot-to-dimension SCD2 merge degenerates to
+    windows when the snapshots already live in one table).  Ties on
+    o_orderdate are totally ordered by o_orderkey in BOTH engines, so
+    the run compaction is deterministic.  At 100 TB this is the
+    standard changelog-compaction shape: partial nothing, one shuffle
+    on the dimension key, and the output is the small (changes-only)
+    table that table_merge_upsert then maintains incrementally.
+
+    Reference analog: octopy's checkpoint chain keeps only epochs where
+    the model CHANGED (train.py best-model tracking) — the same
+    keep-the-transitions compaction over a versioned history."""
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    chg = o.select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        "o_orderkey",
+        F.lag("o_orderstatus").over(w).alias("prev_status"),
+    ).filter(
+        F.col("prev_status").isNull()
+        | (F.col("prev_status") != F.col("o_orderstatus"))
+    )
+    return chg.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.when(F.lead("o_orderdate").over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("is_current"),
+    )

@@ -223,6 +223,79 @@ def dedup_ngram_jaccard(spark, sf):
     )
 
 
+@register(
+    "dedup_containment",
+    f"""
+    WITH docs0 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id,
+             array_to_string(
+               list_slice(string_split(text, ' '), 1, 30), ' ') AS text
+      FROM documents WHERE doc_id < 50
+    ),
+    base AS (
+      SELECT doc_id, {_SHINGLE_SQL} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs0)
+    ),
+    s AS (SELECT doc_id, unnest(sh) AS shingle FROM base),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    {_SHINGLE_CAP_SQL},
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+      FROM s a JOIN s b USING (shingle) JOIN sc USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id1, id2,
+           CAST(n_inter AS DOUBLE) / LEAST(s1.n, s2.n) AS containment
+    FROM inter JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+    WHERE CAST(n_inter AS DOUBLE) / LEAST(s1.n, s2.n) >= 0.8
+    ORDER BY containment DESC, id1, id2
+    """,
+)
+def dedup_containment(spark, sf):
+    """Broder containment dedup — catches doc-in-doc duplication that
+    Jaccard misses: a 30-word snippet inside a 500-word page has tiny
+    Jaccard but containment ~1.0.  C(A,B) = |A∩B| / min(|A|,|B|) over
+    word-3-gram shingle sets; pairs above 0.8 are quote/snippet dups.
+
+    Injected positives: doc_id+200000 = the first 30 words of each
+    doc_id<50 (a deterministic truncation both engines replay), so
+    full-containment pairs are guaranteed present.  Edge generation
+    reuses _jaccard_pair_counts — the same shingle-row equi-join with
+    the hot-shingle df cap (never an all-pairs cross join), so the
+    containment graph and the Jaccard graph cannot drift apart.  At
+    100 TB this is the same one-extra-column cost as Jaccard: |A| and
+    |B| already ride along with every pair.
+
+    Reference analog: octopy's merge stage collapses nested/overlapping
+    segment boxes by overlap-over-smaller-area, the geometric cousin of
+    containment-over-smaller-set (reference src/octopy/segment.py)."""
+    d0 = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    snip = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.array_join(
+                F.slice(F.split(F.col("text"), " "), 1, 30), " "
+            ).alias("text"),
+        )
+    )
+    inter = _jaccard_pair_counts(d0.unionByName(snip))
+    cont = F.col("n_inter").cast("double") / F.least("n1", "n2")
+    return (
+        inter.select("id1", "id2", cont.alias("containment"))
+        .filter(F.col("containment") >= 0.8)
+        .orderBy(F.col("containment").desc(), "id1", "id2")
+    )
+
+
 _MINHASH_SEEDS = 16
 _MINHASH_BANDS = 8  # 2 rows per band
 
