@@ -2815,3 +2815,132 @@ def table_scd2_history(spark, sf):
         .otherwise(0)
         .alias("is_current"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_peak_concurrency — distributed interval sweep (two-level prefix sum)
+# --------------------------------------------------------------------------
+
+_CONC_HOLD_S = 300  # each event holds a slot for 5 minutes
+
+
+@register(
+    "events_peak_concurrency",
+    f"""
+    WITH d AS (
+      SELECT event_type, ts, 1 AS delta FROM events
+      UNION ALL
+      SELECT event_type, ts + INTERVAL {_CONC_HOLD_S} SECOND, -1 FROM events),
+    r AS (
+      SELECT event_type, ts,
+             SUM(delta) OVER (PARTITION BY event_type
+                              ORDER BY ts, delta DESC
+                              ROWS UNBOUNDED PRECEDING) AS run
+      FROM d),
+    p AS (SELECT event_type, MAX(run) AS peak FROM r GROUP BY event_type)
+    SELECT r.event_type, p.peak AS peak_concurrency,
+           MIN(r.ts) AS peak_ts
+    FROM r JOIN p ON r.event_type = p.event_type AND r.run = p.peak
+    GROUP BY r.event_type, p.peak
+    """,
+)
+def events_peak_concurrency(spark, sf):
+    """Peak concurrency per event type — the interval-sweep primitive
+    (max simultaneously-open 5-minute event windows, the load-sizing /
+    rate-limit-budget question every serving and crawl scheduler
+    asks).  Classic sweep: each interval emits a +1 at its start and a
+    -1 at its end, and the peak is the max of the running sum over
+    boundaries in time order (+1 before -1 on ties, so touching
+    intervals count as overlapping).
+
+    The naive running sum is ONE window per event_type — a handful of
+    single-reducer partitions each dragging the type's entire boundary
+    stream through one task (the single-partition-window anti-pattern
+    this repo's plan sweep rejects).  The distributed form is the
+    textbook two-level prefix sum: a LOCAL running sum inside each
+    (event_type, hour) bucket — hashpartitioning(event_type, bucket),
+    thousands of parallel slices — plus a per-bucket delta total whose
+    OWN running sum over the tiny (type x hour) table provides each
+    bucket's carry-in offset; local + previous-buckets offset = the
+    exact global running sum, because hour(ts) is monotone in ts so
+    bucket order refines time order.  The offset window orders
+    bounded-metadata rows (n_types x n_hours), the documented
+    small-window exception class (corpus_host_coverage_curve).  The
+    oracle replays the single-window form — same values, different
+    physical plan, which is the point.
+
+    peak_ts (earliest instant the peak is reached) is deterministic
+    even though intra-tie running-sum values are not: within an equal
+    (ts, delta=+1) run, interior prefixes are strictly below the run's
+    last row, so run == peak only ever selects ts values shared by the
+    whole tie group.
+
+    Reference analog: octopy sizes its worker pool from the max number
+    of simultaneously-open page parses (reference src/octopy/octopy.py
+    process-pool sizing); this is the same high-water-mark question
+    asked of the event stream."""
+    e = load_table(spark, sf, "events")
+    starts = e.select("event_type", "ts", F.lit(1).alias("delta"))
+    ends = e.select(
+        "event_type",
+        F.expr(f"ts + INTERVAL {_CONC_HOLD_S} SECONDS").alias("ts"),
+        F.lit(-1).alias("delta"),
+    )
+    d = starts.unionByName(ends).withColumn(
+        "bucket", F.date_trunc("hour", F.col("ts"))
+    )
+    w_local = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy(F.col("ts"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.select(
+        "event_type",
+        "bucket",
+        "ts",
+        F.sum("delta").over(w_local).alias("local_run"),
+    )
+    # carry-in: running sum of bucket totals over the tiny per-type
+    # hour table, shifted one bucket back (strictly-previous buckets)
+    w_carry = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    totals = (
+        d.groupBy("event_type", "bucket")
+        .agg(F.sum("delta").alias("btot"))
+        .withColumn(
+            "offset", F.coalesce(F.sum("btot").over(w_carry), F.lit(0))
+        )
+        .drop("btot")
+    )
+    run = local.join(
+        F.broadcast(totals), ["event_type", "bucket"]
+    ).select(
+        "event_type",
+        "bucket",
+        "ts",
+        (F.col("local_run") + F.col("offset")).alias("run"),
+    )
+    # Per-bucket candidate: (bucket max run, earliest ts achieving it),
+    # folded as max(struct(run, -us)) — lexicographic struct max takes
+    # the highest run, ties toward the largest -us = the SMALLEST ts.
+    # This groupBy clusters on the SAME (event_type, bucket) keys the
+    # local window partitioned by, so it adds no exchange, and it
+    # replaces the naive max-then-join-back (which would recompute the
+    # whole boundary pipeline a second time) with one extra map-side
+    # aggregate; the final rollup then sees only bounded
+    # (type x hour) candidate rows.
+    neg_us = -F.unix_micros(F.col("ts").cast("timestamp"))
+    cand = run.groupBy("event_type", "bucket").agg(
+        F.max(F.struct(F.col("run").alias("r"), neg_us.alias("nus"))).alias(
+            "best"
+        )
+    )
+    return cand.groupBy("event_type").agg(
+        F.max("best")["r"].alias("peak_concurrency"),
+        F.timestamp_micros(-F.max("best")["nus"])
+        .cast("timestamp_ntz")
+        .alias("peak_ts"),
+    )

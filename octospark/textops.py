@@ -2026,6 +2026,96 @@ def graph_pagerank(spark, sf):
     return ranks
 
 
+def _lpa_sql(rounds: int) -> str:
+    """Unrolled label-propagation oracle (see graph_label_propagation)."""
+    ctes = [
+        *_MODULAR_EDGES_CTES,
+        """und AS (
+          SELECT src, dst FROM edges
+          UNION SELECT dst AS src, src AS dst FROM edges)""",
+        "l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""v{i} AS (
+          SELECT u.src AS node, l.lbl, count(*) AS c
+          FROM und u JOIN l{i - 1} l ON l.node = u.dst
+          GROUP BY u.src, l.lbl)""")
+        ctes.append(f"""l{i} AS (
+          SELECT node,
+                 min(struct_pack(nc := -c, l := lbl)).l AS lbl
+          FROM v{i} GROUP BY node)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT node, lbl AS label FROM l{rounds}"
+    )
+
+
+@register("graph_label_propagation", _lpa_sql(2))
+def graph_label_propagation(spark, sf):
+    """Synchronous label propagation (community detection) — the
+    standard cheap community pass over a crawl link graph (mirror/
+    template families and link farms surface as labels shared across
+    hosts; RAK label propagation is the one community algorithm that
+    runs at web-graph scale because a round is just a join + a count).
+    Two unrolled rounds over the SAME deterministic modular edge list
+    as graph_pagerank/graph_hits_scores, symmetrized (undirected LPA):
+    every node starts as its own label; each round it adopts its
+    neighbors' most frequent label, ties broken toward the SMALLEST
+    label (the deterministic variant — vanilla LPA breaks ties
+    randomly, which no oracle could replay).
+
+    Per round: one shuffle-join of edges x labels (both keyed on the
+    neighbor id) + ONE partial-aggregable two-level groupBy — votes
+    collapse map-side per (node, label), then min(struct(-count,
+    label)) picks the winner per node with NO window and NO row_number
+    sort (the table_merge_upsert argmax discipline: min/max of a
+    struct combines map-side, a rank window would sort whole key
+    groups through the shuffle).  Lineage truncated per round with an
+    eager localCheckpoint, same as the other iterative keys.
+
+    Reference analog: octopy's class-merge pass collapses equivalent
+    segment labels toward a canonical representative
+    (/root/reference/src/octopy/mappings.py:15-48); LPA is the same
+    adopt-the-neighborhood-consensus step run over a graph instead of
+    a fixed mapping table."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    n = docs.count()  # single scalar, bounded driver read
+    edges = _modular_edges(docs, n)
+    und = (
+        edges.union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .repartition(par, "dst")
+        .localCheckpoint(eager=True)
+    )
+    labels = docs.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("lbl")
+    ).localCheckpoint(eager=True)
+    for _ in range(2):
+        votes = (
+            und.join(labels, und["dst"] == labels["node"])
+            .groupBy(und["src"].alias("v"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            votes.groupBy(F.col("v").alias("node"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"), F.col("lbl").alias("l")
+                    )
+                )["l"].alias("lbl")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("lbl").alias("label"))
+
+
+
 _FRONTIER_SQL = f"""
     WITH links AS ({_LINKS_SQL}),
     crawled AS (

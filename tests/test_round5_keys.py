@@ -1,5 +1,6 @@
 """Laws for the round-5 keys (gap sessionization, SCD2 history,
-containment dedup) — each recomputed sequentially in Python."""
+containment dedup, label propagation, peak concurrency) — each
+recomputed sequentially in Python."""
 
 from __future__ import annotations
 
@@ -145,3 +146,59 @@ def test_containment_finds_injected_snippets(spark):
     assert got == want
     for k in range(50):
         assert got[(k, k + 200000)] == 1.0
+
+
+def test_label_propagation_matches_sequential_rounds(spark):
+    """Two synchronous LPA rounds recomputed in Python over the same
+    modular edge list (symmetrized, min-label tie-break) match the
+    Spark result exactly, and every final label is a real node id."""
+    import octospark.textops as T2
+
+    docs = load_table(spark, SF, "documents").select("doc_id").collect()
+    n = len(docs)
+    ids = sorted(d.doc_id for d in docs)
+    nbrs = defaultdict(set)
+    for v in ids:
+        for u in ((v * 17 + 1) % n, (v * 31 + 7) % n, (v + 1) % n):
+            nbrs[v].add(u)
+            nbrs[u].add(v)
+    labels = {v: v for v in ids}
+    for _ in range(2):
+        nxt = {}
+        for v in ids:
+            counts = defaultdict(int)
+            for u in nbrs[v]:
+                counts[labels[u]] += 1
+            nxt[v] = min(counts, key=lambda l: (-counts[l], l))
+        labels = nxt
+    out = T2.QUERIES["graph_label_propagation"](spark, SF).collect()
+    got = {r.node: r.label for r in out}
+    assert got == labels
+    assert set(got.values()) <= set(ids)
+
+
+def test_peak_concurrency_matches_brute_sweep(spark):
+    """Per event type, (peak, earliest peak instant) equals the brute
+    single-threaded sweep over +1/-1 boundaries of the 5-minute hold
+    windows — i.e. the distributed two-level prefix sum computes the
+    same global running-sum maximum as the sequential sweep."""
+    from datetime import timedelta
+
+    ev = load_table(spark, SF, "events").collect()
+    bounds = defaultdict(list)
+    for e in ev:
+        bounds[e.event_type].append((e.ts, 1))
+        bounds[e.event_type].append((e.ts + timedelta(seconds=300), -1))
+    want = {}
+    for t, bs in bounds.items():
+        bs.sort(key=lambda b: (b[0], -b[1]))
+        run = peak = 0
+        peak_ts = None
+        for ts, d in bs:
+            run += d
+            if run > peak:
+                peak, peak_ts = run, ts
+        want[t] = (peak, peak_ts)
+    out = R.QUERIES["events_peak_concurrency"](spark, SF).collect()
+    got = {r.event_type: (r.peak_concurrency, r.peak_ts) for r in out}
+    assert got == want
