@@ -296,6 +296,237 @@ def dedup_containment(spark, sf):
     )
 
 
+
+# --------------------------------------------------------------------------
+# dedup_minhash_recall_eval — oracle-checkable MinHash-LSH recall curve
+# --------------------------------------------------------------------------
+
+_MRE_P = 1_000_000_007  # prime modulus; acc*31+255 and a*x+b stay < 2^63
+_MRE_SEEDS = 16
+_MRE_BANDS = 8  # 2 rows per band
+_MRE_CAP = 64  # band-bucket membership cap (lowest doc_ids)
+
+
+def _mre_sql() -> str:
+    """DuckDB replay of the full eval: polynomial-hash MinHash
+    signatures, banded candidates, exact-Jaccard truth, per-bucket
+    recall — every step integer-exact, so the whole curve is
+    oracle-checkable (unlike dedup_minhash_lsh's xxhash64 leg)."""
+    mins = ", ".join(
+        f"min(({2 * s + 3} * x + {97 * s + 11}) % {_MRE_P}) AS m{s}"
+        for s in range(_MRE_SEEDS)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS bi, m{2 * b} AS k0, m{2 * b + 1} AS k1 "
+        f"FROM sig"
+        for b in range(_MRE_BANDS)
+    )
+    return f"""
+    WITH docs0 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id + 300000 AS doc_id,
+             array_to_string(
+               list_slice(string_split(text, ' '), 1, 6 + 3 * doc_id),
+               ' ') AS text
+      FROM documents WHERE doc_id < 50
+    ),
+    base AS (
+      SELECT doc_id, {_SHINGLE_SQL} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs0)
+    ),
+    s AS (SELECT doc_id, unnest(sh) AS shingle FROM base),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    {_SHINGLE_CAP_SQL},
+    hx AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform(range(1, length(shingle) + 1),
+                                i -> CAST(ascii(substr(shingle, CAST(i AS INTEGER), 1)) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % {_MRE_P}) AS x
+      FROM s),
+    sig AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id),
+    bands AS ({bands}),
+    capped AS (
+      SELECT doc_id, bi, k0, k1 FROM (
+        SELECT doc_id, bi, k0, k1,
+               row_number() OVER (PARTITION BY bi, k0, k1
+                                  ORDER BY doc_id) AS rk
+        FROM bands) WHERE rk <= {_MRE_CAP}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM capped a JOIN capped b
+        ON a.bi = b.bi AND a.k0 = b.k0 AND a.k1 = b.k1
+       AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+      FROM s a JOIN s b USING (shingle) JOIN sc USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    truth AS (
+      SELECT id1, id2,
+             CAST(n_inter AS DOUBLE) / (s1.n + s2.n - n_inter) AS j
+      FROM inter JOIN sz s1 ON s1.doc_id = id1
+                 JOIN sz s2 ON s2.doc_id = id2
+      WHERE CAST(n_inter AS DOUBLE) / (s1.n + s2.n - n_inter) >= 0.1)
+    SELECT CAST(floor(t.j * 10) AS INTEGER) AS j_bucket,
+           COUNT(*) AS n_truth,
+           COUNT(c.id1) AS n_caught,
+           CAST(COUNT(c.id1) AS DOUBLE) / COUNT(*) AS recall
+    FROM truth t LEFT JOIN cand c ON t.id1 = c.id1 AND t.id2 = c.id2
+    GROUP BY CAST(floor(t.j * 10) AS INTEGER)
+    """
+
+
+@register("dedup_minhash_recall_eval", _mre_sql())
+def dedup_minhash_recall_eval(spark, sf):
+    """MinHash-LSH recall curve vs exact Jaccard ground truth — the
+    eval every LSH deployment tunes (bands x rows) against, and the
+    oracle-checkable twin of dedup_minhash_lsh: that key's xxhash64
+    signatures have no DuckDB analog (rows-only), so this eval re-runs
+    the SAME algorithm (16 signatures, 8 bands x 2 rows, 64-lowest-id
+    bucket cap) with a rolling polynomial shingle hash
+    (acc*31+ascii mod 1e9+7, seed 7) and affine per-seed permutations
+    ((2s+3)*x + 97s+11 mod 1e9+7) — every step exact BIGINT
+    arithmetic both engines share bitwise, so the ENTIRE curve
+    (signatures -> bands -> candidates -> per-Jaccard-bucket recall)
+    is driver-verifiable.  The recall_eval discipline: the truth leg
+    reuses _jaccard_pair_counts verbatim, so edge-builder drift fails
+    this key too.
+
+    Scale shape: shingle hashing is a JVM sequential fold inside the
+    scan stage; the 16 signature mins collapse in ONE partial-
+    aggregable groupBy(doc_id) (16 min-aggregates — at most one row
+    per doc crosses the shuffle); band rows posexplode from the
+    signature (8 rows/doc); the band-bucket cap bounds the candidate
+    self-join exactly like dedup_image_phash (row_number over doc_id —
+    SQL-replicable); truth pairs come from the capped shingle
+    equi-join, never all-pairs.  MinHash per-band collision rate is
+    the LSH S-curve, so the recall column IS the tuning knob readout.
+
+    Reference analog: octopy validates its segment classifier with a
+    per-class confusion readout rather than one global accuracy
+    (/root/reference/src/octopy/train.py validation loop); this is the
+    same per-stratum eval applied to the dedup stage."""
+    d0 = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    # injected truncation near-dups: doc k (k<50) reappears as
+    # doc_id k+300000 holding only its first 6+3k words, so truth
+    # Jaccard (prefix-set / full-set) sweeps the whole [0.1, 1.0]
+    # bucket range deterministically in BOTH engines — natural
+    # sf-document pairs top out at J~0.03, which would make the
+    # recall curve vacuously empty
+    variants = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.expr(
+                "array_join(slice(split(text, ' '), 1, 6 + 3 * doc_id), ' ')"
+            ).alias("text"),
+        )
+    )
+    docs = d0.unionByName(variants)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    words = docs.repartition(par, "doc_id").select(
+        "doc_id", F.posexplode(_words(F.col("text"))).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        words.select(
+            "doc_id",
+            F.concat_ws(
+                " ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)
+            ).alias("shingle"),
+            F.lead("w", 2).over(win).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "shingle")
+    )
+    # min over duplicates == min over the distinct set, so the minhash
+    # leg skips the distinct the Jaccard truth leg needs
+    x = F.aggregate(
+        F.expr(
+            "transform(sequence(1, length(shingle)),"
+            " i -> cast(ascii(substring(shingle, i, 1)) as bigint))"
+        ),
+        F.lit(7).cast("long"),
+        lambda acc, c: (acc * 31 + c) % _MRE_P,
+    )
+    sig = (
+        sh.select("doc_id", x.alias("x"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.lit(2 * s + 3) * F.col("x") + (97 * s + 11)) % _MRE_P)
+                .alias(f"m{s}")
+                for s in range(_MRE_SEEDS)
+            ]
+        )
+    )
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"m{2 * b}").alias("k0"),
+                        F.col(f"m{2 * b + 1}").alias("k1"),
+                    )
+                    for b in range(_MRE_BANDS)
+                ]
+            )
+        ).alias("bi", "k"),
+    ).select("doc_id", "bi", F.col("k.k0").alias("k0"), F.col("k.k1").alias("k1"))
+    capped = (
+        bands.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("bi", "k0", "k1").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rk") <= _MRE_CAP)
+        .drop("rk")
+    )
+    cand = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            [
+                F.col("a.bi") == F.col("b.bi"),
+                F.col("a.k0") == F.col("b.k0"),
+                F.col("a.k1") == F.col("b.k1"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .distinct()
+    )
+    inter = _jaccard_pair_counts(docs)
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("n_inter")
+    )
+    truth = inter.select("id1", "id2", jac.alias("j")).filter(
+        F.col("j") >= 0.1
+    )
+    joined = truth.join(
+        cand.withColumn("caught", F.lit(1)), ["id1", "id2"], "left"
+    )
+    return joined.groupBy(
+        F.floor(F.col("j") * 10).cast("int").alias("j_bucket")
+    ).agg(
+        F.count("*").alias("n_truth"),
+        F.count("caught").alias("n_caught"),
+        (F.count("caught").cast("double") / F.count("*")).alias("recall"),
+    )
+
+
 _MINHASH_SEEDS = 16
 _MINHASH_BANDS = 8  # 2 rows per band
 

@@ -202,3 +202,76 @@ def test_peak_concurrency_matches_brute_sweep(spark):
     out = R.QUERIES["events_peak_concurrency"](spark, SF).collect()
     got = {r.event_type: (r.peak_concurrency, r.peak_ts) for r in out}
     assert got == want
+
+
+def test_minhash_recall_eval_matches_python_replay(spark):
+    """Full sequential replay of the oracle-checkable MinHash eval:
+    polynomial shingle hashes, 16 affine signature mins, 8x2 bands
+    with the 64-lowest-id bucket cap, exact-Jaccard truth over the
+    same injected truncation pool, per-bucket recall — and the LSH
+    completeness corner: every J == 1.0 pair is caught (identical
+    shingle sets force identical signatures)."""
+    import math
+
+    P = 1_000_000_007
+    docs = {
+        d.doc_id: d.text
+        for d in load_table(spark, SF, "documents")
+        .filter("doc_id < 100")
+        .collect()
+    }
+    pool = dict(docs)
+    for k in range(50):
+        pool[k + 300000] = " ".join(docs[k].split(" ")[: 6 + 3 * k])
+
+    def sh_list(text):
+        w = text.split(" ")
+        return [" ".join(w[i : i + 3]) for i in range(len(w) - 2)]
+
+    def hx(sg):
+        acc = 7
+        for ch in sg:
+            acc = (acc * 31 + ord(ch)) % P
+        return acc
+
+    sigs = {}
+    for i, t in pool.items():
+        xs = [hx(g) for g in sh_list(t)]
+        if not xs:
+            continue
+        sigs[i] = [
+            min(((2 * s + 3) * x + (97 * s + 11)) % P for x in xs)
+            for s in range(16)
+        ]
+    buckets = defaultdict(list)
+    for i in sorted(sigs):
+        m = sigs[i]
+        for b in range(8):
+            buckets[(b, m[2 * b], m[2 * b + 1])].append(i)
+    cand = set()
+    for mem in buckets.values():
+        mem = sorted(mem)[:64]
+        for ai in range(len(mem)):
+            for bi in range(ai + 1, len(mem)):
+                cand.add((mem[ai], mem[bi]))
+    sets = {i: set(sh_list(t)) for i, t in pool.items()}
+    want = defaultdict(lambda: [0, 0])
+    ones = []
+    for a in sorted(sets):
+        for b in sorted(sets):
+            if a >= b or not (sets[a] & sets[b]):
+                continue
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if j < 0.1:
+                continue
+            bk = math.floor(j * 10)
+            want[bk][0] += 1
+            want[bk][1] += (a, b) in cand
+            if j == 1.0:
+                ones.append((a, b))
+    out = T.QUERIES["dedup_minhash_recall_eval"](spark, SF).collect()
+    got = {r.j_bucket: (r.n_truth, r.n_caught, r.recall) for r in out}
+    assert got == {
+        bk: (n, c, c / n) for bk, (n, c) in want.items()
+    }
+    assert ones and all(p in cand for p in ones)
