@@ -2944,3 +2944,76 @@ def events_peak_concurrency(spark, sf):
         .cast("timestamp_ntz")
         .alias("peak_ts"),
     )
+
+
+# --------------------------------------------------------------------------
+# table_compaction_plan — small-file compaction bin assignment
+# --------------------------------------------------------------------------
+
+_COMPACT_TARGET_BYTES = 2048
+
+_COMPACTION_SQL = f"""
+    WITH files AS (
+      SELECT source, doc_id // 100 AS file_id,
+             sum(n_chars) AS file_bytes
+      FROM documents GROUP BY 1, 2),
+    planned AS (
+      SELECT source, file_id, file_bytes,
+             (sum(file_bytes) OVER (
+                PARTITION BY source ORDER BY file_id
+                ROWS UNBOUNDED PRECEDING) - file_bytes)
+               // {_COMPACT_TARGET_BYTES} AS out_group
+      FROM files)
+    SELECT source, out_group,
+           count(*) AS n_files,
+           sum(file_bytes) AS group_bytes,
+           min(file_id) AS first_file, max(file_id) AS last_file
+    FROM planned GROUP BY 1, 2
+    """
+
+
+@register("table_compaction_plan", _COMPACTION_SQL)
+def table_compaction_plan(spark, sf):
+    """Small-file compaction planner — the table-maintenance op every
+    10^12-row Iceberg/parquet table needs: roll a partition's file
+    inventory (here synthesized as per-source shards of the documents
+    table, ~5 files each) into rewrite groups of ~target bytes.  A
+    file joins the group its cumulative START offset falls in
+    (floor(prefix_sum_before / target)), so assignment is a single
+    running-sum window over (source ORDER BY file_id) — one exchange on
+    the partition key, no join, no driver-side loop; groups respect
+    file order, so each rewrite task streams a contiguous range.
+
+    The planner's input at production scale is the MANIFEST (file id +
+    byte size — millions of rows, not the data itself), which is why a
+    window over it is affordable even when the table is 100 TB; the
+    rewrite tasks the plan drives are embarrassingly parallel per
+    out_group.  Integer bytes only; the DuckDB oracle replays the same
+    prefix-sum bucketing exactly.
+
+    Reference analog: checkpoint consolidation keeps the top-k best
+    checkpoints and drops the rest in one pass over metadata, never
+    touching tensors (reference src/octopy/cli/train.py:80-87) — the
+    same plan-over-manifest, act-per-group shape."""
+    docs = load_table(spark, sf, "documents")
+    files = docs.groupBy(
+        "source", F.expr("doc_id div 100").alias("file_id")
+    ).agg(F.sum("n_chars").alias("file_bytes"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start_offset = F.sum("file_bytes").over(w) - F.col("file_bytes")
+    # byte offsets stay far below 2^53, so the double division is
+    # exact and floor() matches DuckDB's BIGINT // exactly
+    planned = files.withColumn(
+        "out_group",
+        F.floor(start_offset / _COMPACT_TARGET_BYTES).cast("long"),
+    )
+    return planned.groupBy("source", "out_group").agg(
+        F.count("*").alias("n_files"),
+        F.sum("file_bytes").alias("group_bytes"),
+        F.min("file_id").alias("first_file"),
+        F.max("file_id").alias("last_file"),
+    )

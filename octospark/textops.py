@@ -6141,3 +6141,94 @@ def text_bpe_merges(spark, sf):
     for t in tops[1:]:
         out = out.unionByName(t)
     return out
+
+
+# --------------------------------------------------------------------------
+# graph_kcore_peel — synchronized k-core peeling over the link graph
+# --------------------------------------------------------------------------
+
+_KCORE_K = 6
+_KCORE_ROUNDS = 3
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled synchronized-peel oracle (see graph_kcore_peel)."""
+    # MATERIALIZED: DuckDB 1.0.0's binder hits an internal error when
+    # the inlined unnest-backed edges CTE is scanned from both UNION
+    # branches; forcing materialization is semantics-neutral here.
+    ctes = [
+        _MODULAR_EDGES_CTES[0],
+        _MODULAR_EDGES_CTES[1].replace(
+            "edges AS (", "edges AS MATERIALIZED (", 1
+        ),
+        """sym AS (
+          SELECT src, dst FROM edges WHERE src <> dst
+          UNION
+          SELECT dst AS src, src AS dst FROM edges WHERE src <> dst)""",
+        "a0 AS (SELECT DISTINCT src AS node FROM sym)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""d{i} AS (
+          SELECT s.src AS node, count(*) AS deg
+          FROM sym s
+          JOIN a{i - 1} x ON s.src = x.node
+          JOIN a{i - 1} y ON s.dst = y.node
+          GROUP BY s.src)""")
+        ctes.append(f"a{i} AS (SELECT node FROM d{i} WHERE deg >= {k})")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT node, deg FROM d{rounds} WHERE deg >= {k}"
+    )
+
+
+@register("graph_kcore_peel", _kcore_sql(_KCORE_K, _KCORE_ROUNDS))
+def graph_kcore_peel(spark, sf):
+    """Synchronized k-core peeling (3 rounds, k=6) over the symmetrized
+    link graph: each round recounts every survivor's degree WITHIN the
+    surviving set and drops nodes below k — the standard distributed
+    core-decomposition step used to find the densely-linked heart of a
+    web graph (spam farms and navigational shells peel off first, hub
+    cores survive).  The fixed modular graph cascades 500 -> 484 ->
+    426 -> 234 at sf0.01, so every round does real work.
+
+    Scale shape per round: one self-contained degree recount = two
+    hash joins of edges x alive (both shuffled on the join key, alive
+    is the SMALL side and broadcastable once peeling bites) + one
+    partial-aggregated groupBy(src); lineage truncated with an eager
+    localCheckpoint per round so the plan stays flat (same discipline
+    as graph_pagerank / dedup_cluster_cc).  Integer counts only — the
+    DuckDB oracle unrolls the same three rounds exactly.
+
+    Reference analog: iterative region-pruning in the reference drops
+    candidate regions whose support falls below threshold after each
+    merge pass (reference src/octopy/segment.py region filtering);
+    k-core is that prune made a fixpoint iteration over a graph."""
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    n = docs.count()  # single scalar, bounded driver read
+    edges = _modular_edges(docs, n).filter(F.col("src") != F.col("dst"))
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive = sym.select(F.col("src").alias("node")).distinct()
+    deg = None
+    for _ in range(_KCORE_ROUNDS):
+        a_src = alive.select(F.col("node").alias("s_node"))
+        a_dst = alive.select(F.col("node").alias("d_node"))
+        deg = (
+            sym.join(a_src, sym["src"] == a_src["s_node"])
+            .join(a_dst, sym["dst"] == a_dst["d_node"])
+            .groupBy("src")
+            .agg(F.count("*").alias("deg"))
+        )
+        alive = (
+            deg.filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+    return deg.filter(F.col("deg") >= _KCORE_K).select(
+        F.col("src").alias("node"), "deg"
+    )

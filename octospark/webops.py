@@ -1482,3 +1482,167 @@ def extract_spans_consistency_check(spark, sf):
             F.sum(F.col("c").cast("long")).alias("n_consistent"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# web_redirect_resolve — pointer-doubling redirect-chain resolution
+# --------------------------------------------------------------------------
+
+# Deterministic redirect rule, a pure function of doc_id: pages whose
+# id is a multiple of 11 (and page 0) are canonical; every other page
+# 301-redirects DOWNWARD by 1-3 ids (step = id % 3 + 1, floored at 0).
+# Chains are monotone decreasing, so they always terminate, but their
+# LENGTH is data-dependent (a chain can step over several multiples of
+# 11) — exactly the unknown-depth shape real crawl redirect graphs have.
+_REDIRECT_RESOLVE_SQL = """
+    WITH RECURSIVE walk AS (
+      SELECT doc_id, doc_id AS cur, CAST(0 AS BIGINT) AS hops
+      FROM documents
+      UNION ALL
+      SELECT doc_id,
+             CASE WHEN cur - (cur % 3 + 1) < 0 THEN 0
+                  ELSE cur - (cur % 3 + 1) END,
+             hops + 1
+      FROM walk
+      WHERE cur % 11 <> 0 AND cur <> 0)
+    SELECT doc_id, cur AS canonical_id, hops
+    FROM walk
+    WHERE cur % 11 = 0 OR cur = 0
+    """
+
+
+@register("web_redirect_resolve", _REDIRECT_RESOLVE_SQL)
+def web_redirect_resolve(spark, sf):
+    """Resolve every page's redirect CHAIN to its canonical target with
+    pointer doubling: each round joins the pointer table to itself
+    (ptr' = ptr[ptr], hops' = hops + hops[ptr]), so a chain of length L
+    resolves in ceil(log2 L) rounds instead of L sequential self-joins
+    — the classic distributed list-ranking primitive, and the right
+    shape for crawl-graph canonicalization at 10^12 pages where chain
+    depth is unknown and driver-side iteration per hop is unaffordable.
+
+    Rounds run to a CONVERGENCE PROBE (count of unresolved rows — a
+    single scalar per round, never a row collect), each round's state
+    eagerly localCheckpointed so the plan never grows with the doubling
+    depth (same lineage discipline as graph_pagerank / dedup_cluster_cc).
+    All arithmetic is integer; the DuckDB oracle replays the same walk
+    with a recursive CTE, so the value-hash compare is exact.
+
+    Reference analog: MergeDefaultDict._resolve follows class-alias
+    chains to their canonical label one hop at a time on the driver
+    (reference src/octopy/cli/train.py:199-240); this is the same
+    chain-following resolved in O(log L) distributed rounds."""
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    terminal = (F.col("doc_id") % 11 == 0) | (F.col("doc_id") == 0)
+    step = F.greatest(
+        F.col("doc_id") - (F.col("doc_id") % 3 + 1), F.lit(0)
+    )
+    state = docs.select(
+        F.col("doc_id").alias("node"),
+        F.when(terminal, F.col("doc_id")).otherwise(step).alias("ptr"),
+        F.when(terminal, F.lit(0)).otherwise(F.lit(1))
+        .cast("long")
+        .alias("hops"),
+        terminal.alias("done"),
+    ).localCheckpoint(eager=True)
+    # Doubling: after k rounds ptr has followed min(2^k, chain) hops.
+    # Every ptr target is a doc_id present in the table (ids are
+    # contiguous from 0 and steps are clamped at 0), so the self-join
+    # loses no rows.
+    while state.filter(~F.col("done")).count() > 0:
+        nxt = state.select(
+            F.col("node").alias("t_node"),
+            F.col("ptr").alias("t_ptr"),
+            F.col("hops").alias("t_hops"),
+            F.col("done").alias("t_done"),
+        )
+        state = (
+            state.join(nxt, state["ptr"] == nxt["t_node"])
+            .select(
+                "node",
+                F.when(F.col("done"), F.col("ptr"))
+                .otherwise(F.col("t_ptr"))
+                .alias("ptr"),
+                F.when(F.col("done"), F.col("hops"))
+                .otherwise(F.col("hops") + F.col("t_hops"))
+                .alias("hops"),
+                (F.col("done") | F.col("t_done")).alias("done"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select(
+        F.col("node").alias("doc_id"),
+        F.col("ptr").alias("canonical_id"),
+        "hops",
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus_epoch_shuffle — deterministic per-epoch training-order shuffle
+# --------------------------------------------------------------------------
+
+_EPOCH_SHUFFLE_EPOCHS = 3
+_EPOCH_SHUFFLE_SHARDS = 16
+
+# Knuth multiplicative hash over (doc_id, epoch), exact in BIGINT on
+# both engines (doc_id * 2654435761 < 2^63 for any realistic id).
+_EPOCH_SHUFFLE_SQL = f"""
+    WITH e AS (
+      SELECT doc_id,
+             unnest(generate_series(0, {_EPOCH_SHUFFLE_EPOCHS - 1}))
+               AS epoch
+      FROM documents),
+    h AS (
+      SELECT doc_id, epoch,
+             (doc_id * 2654435761 + epoch * 40503) % 4294967296 AS hk
+      FROM e)
+    SELECT epoch, hk % {_EPOCH_SHUFFLE_SHARDS} AS shard, doc_id,
+           row_number() OVER (
+             PARTITION BY epoch, hk % {_EPOCH_SHUFFLE_SHARDS}
+             ORDER BY hk, doc_id) AS pos_in_shard
+    FROM h
+    """
+
+
+@register("corpus_epoch_shuffle", _EPOCH_SHUFFLE_SQL)
+def corpus_epoch_shuffle(spark, sf):
+    """Deterministic epoch-wise training-order shuffle: every epoch
+    re-permutes the corpus by a keyed integer hash, documents land in
+    hash shards, and position within a shard is the hash order — the
+    standard materialized-shuffle layout for dataloader-free training
+    at 100 TB (readers stream shard files in pos_in_shard order; no
+    global sort, no epoch-time RNG state to coordinate).
+
+    The permutation is a pure integer function of (doc_id, epoch) —
+    reproducible across reruns, engines, and partitionings — and the
+    window partitions by (epoch, shard), so the only exchange is the
+    hash partition the shards themselves define; shard sizes are
+    hash-balanced (no skew key can form: the key IS the hash).
+
+    Reference analog: the reference shuffles its training set with a
+    fixed seed per epoch (reference src/octopy/cli/train.py dataset
+    partition); this is that seed made an explicit column."""
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    epochs = F.explode(
+        F.array(
+            *[F.lit(i) for i in range(_EPOCH_SHUFFLE_EPOCHS)]
+        )
+    ).alias("epoch")
+    hk = (
+        F.col("doc_id") * F.lit(2654435761)
+        + F.col("epoch") * F.lit(40503)
+    ) % F.lit(4294967296)
+    w = Window.partitionBy("epoch", "shard").orderBy("hk", "doc_id")
+    return (
+        docs.select("doc_id", epochs)
+        .withColumn("hk", hk)
+        .withColumn(
+            "shard", (F.col("hk") % _EPOCH_SHUFFLE_SHARDS).cast("long")
+        )
+        .select(
+            "epoch",
+            "shard",
+            "doc_id",
+            F.row_number().over(w).cast("long").alias("pos_in_shard"),
+        )
+    )

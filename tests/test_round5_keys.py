@@ -8,6 +8,7 @@ from collections import defaultdict
 
 import octospark.relational as R
 import octospark.textops as T
+import octospark.webops as W
 from octospark.sources import load_table
 
 SF = "/root/testdata/sf0.001"
@@ -275,3 +276,109 @@ def test_minhash_recall_eval_matches_python_replay(spark):
         bk: (n, c, c / n) for bk, (n, c) in want.items()
     }
     assert ones and all(p in cand for p in ones)
+
+
+def test_redirect_resolve_matches_sequential_walk(spark):
+    """Pointer doubling equals the one-hop-at-a-time sequential walk:
+    canonical target and hop count per doc, chains terminate at
+    multiples of 11 (or the 0 floor)."""
+    ids = [
+        r.doc_id
+        for r in load_table(spark, SF, "documents").select("doc_id").collect()
+    ]
+    want = {}
+    for d in ids:
+        cur, hops = d, 0
+        while cur % 11 != 0 and cur != 0:
+            cur = max(cur - (cur % 3 + 1), 0)
+            hops += 1
+        want[d] = (cur, hops)
+    out = W.QUERIES["web_redirect_resolve"](spark, SF).collect()
+    assert len(out) == len(ids)  # never drops a page, one row each
+    got = {r.doc_id: (r.canonical_id, r.hops) for r in out}
+    assert got == want
+    # every canonical target really is terminal
+    assert all(c % 11 == 0 or c == 0 for c, _ in got.values())
+
+
+def test_epoch_shuffle_is_a_permutation_per_epoch(spark):
+    """Each epoch holds every doc exactly once; within a shard the
+    positions are 1..len; epochs produce genuinely different orders."""
+    out = W.QUERIES["corpus_epoch_shuffle"](spark, SF).collect()
+    n_docs = load_table(spark, SF, "documents").count()
+    by_epoch = defaultdict(list)
+    for r in out:
+        by_epoch[r.epoch].append(r)
+    assert set(by_epoch) == {0, 1, 2}
+    orders = []
+    for rows in by_epoch.values():
+        assert sorted(r.doc_id for r in rows) == sorted(
+            range(n_docs)
+        )  # permutation: every doc exactly once
+        by_shard = defaultdict(list)
+        for r in rows:
+            by_shard[r.shard].append(r.pos_in_shard)
+        for pos in by_shard.values():
+            assert sorted(pos) == list(range(1, len(pos) + 1))
+        orders.append(
+            tuple(
+                r.doc_id
+                for r in sorted(rows, key=lambda x: (x.shard, x.pos_in_shard))
+            )
+        )
+    assert len(set(orders)) == 3  # the three epochs shuffle differently
+
+
+def test_kcore_peel_matches_sequential_rounds(spark):
+    """Three synchronized peels at k=6 equal the sequential replay over
+    the same modular graph, and the cascade does real work (strictly
+    shrinking alive set each round at this SF)."""
+    n = load_table(spark, SF, "documents").count()
+    adj = defaultdict(set)
+    for d in range(n):
+        for t in [(d * 17 + 1) % n, (d * 31 + 7) % n, (d + 1) % n]:
+            if t != d:
+                adj[d].add(t)
+                adj[t].add(d)
+    alive = set(adj)
+    sizes = [len(alive)]
+    deg = {}
+    for _ in range(3):
+        deg = {v: sum(1 for u in adj[v] if u in alive) for v in alive}
+        alive = {v for v in alive if deg[v] >= 6}
+        sizes.append(len(alive))
+    assert sizes[0] > sizes[1] > sizes[2] > sizes[3] > 0
+    out = T.QUERIES["graph_kcore_peel"](spark, SF).collect()
+    assert {(r.node, r.deg) for r in out} == {
+        (v, deg[v]) for v in alive
+    }
+
+
+def test_compaction_plan_groups_are_contiguous_and_complete(spark):
+    """Every synthesized file lands in exactly one group; groups within
+    a source are contiguous file ranges in file order; a group's START
+    offset falls in its bin (prefix-sum law)."""
+    docs = load_table(spark, SF, "documents").collect()
+    files = defaultdict(int)
+    for d in docs:
+        files[(d.source, d.doc_id // 100)] += d.n_chars
+    out = R.QUERIES["table_compaction_plan"](spark, SF).collect()
+    assert sum(r.n_files for r in out) == len(files)
+    by_src = defaultdict(list)
+    for r in out:
+        by_src[r.source].append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.out_group)
+        # contiguous, ordered, non-overlapping file ranges
+        for a, b in zip(rs, rs[1:]):
+            assert a.last_file < b.first_file
+            assert b.out_group > a.out_group
+        # replay the prefix-sum bucketing sequentially
+        cum = 0
+        for fid in sorted(f for s, f in files if s == src):
+            grp = cum // 2048
+            cum += files[(src, fid)]
+            row = next(
+                r for r in rs if r.first_file <= fid <= r.last_file
+            )
+            assert row.out_group == grp
