@@ -5991,7 +5991,7 @@ def _bpe_round_ctes(r: int) -> str:
       WHERE NOT consumed)"""
 
 
-_BPE_SQL = (
+_BPE_CTES = (
     """
     WITH vocab AS (
       SELECT word, CAST(count(*) AS BIGINT) AS wt
@@ -6004,6 +6004,10 @@ _BPE_SQL = (
                    unnest(generate_series(1, length(word))) AS pos
             FROM vocab)),"""
     + ",".join(_bpe_round_ctes(r) for r in range(1, _BPE_ROUNDS + 1))
+)
+
+_BPE_SQL = (
+    _BPE_CTES
     + "\n    SELECT * FROM ("
     + " UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS round, l AS merge_left, "
@@ -6014,29 +6018,11 @@ _BPE_SQL = (
 )
 
 
-@register("text_bpe_merges", _BPE_SQL)
-def text_bpe_merges(spark, sf):
-    """Distributed BPE merge learning — vocabulary induction, the one
-    standard corpus-pipeline stage previously missing (VERDICT r4 #5;
-    reference analog: the train path's dynamic label vocabulary,
-    /root/reference/src/octopy/cli/train.py:228-240). Three unrolled
-    merge rounds: adjacent-symbol pair counts weighted by word
-    frequency -> deterministic argmax (count DESC, then lexicographic
-    (l, r) — integer counts + string tie-break, so DuckDB replays every
-    round exactly) -> greedy left-to-right merge. Greedy overlap
-    semantics (the 'aaa' case) are handled with run-parity: within each
-    maximal run of the left symbol, only even offsets start a merge —
-    the same non-overlapping walk a sequential BPE trainer does,
-    expressed as windows so both engines agree bitwise.
-
-    Scale shape: ONE corpus-scale shuffle (the word-frequency groupBy,
-    partial-agg); everything after runs on the VOCAB table (unique
-    words), the standard BPE design point — symbol rows are bounded by
-    total unique-word length, never corpus token count. Per round: one
-    word-partitioned window pass + one pair groupBy + a broadcast
-    1-row top pair; sym/top are localCheckpointed per round to truncate
-    the 3-round lineage (the graph-key discipline) so no subtree is
-    recomputed."""
+def _bpe_learn(spark, sf):
+    """Shared BPE learner: runs the unrolled merge rounds over the
+    vocab symbol table and returns (per-round top-pair DataFrames,
+    final symbol table) — text_bpe_merges reports the former,
+    text_bpe_apply re-segments the corpus with the latter."""
     d = load_table(spark, sf, "documents").filter(
         F.col("text").isNotNull()
     )
@@ -6137,6 +6123,33 @@ def text_bpe_merges(spark, sf):
             )
             .withColumnRenamed("new_pos", "pos")
         )
+    return tops, sym
+
+
+@register("text_bpe_merges", _BPE_SQL)
+def text_bpe_merges(spark, sf):
+    """Distributed BPE merge learning — vocabulary induction, the one
+    standard corpus-pipeline stage previously missing (VERDICT r4 #5;
+    reference analog: the train path's dynamic label vocabulary,
+    /root/reference/src/octopy/cli/train.py:228-240). Three unrolled
+    merge rounds: adjacent-symbol pair counts weighted by word
+    frequency -> deterministic argmax (count DESC, then lexicographic
+    (l, r) — integer counts + string tie-break, so DuckDB replays every
+    round exactly) -> greedy left-to-right merge. Greedy overlap
+    semantics (the 'aaa' case) are handled with run-parity: within each
+    maximal run of the left symbol, only even offsets start a merge —
+    the same non-overlapping walk a sequential BPE trainer does,
+    expressed as windows so both engines agree bitwise.
+
+    Scale shape: ONE corpus-scale shuffle (the word-frequency groupBy,
+    partial-agg); everything after runs on the VOCAB table (unique
+    words), the standard BPE design point — symbol rows are bounded by
+    total unique-word length, never corpus token count. Per round: one
+    word-partitioned window pass + one pair groupBy + a broadcast
+    1-row top pair; sym/top are localCheckpointed per round to truncate
+    the 3-round lineage (the graph-key discipline) so no subtree is
+    recomputed."""
+    tops, _ = _bpe_learn(spark, sf)
     out = tops[0]
     for t in tops[1:]:
         out = out.unionByName(t)
@@ -6231,4 +6244,77 @@ def graph_kcore_peel(spark, sf):
         )
     return deg.filter(F.col("deg") >= _KCORE_K).select(
         F.col("src").alias("node"), "deg"
+    )
+
+
+# --------------------------------------------------------------------------
+# text_bpe_apply — encode the corpus with the learned merges (fertility)
+# --------------------------------------------------------------------------
+
+_BPE_APPLY_SQL = (
+    _BPE_CTES
+    + f""",
+    tpw AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS n_tok
+      FROM sym{_BPE_ROUNDS + 1} GROUP BY 1),
+    dw AS (
+      SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents WHERE text IS NOT NULL)
+      WHERE word <> '' GROUP BY 1, 2)
+    SELECT dw.doc_id,
+           sum(dw.c) AS n_words,
+           sum(dw.c * tpw.n_tok) AS n_tokens,
+           (sum(dw.c * tpw.n_tok) * 1000000) // sum(dw.c)
+             AS fertility_micro
+    FROM dw JOIN tpw USING (word)
+    GROUP BY 1
+    """
+)
+
+
+@register("text_bpe_apply", _BPE_APPLY_SQL)
+def text_bpe_apply(spark, sf):
+    """Encode the corpus with the merges text_bpe_merges just learned
+    and price every document in tokens — the induce-then-apply half of
+    the tokenizer story (train a vocab, then measure per-doc token
+    counts and fertility = tokens-per-word, the cost metric
+    text_tokenizer_fertility prices mixes with).
+
+    Scale shape: applying BPE never touches the corpus token stream —
+    the final symbol table lives on the VOCAB (unique words), so
+    tokens-per-word is one groupBy over symbol rows bounded by total
+    unique-word length; the corpus-scale work is ONE (doc_id, word)
+    partial-agg count and a word-keyed join against the (small,
+    broadcastable) tokens-per-word table, then a doc-keyed rollup.
+    Fertility is reported in exact integer micro-units (x1e6, floor
+    division) so the DuckDB oracle — which replays the same unrolled
+    merge rounds — matches bitwise; no float division anywhere.
+
+    Reference analog: train learns the label vocabulary, segment then
+    APPLIES it to every page (reference src/octopy/cli/train.py:228-240
+    -> src/octopy/segment.py) — the same two-phase vocab lifecycle."""
+    _, sym = _bpe_learn(spark, sf)
+    tpw = sym.groupBy("word").agg(
+        F.count("*").cast("long").alias("n_tok")
+    )
+    d = load_table(spark, sf, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    dw = (
+        d.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return (
+        dw.join(F.broadcast(tpw), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_tok")).alias("n_tokens"),
+            F.expr(
+                "sum(c * n_tok) * 1000000 div sum(c)"
+            ).alias("fertility_micro"),
+        )
     )

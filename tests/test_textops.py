@@ -1967,3 +1967,57 @@ def test_bpe_merges_match_sequential_trainer_and_drop_fertility(
     # fertility-drop law: every merge round shrinks the weighted
     # symbol count (each application removes exactly one symbol)
     assert all(b < a for a, b in zip(totals, totals[1:])), totals
+
+
+def test_bpe_apply_prices_docs_like_sequential_encoder(spark, sf_dir):
+    """text_bpe_apply must price every document exactly as a sequential
+    encoder that learns the same 3 merges and re-segments each word:
+    n_words, n_tokens, and integer-micro fertility all bitwise-equal,
+    and fertility_micro <= 1e6 * max word length always."""
+    from collections import Counter
+
+    import octospark.textops as T
+
+    docs = [
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+        if r.text is not None
+    ]
+    vocab = Counter(w for _, t in docs for w in t.split(" ") if w)
+    syms = {w: list(w) for w in vocab}
+    for _ in range(T._BPE_ROUNDS):
+        pc = Counter()
+        for w, wt in vocab.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += wt
+        (l, r), _cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w in vocab:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    want = {}
+    for doc_id, t in docs:
+        ws = [w for w in t.split(" ") if w]
+        if not ws:
+            continue
+        n_words = len(ws)
+        n_tokens = sum(len(syms[w]) for w in ws)
+        want[doc_id] = (n_words, n_tokens, n_tokens * 1000000 // n_words)
+
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens, r.fertility_micro)
+        for r in T.QUERIES["text_bpe_apply"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert all(
+        f <= 1000000 * max(len(w) for w in vocab) for _, _, f in got.values()
+    )
