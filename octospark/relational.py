@@ -3017,3 +3017,181 @@ def table_compaction_plan(spark, sf):
         F.min("file_id").alias("first_file"),
         F.max("file_id").alias("last_file"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_bounce_rate — per-landing-type bounce share of gap sessions
+# --------------------------------------------------------------------------
+
+@register(
+    "events_bounce_rate",
+    f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    b AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN prev_ts IS NULL
+                    OR epoch_us(ts) - epoch_us(prev_ts) > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM b),
+    rep AS (
+      SELECT user_id, session_id, event_type,
+             COUNT(*) OVER (PARTITION BY user_id, session_id) AS n_events,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS rn
+      FROM s)
+    SELECT event_type AS landing_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounced,
+           SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+             // COUNT(*) AS bounce_micro
+    FROM rep WHERE rn = 1
+    GROUP BY 1
+    """,
+)
+def events_bounce_rate(spark, sf):
+    """Bounce rate by landing event type: sessionize by the 30-minute
+    inactivity gap (the events_sessionize_gap rule), call the FIRST
+    event of each session its landing, and report what share of
+    sessions ended after that single event — the standard engagement
+    read on a crawl/web-analytics stream, here as one more consumer of
+    the shared sessionization shape.
+
+    The running-sum window orders by (ts, event_id) — unlike
+    events_sessionize_gap's ts-only ordering — because the landing row
+    is picked by row_number over the same keys, and both engines must
+    agree on session numbering within equal-ts runs for the landing
+    pick to match.  Bounce share is exact integer micro-units (floor
+    division), never a float ratio.
+
+    Scale shape: every window and the session rollup cluster by
+    user_id, so the whole thing is ONE hashpartitioning(user_id)
+    exchange with three window passes riding it; the final landing-type
+    rollup is a partial-agg over (n_event_types) rows.  Reference
+    analog: R11-R13 ordered per-unit resolve (segment.py reading
+    order) — first-block-of-region picking over the events table."""
+    e = load_table(spark, sf, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.unix_micros(F.lag("ts").over(w_ord).cast("timestamp"))
+    sess = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(
+            F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0)
+        )
+        .over(w_run)
+        .alias("session_id"),
+    )
+    w_sess = Window.partitionBy("user_id", "session_id")
+    rep = sess.select(
+        "event_type",
+        F.count("*").over(w_sess).alias("n_events"),
+        F.row_number()
+        .over(w_sess.orderBy("ts", "event_id"))
+        .alias("rn"),
+    ).filter(F.col("rn") == 1)
+    bounced = F.sum(
+        F.when(F.col("n_events") == 1, 1).otherwise(0)
+    )
+    return rep.groupBy(F.col("event_type").alias("landing_type")).agg(
+        F.count("*").alias("n_sessions"),
+        bounced.cast("long").alias("n_bounced"),
+        F.expr(
+            "sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000"
+            " div count(*)"
+        ).alias("bounce_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# table_snapshot_cdc — change-data-feed between two snapshot states
+# --------------------------------------------------------------------------
+
+_CDC_CUTOFF = "1998-01-01"
+
+
+@register(
+    "table_snapshot_cdc",
+    f"""
+    WITH st AS (
+      SELECT o_custkey,
+             (max(struct_pack(d := o_orderdate, k := o_orderkey,
+                              s := o_orderstatus))).s AS new_status,
+             (max(CASE WHEN o_orderdate < TIMESTAMP '{_CDC_CUTOFF}'
+                       THEN struct_pack(d := o_orderdate, k := o_orderkey,
+                                        s := o_orderstatus) END)).s
+               AS old_status
+      FROM orders GROUP BY 1)
+    SELECT o_custkey AS custkey,
+           CASE WHEN old_status IS NULL THEN 'insert'
+                ELSE 'update' END AS change_type,
+           old_status, new_status
+    FROM st
+    WHERE old_status IS NULL OR old_status <> new_status
+    """,
+)
+def table_snapshot_cdc(spark, sf):
+    """Change-data-feed between two table snapshots — the Iceberg/Delta
+    `table_changes(snapshot_a, snapshot_b)` read, synthesized from the
+    orders changelog: snapshot A is each customer's latest status
+    BEFORE the pinned cutoff, snapshot B the latest overall; emit one
+    row per key that appeared (`insert`) or changed (`update`), with
+    old and new values.  Unchanged keys emit nothing, which is the CDC
+    contract (the delta is small even when the table is huge).
+
+    Both snapshot states come out of ONE scan and ONE
+    hashpartitioning(o_custkey) aggregate — no self-join of two
+    snapshot reads: latest-overall and latest-before-cutoff are two
+    max(struct(date, key, status)) aggregates (argmax via struct
+    ordering, tie-free because (date, key) is unique per customer;
+    the conditional max ignores the NULLs outside the cutoff), so the
+    map side partially aggregates both states before the shuffle.
+    DuckDB replays the same struct-max argmax bitwise.  At 100 TB this
+    is the shape you want: CDC cost = one pass over the changelog
+    partition range, not two snapshot materializations joined.
+
+    Reference analog: octopy keeps best+last checkpoints and diffs
+    epochs by metric change (train.py best-model tracking) — the same
+    emit-only-the-transitions contract, here per dimension key."""
+    o = load_table(spark, sf, "orders")
+    rec = F.struct(
+        F.col("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+    )
+    st = o.groupBy("o_custkey").agg(
+        F.max(rec).getField("s").alias("new_status"),
+        F.max(
+            F.when(F.col("o_orderdate") < F.lit(_CDC_CUTOFF), rec)
+        )
+        .getField("s")
+        .alias("old_status"),
+    )
+    return st.filter(
+        F.col("old_status").isNull()
+        | (F.col("old_status") != F.col("new_status"))
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.when(F.col("old_status").isNull(), F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("change_type"),
+        "old_status",
+        "new_status",
+    )

@@ -1646,3 +1646,100 @@ def corpus_epoch_shuffle(spark, sf):
             F.row_number().over(w).cast("long").alias("pos_in_shard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_token_budget_plan — epochs-per-language plan for a token budget
+# --------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 10_000_000
+
+
+_BUDGET_SQL = f"""
+    WITH lt AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS lang_docs,
+             CAST(sum(len(list_filter(string_split(text, ' '),
+                                      x -> x <> ''))) AS BIGINT)
+               AS lang_tokens
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY lang),
+    tot AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS n FROM lt),
+    sc AS (
+      SELECT lang, lang_docs, lang_tokens,
+             sqrt(CAST(lang_tokens AS DOUBLE) / tot.n) AS scaled
+      FROM lt CROSS JOIN tot),
+    z AS (SELECT sum(scaled ORDER BY lang) AS zsum FROM sc)
+    SELECT sc.lang, sc.lang_docs, sc.lang_tokens,
+           CAST(floor({_BUDGET_TOKENS} * sc.scaled / z.zsum) AS BIGINT)
+             AS target_tokens,
+           CAST(floor({_BUDGET_TOKENS} * sc.scaled / z.zsum) AS BIGINT)
+             * 1000000 // sc.lang_tokens AS epochs_micro
+    FROM sc CROSS JOIN z
+    """
+
+
+@register("corpus_token_budget_plan", _BUDGET_SQL)
+def corpus_token_budget_plan(spark, sf):
+    """Token-budget mixing plan: given a total training-token budget
+    and temperature-balanced language weights (alpha = 0.5 over TOKEN
+    shares, the corpus_mix_temperature rule priced in tokens instead
+    of documents), emit each language's token target and the number of
+    epochs of its corpus that target implies — epochs > 1e6 micro
+    means the language must be upsampled (repeated), < 1e6 means it is
+    subsampled.  This is the planning step between corpus_mix_weights
+    (what share?) and corpus_upsample_epochs (materialize the
+    repeats): how many passes over each language fit the budget.
+
+    Determinism discipline: sqrt is the one IEEE-correctly-rounded
+    power function (the corpus_mix_temperature argument), the
+    normalizer folds per-language scaled shares IN LANG ORDER, the
+    target is floor() of the same double expression both engines
+    evaluate, and the epochs ratio is exact integer micro-units from
+    there on.
+
+    Scale shape: ONE corpus shuffle (the per-language token-count
+    partial agg — per-doc token counts are computed map-side from the
+    split array, never exploded corpus-wide); everything after runs on
+    n_langs rows with broadcast totals.  Reference analog: octopy
+    prices training by lines-per-epoch over the label vocabulary
+    (train.py partition sizing); this prices it in tokens per
+    language."""
+    d = load_table(spark, sf, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    ).cast("long")
+    lt = d.groupBy("lang").agg(
+        F.count("*").alias("lang_docs"),
+        F.sum(toks).alias("lang_tokens"),
+    )
+    tot = lt.agg(F.sum("lang_tokens").alias("n"))
+    sc = lt.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "lang_docs",
+        "lang_tokens",
+        F.sqrt(F.col("lang_tokens").cast("double") / F.col("n"))
+        .alias("scaled"),
+    )
+    z = sc.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("lang", "scaled"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["scaled"],
+        ).alias("zsum")
+    )
+    target = F.floor(
+        F.lit(float(_BUDGET_TOKENS)) * F.col("scaled") / F.col("zsum")
+    ).cast("long")
+    return sc.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "lang_docs",
+        "lang_tokens",
+        target.alias("target_tokens"),
+        F.expr(
+            f"CAST(floor({_BUDGET_TOKENS} * scaled / zsum) AS BIGINT)"
+            " * 1000000 div lang_tokens"
+        ).alias("epochs_micro"),
+    )
