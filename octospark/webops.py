@@ -1700,8 +1700,13 @@ def corpus_token_budget_plan(spark, sf):
 
     Scale shape: ONE corpus shuffle (the per-language token-count
     partial agg — per-doc token counts are computed map-side from the
-    split array, never exploded corpus-wide); everything after runs on
-    n_langs rows with broadcast totals.  Reference analog: octopy
+    split array, never exploded corpus-wide), and the n_langs-row
+    result is localCheckpointed so the three downstream consumers
+    (total, normalizer, final projection) reuse it instead of
+    re-deriving the corpus scan per branch — without the checkpoint
+    the unreused lineage re-reads `documents` 4x; everything after
+    runs on n_langs rows with broadcast totals.  Reference analog:
+    octopy
     prices training by lines-per-epoch over the label vocabulary
     (train.py partition sizing); this prices it in tokens per
     language."""
@@ -1714,7 +1719,7 @@ def corpus_token_budget_plan(spark, sf):
     lt = d.groupBy("lang").agg(
         F.count("*").alias("lang_docs"),
         F.sum(toks).alias("lang_tokens"),
-    )
+    ).localCheckpoint(eager=True)
     tot = lt.agg(F.sum("lang_tokens").alias("n"))
     sc = lt.crossJoin(F.broadcast(tot)).select(
         "lang",
