@@ -3195,3 +3195,104 @@ def table_snapshot_cdc(spark, sf):
         "old_status",
         "new_status",
     )
+
+
+# --------------------------------------------------------------------------
+# events_attribution — first/last-touch conversion attribution
+# --------------------------------------------------------------------------
+
+@register(
+    "events_attribution",
+    """
+    WITH t AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_t,
+             first_value(CASE WHEN event_type <> 'purchase'
+                              THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS first_t
+      FROM events),
+    p AS (
+      SELECT coalesce(last_t, 'direct') AS last_t,
+             coalesce(first_t, 'direct') AS first_t,
+             CAST(floor(value * 1000000) AS BIGINT) AS rev_micro
+      FROM t WHERE event_type = 'purchase'),
+    u AS (
+      SELECT 'last' AS model, last_t AS touch_type, rev_micro FROM p
+      UNION ALL
+      SELECT 'first' AS model, first_t AS touch_type, rev_micro FROM p)
+    SELECT model, touch_type,
+           CAST(count(*) AS BIGINT) AS conversions,
+           CAST(sum(rev_micro) AS BIGINT) AS revenue_micro
+    FROM u GROUP BY 1, 2
+    """,
+)
+def events_attribution(spark, sf):
+    """Marketing-style conversion attribution over the event stream:
+    each purchase is credited to the LAST non-purchase touch before it
+    (last-touch model) and to the FIRST touch of the user's preceding
+    journey (first-touch model); purchases with no prior touch fall to
+    the 'direct' channel.  Revenue is floor-micro integer units so the
+    cross-engine sum is exact regardless of fold order.
+
+    Both attribution picks ride ONE window frame (user timeline,
+    unbounded-preceding to 1-preceding, ignore-nulls last/first), so
+    the whole key is a single hashpartitioning(user_id) exchange; the
+    two models then fan out as an in-row array explode (2 rows per
+    conversion, never a second scan) into a tiny partial-agg rollup.
+    At 100 TB: windows cluster by user, conversions are a small
+    fraction of events, and the final group-by is (2 x n_channels)
+    rows.  Reference analog: R7's per-unit ordered resolve
+    (/root/reference/src/octopy/segment.py reading order) — the
+    attribution pick is 'resolve each conversion against its ordered
+    predecessor context'."""
+    e = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type") != "purchase", F.col("event_type")
+    )
+    t = e.select(
+        "event_type",
+        "value",
+        F.last(touch, ignorenulls=True).over(w).alias("last_t"),
+        F.first(touch, ignorenulls=True).over(w).alias("first_t"),
+    )
+    p = t.filter(F.col("event_type") == "purchase").select(
+        F.coalesce("last_t", F.lit("direct")).alias("last_t"),
+        F.coalesce("first_t", F.lit("direct")).alias("first_t"),
+        F.floor(F.col("value") * 1000000).cast("long").alias(
+            "rev_micro"
+        ),
+    )
+    models = F.explode(
+        F.array(
+            F.struct(
+                F.lit("last").alias("model"),
+                F.col("last_t").alias("touch_type"),
+            ),
+            F.struct(
+                F.lit("first").alias("model"),
+                F.col("first_t").alias("touch_type"),
+            ),
+        )
+    )
+    return (
+        p.select(models.alias("mt"), "rev_micro")
+        .groupBy(
+            F.col("mt.model").alias("model"),
+            F.col("mt.touch_type").alias("touch_type"),
+        )
+        .agg(
+            F.count("*").alias("conversions"),
+            F.sum("rev_micro").cast("long").alias("revenue_micro"),
+        )
+    )

@@ -1310,6 +1310,7 @@ def _fake_media(spark, sf, kind: str) -> DataFrame:
     enc = {
         "image": _fake_image_bytes,
         "image_ramp": _fake_image_ramp_bytes,
+        "page": _fake_page_bytes,
         "video": _fake_video_bytes,
         "audio": _fake_audio_bytes,
     }[kind]
@@ -6317,4 +6318,272 @@ def text_bpe_apply(spark, sf):
                 "sum(c * n_tok) * 1000000 div sum(c)"
             ).alias("fertility_micro"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal_ocr_lines — segment-then-recognize over page images
+# --------------------------------------------------------------------------
+
+# page geometry, all derived from doc_id alone so the DuckDB oracle can
+# replay segmentation AND recognition arithmetically (the
+# multimodal_scene_cut / dedup_image_phash oracle discipline)
+_OCR_CW = 8  # character cell width in px
+
+
+def _fake_page_bytes(doc_id: int) -> bytes:
+    """OIMG container holding a striped 'scanned page': n_lines ink
+    bands (pixel = (doc_id + x) % 96, always dark) separated by blank
+    gaps (255).  Ink value depends on x only, so each character cell's
+    ink sum — and therefore the deterministic 'recognition' output —
+    is reconstructable from doc_id in pure SQL."""
+    import numpy as np
+
+    w = 24 + doc_id % 40
+    lh = 3 + doc_id % 4
+    g = 2 + doc_id % 3
+    nl = 3 + doc_id % 6
+    h = nl * (lh + g) + g
+    px = np.full((h, w), 255, dtype=np.uint8)
+    ink = ((doc_id + np.arange(w, dtype=np.int64)) % 96).astype(np.uint8)
+    for k in range(nl):
+        y0 = g + k * (lh + g)
+        px[y0 : y0 + lh, :] = ink[None, :]
+    return (
+        _IMG_MAGIC
+        + w.to_bytes(2, "big")
+        + h.to_bytes(2, "big")
+        + bytes([1])
+        + px.tobytes()
+    )
+
+
+_OCR_SCHEMA = (
+    "doc_id long, line_idx long, y0 long, y1 long, "
+    "text string, n_chars long, error string"
+)
+
+
+def ocr_line_batches(batches):
+    """mapInPandas body: the reference's two CLI stages fused per page.
+    Stage 1 SEGMENT: horizontal projection profile (row mean < 128 =>
+    ink) -> consecutive-run detection -> line boxes, exactly Kraken's
+    baseline-segmentation shape flattened to stripes. Stage 2
+    RECOGNIZE: per 8-px character cell, ink-sum mod 26 -> letter (the
+    deterministic stand-in for a recognition model's argmax). Row-level
+    try/except: malformed pages yield an error row, never a task
+    failure (R8)."""
+    import numpy as np
+    import pandas as pd
+
+    cols = ["doc_id", "line_idx", "y0", "y1", "text", "n_chars", "error"]
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+            try:
+                if blob is None:
+                    raise ValueError("null media")
+                b = bytes(blob)
+                if b[:4] != _IMG_MAGIC:
+                    raise ValueError("bad image magic")
+                w = int.from_bytes(b[4:6], "big")
+                h = int.from_bytes(b[6:8], "big")
+                px = np.frombuffer(b[9 : 9 + w * h], dtype=np.uint8)
+                if px.size != w * h or w < _OCR_CW:
+                    raise ValueError("truncated or tiny page")
+                page = px.reshape(h, w).astype(np.int64)
+                inky = page.mean(axis=1) < 128  # projection profile
+                edges = np.flatnonzero(np.diff(inky.astype(np.int8)))
+                starts = (
+                    ([0] if inky[0] else []) + (edges + 1).tolist()
+                )
+                runs = [
+                    (int(s), int(e))
+                    for s, e in zip(starts, starts[1:] + [h])
+                    if inky[s]
+                ]
+                nc = w // _OCR_CW
+                for k, (y0, y1) in enumerate(runs):
+                    band = page[y0:y1, : nc * _OCR_CW]
+                    sums = band.sum(axis=0).reshape(nc, _OCR_CW).sum(
+                        axis=1
+                    )
+                    text = "".join(
+                        chr(65 + int(s) % 26) for s in sums
+                    )
+                    rows.append(
+                        (int(doc_id), k, y0, y1, text, nc, None)
+                    )
+            except Exception as exc:  # never-drop fallback (R8)
+                rows.append(
+                    (int(doc_id), None, None, None, None, None,
+                     str(exc))
+                )
+        yield pd.DataFrame(rows, columns=cols)
+
+
+_OCR_SQL = """
+    WITH p AS (
+      SELECT doc_id, 24 + doc_id % 40 AS w, 3 + doc_id % 4 AS lh,
+             2 + doc_id % 3 AS g, 3 + doc_id % 6 AS nl
+      FROM documents),
+    lines AS (
+      SELECT doc_id, w, lh, g, k.k AS line_idx,
+             g + k.k * (lh + g) AS y0,
+             g + k.k * (lh + g) + lh AS y1
+      FROM p, generate_series(0, 7) k(k) WHERE k.k < nl),
+    cells AS (
+      SELECT doc_id, line_idx, y0, y1, lh, w, c.c AS c
+      FROM lines, generate_series(0, 7) c(c) WHERE c.c < w // 8),
+    codes AS (
+      SELECT doc_id, line_idx, y0, y1, c,
+             CAST(lh * sum((doc_id + c * 8 + x.x) % 96) AS BIGINT)
+               % 26 AS code
+      FROM cells, generate_series(0, 7) x(x)
+      GROUP BY doc_id, line_idx, y0, y1, c, lh)
+    SELECT doc_id, line_idx, y0, y1,
+           string_agg(chr(65 + CAST(code AS INTEGER)), ''
+                      ORDER BY c) AS text,
+           count(*) AS n_chars
+    FROM codes
+    GROUP BY doc_id, line_idx, y0, y1
+    """
+
+
+@register("multimodal_ocr_lines", _OCR_SQL)
+def multimodal_ocr_lines(spark, sf):
+    """Page-image OCR: segment each scanned page into text lines, then
+    recognize each line — the closest analog in this engine to the
+    reference's entire reason to exist (octopy wraps Kraken's segment
+    -> recognize CLI; /root/reference/src/octopy/segment.py and
+    recognize.py are stages 1 and 2). Here stage 1 is a horizontal
+    projection-profile segmenter and stage 2 a deterministic per-cell
+    classifier, both fused into ONE Arrow-batched mapInPandas so each
+    page is decoded once (the R3/R6 shared-precompute discipline).
+
+    Scale shape: embarrassingly parallel — one Python stage, zero
+    shuffles, output rows ~8 per page. At 100 TB the plan is scan ->
+    mapInPandas -> sink; per-page cost is bounded by the (w*h <= 64*84)
+    decode. The striped synthetic page keeps the expected line boxes
+    AND the recognized text SQL-reconstructable from doc_id, so the
+    whole two-stage flow is oracle-verified end to end — segmentation
+    (y0/y1 boxes), reading order (line_idx), and recognition (text)."""
+    media = _fake_media(spark, sf, "page")
+    return media.mapInPandas(ocr_line_batches, _OCR_SCHEMA).filter(
+        F.col("error").isNull()
+    ).drop("error")
+
+
+# --------------------------------------------------------------------------
+# sim_ann_pq_adc — product-quantization codebook + asymmetric distance
+# --------------------------------------------------------------------------
+
+_PQ_BUCKETS = 16  # codes per dimension (4-bit codebook)
+_PQ_NQ = 8  # query vectors: vec_id < 8
+_PQ_K = 5
+
+_PQ_SQL = f"""
+    WITH v AS (
+      SELECT vec_id, i.i AS d,
+             CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS v_int
+      FROM embeddings, generate_series(1, 64) i(i)),
+    c AS (
+      SELECT vec_id, d, v_int,
+             ntile({_PQ_BUCKETS}) OVER (PARTITION BY d
+                                        ORDER BY v_int, vec_id) AS code
+      FROM v),
+    cent AS (
+      SELECT d, code,
+             CAST(floor((min(v_int) + max(v_int)) / 2.0) AS BIGINT)
+               AS cent
+      FROM c GROUP BY 1, 2),
+    x AS (
+      SELECT c.vec_id, c.d, cent.cent
+      FROM c JOIN cent USING (d, code)),
+    q AS (
+      SELECT vec_id AS query_id, d, v_int AS qv
+      FROM c WHERE vec_id < {_PQ_NQ}),
+    dist AS (
+      SELECT q.query_id, x.vec_id AS neighbor_id,
+             CAST(sum((q.qv - x.cent) * (q.qv - x.cent)) AS BIGINT)
+               AS adc_dist
+      FROM q JOIN x ON q.d = x.d AND x.vec_id <> q.query_id
+      GROUP BY 1, 2),
+    r AS (
+      SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, neighbor_id) AS rnk
+      FROM dist)
+    SELECT query_id, neighbor_id, adc_dist, rnk
+    FROM r WHERE rnk <= {_PQ_K}
+    """
+
+
+@register("sim_ann_pq_adc", _PQ_SQL)
+def sim_ann_pq_adc(spark, sf):
+    """Product-quantization ANN: learn a per-dimension 4-bit codebook
+    (ntile-16 scalar quantiles — the SQL-replayable stand-in
+    for per-subspace k-means), encode every vector as 64 codes, and
+    rank neighbors by ASYMMETRIC distance (exact query vs centroid of
+    the neighbor's code) — the Jegou et al. PQ/ADC scan that backs
+    IVF-PQ indexes, here with M=64 one-dim subspaces so the codebook
+    is a quantile table.  All arithmetic is integer micro-units after
+    one float->int conversion, so the distance sums are fold-order-free
+    cross-engine; ties break on neighbor_id.
+
+    Scale shape: codebook learning is one window pass partitioned by
+    dimension + a tiny (64 x 16) centroid rollup; encoding joins the
+    BROADCAST centroid table; the ADC scan joins the (nq x 64)
+    BROADCAST query rows and partial-aggregates per (query, neighbor).
+    At 100 TB you'd pack the 64 codes into one array column and keep
+    the centroid LUT as a broadcast map (64x16x8 bytes) — same plan,
+    one less explode; the per-row relational form here is what the
+    oracle can replay. Complements sim_ann_topk_int8 (exact int dots,
+    4x compression) with 16x compression + codebook lookup, and
+    sim_ann_ivf (cell pruning) as the rerank-tier compression.
+    Reference analog: R20's model-artifact reuse — the codebook is the
+    'trained artifact' consumed by the scoring pass."""
+    emb = load_table(spark, sf, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("d"),
+        F.floor(F.col("val").cast("double") * 1000000)
+        .cast("long")
+        .alias("v_int"),
+    )
+    w = Window.partitionBy("d").orderBy("v_int", "vec_id")
+    c = v.select(
+        "vec_id", "d", "v_int", F.ntile(_PQ_BUCKETS).over(w).alias("code")
+    )
+    cent = c.groupBy("d", "code").agg(
+        F.floor((F.min("v_int") + F.max("v_int")) / 2.0)
+        .cast("long")
+        .alias("cent")
+    )
+    x = c.join(F.broadcast(cent), ["d", "code"]).select(
+        "vec_id", "d", "cent"
+    )
+    q = c.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), "d", F.col("v_int").alias("qv")
+    )
+    diff = F.col("qv") - F.col("cent")
+    dist = (
+        x.join(F.broadcast(q), "d")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum(diff * diff).cast("long").alias("adc_dist"))
+    )
+    wr = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        dist.select(
+            "query_id",
+            "neighbor_id",
+            "adc_dist",
+            F.row_number().over(wr).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= _PQ_K)
     )

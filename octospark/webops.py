@@ -1748,3 +1748,161 @@ def corpus_token_budget_plan(spark, sf):
             " * 1000000 div lang_tokens"
         ).alias("epochs_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# crawl_recrawl_schedule — change-rate estimation -> next-fetch interval
+# --------------------------------------------------------------------------
+
+@register(
+    "crawl_recrawl_schedule",
+    """
+    WITH f AS (
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS page,
+             ts, event_id, value,
+             lag(value) OVER (
+               PARTITION BY CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)
+               ORDER BY ts, event_id) AS prev_val
+      FROM events WHERE event_type = 'view'),
+    s AS (
+      SELECT page,
+             CAST(count(*) AS BIGINT) AS n_fetches,
+             CAST(sum(CASE WHEN prev_val IS NOT NULL
+                            AND value <> prev_val
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+      FROM f GROUP BY 1)
+    SELECT page, n_fetches, n_changes,
+           n_changes * 1000000 // (n_fetches - 1) AS change_rate_micro,
+           24 + 144 * (n_fetches - 1 - n_changes) // (n_fetches - 1)
+             AS interval_hours
+    FROM s WHERE n_fetches >= 2
+    """,
+)
+def crawl_recrawl_schedule(spark, sf):
+    """Adaptive recrawl scheduling: treat 'view' events as fetch
+    observations of a page (the json props key), detect content change
+    as fingerprint (value) differing from the previous fetch of the
+    same page, and derive a next-fetch interval that scales linearly
+    from 24 h (changes every fetch) to 168 h (never changed) — the
+    Cho-Garcia-Molina freshness policy in its simplest integer form.
+    Change rate is exact micro-units over (n_fetches - 1) observation
+    gaps; pages seen once have no gap and are excluded.
+
+    Scale shape: one hashpartitioning(page) exchange carries both the
+    lag window and the per-page rollup (same key, Catalyst reuses the
+    partitioning); output is one row per page.  At 100 TB the fetch
+    log is append-only and this is the incremental-crawl consumer of
+    crawl_snapshot_diff's store.  Reference analog: R25's validation
+    cadence (octopy train.py --partition re-checks) — 'how often to
+    re-verify' derived from observed change frequency."""
+    e = load_table(spark, sf, "events").filter(
+        F.col("event_type") == "view"
+    )
+    f = e.select(
+        F.get_json_object("props", "$.k").cast("bigint").alias("page"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("page").orderBy("ts", "event_id")
+    f = f.withColumn("prev_val", F.lag("value").over(w))
+    changed = F.when(
+        F.col("prev_val").isNotNull()
+        & (F.col("value") != F.col("prev_val")),
+        1,
+    ).otherwise(0)
+    s = f.groupBy("page").agg(
+        F.count("*").alias("n_fetches"),
+        F.sum(changed).cast("long").alias("n_changes"),
+    )
+    return s.filter(F.col("n_fetches") >= 2).select(
+        "page",
+        "n_fetches",
+        "n_changes",
+        F.expr(
+            "n_changes * 1000000 div (n_fetches - 1)"
+        ).alias("change_rate_micro"),
+        F.expr(
+            "24 + 144 * (n_fetches - 1 - n_changes) div (n_fetches - 1)"
+        ).alias("interval_hours"),
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus_curriculum_order — length-curriculum phases with token steps
+# --------------------------------------------------------------------------
+
+_CURR_PHASES = 4
+
+
+@register(
+    "corpus_curriculum_order",
+    f"""
+    WITH p AS (
+      SELECT lang, doc_id, n_chars,
+             ntile({_CURR_PHASES}) OVER (
+               PARTITION BY lang ORDER BY n_chars, doc_id) AS phase
+      FROM documents),
+    a AS (
+      SELECT lang, phase,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars // 4) AS BIGINT) AS phase_tokens
+      FROM p GROUP BY 1, 2)
+    SELECT lang, phase, n_docs, phase_tokens,
+           CAST(coalesce(sum(phase_tokens) OVER (
+                  PARTITION BY lang ORDER BY phase
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS BIGINT) AS token_start,
+           CAST(sum(phase_tokens) OVER (
+                  PARTITION BY lang ORDER BY phase
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS token_end
+    FROM a
+    """,
+)
+def corpus_curriculum_order(spark, sf):
+    """Length-curriculum schedule: within each language, split the
+    corpus into 4 difficulty phases (short docs first —
+    the standard warmup curriculum), and emit each phase's token mass
+    plus its cumulative [token_start, token_end) step window so a
+    trainer can map optimizer steps to phases.  Tokens are the engine's
+    n_chars//4 integer proxy; phase boundaries tie-break on doc_id.
+
+    Scale shape: the ntile window partitions by lang — no
+    SinglePartition window — and the cumulative boundaries run over
+    the tiny (langs x phases) rollup.  At 100 TB exact per-lang ntile
+    is a per-lang sort; the production swap is approx percentile
+    boundaries (agg_quantile_sketch's shape) feeding a width_bucket
+    assign, same downstream contract.  Reference analog: R20's
+    train/val split discipline (content-stable, deterministic) applied
+    to training ORDER instead of membership."""
+    d = load_table(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    p = d.select(
+        "lang",
+        "n_chars",
+        F.ntile(_CURR_PHASES).over(w).alias("phase"),
+    )
+    a = p.groupBy("lang", "phase").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.expr("n_chars div 4")).cast("long").alias("phase_tokens"),
+    )
+    wc = Window.partitionBy("lang").orderBy("phase")
+    return a.select(
+        "lang",
+        "phase",
+        "n_docs",
+        "phase_tokens",
+        F.coalesce(
+            F.sum("phase_tokens").over(
+                wc.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("token_start"),
+        F.sum("phase_tokens")
+        .over(wc.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("token_end"),
+    )

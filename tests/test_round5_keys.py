@@ -382,3 +382,160 @@ def test_compaction_plan_groups_are_contiguous_and_complete(spark):
                 r for r in rs if r.first_file <= fid <= r.last_file
             )
             assert row.out_group == grp
+
+
+def test_attribution_matches_sequential_journey_walk(spark):
+    """Both attribution models replayed sequentially: walk each user's
+    (ts, event_id)-ordered timeline, for every purchase credit the
+    last / first preceding non-purchase touch (or 'direct')."""
+    import math
+
+    ev = sorted(
+        load_table(spark, SF, "events").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    want: dict = defaultdict(lambda: [0, 0])
+    seen: dict = {}
+    for r in ev:
+        hist = seen.setdefault(r.user_id, [])
+        if r.event_type == "purchase":
+            rev = math.floor(r.value * 1000000)
+            last_t = hist[-1] if hist else "direct"
+            first_t = hist[0] if hist else "direct"
+            for model, t in (("last", last_t), ("first", first_t)):
+                want[(model, t)][0] += 1
+                want[(model, t)][1] += rev
+        else:
+            hist.append(r.event_type)
+    got = {
+        (r.model, r.touch_type): [r.conversions, r.revenue_micro]
+        for r in R.QUERIES["events_attribution"](spark, SF).collect()
+    }
+    assert got == dict(want)
+    # conservation: both models credit exactly the same conversion set
+    for col in (0, 1):
+        assert sum(
+            v[col] for (m, _), v in got.items() if m == "last"
+        ) == sum(v[col] for (m, _), v in got.items() if m == "first")
+
+
+def test_pq_adc_matches_numpy_codebook_replay(spark):
+    """Full replay of the PQ/ADC scan: micro-int values, ntile-16
+    per-dimension codebook (first n%16 buckets one element larger),
+    midpoint centroids, integer ADC sums, (dist, id) tie-break."""
+    import math
+
+    import numpy as np
+
+    rows = load_table(spark, SF, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.floor(
+        np.array([r.embedding for r in rows], dtype=np.float64) * 1e6
+    ).astype(np.int64)
+    n, D = V.shape
+    B = T._PQ_BUCKETS
+    cent = np.zeros((n, D), dtype=np.int64)  # centroid of each value
+    base, extra = divmod(n, B)
+    for d in range(D):
+        order = np.lexsort((ids, V[:, d]))
+        off = 0
+        for b in range(B):
+            size = base + (1 if b < extra else 0)
+            mem = order[off : off + size]
+            off += size
+            mid = math.floor((V[mem, d].min() + V[mem, d].max()) / 2.0)
+            cent[mem, d] = mid
+    want = set()
+    for qi in np.flatnonzero(ids < T._PQ_NQ):
+        q = V[qi]
+        dists = ((q[None, :] - cent) ** 2).sum(axis=1)
+        cand = [
+            (int(dists[xi]), int(ids[xi]))
+            for xi in range(n)
+            if ids[xi] != ids[qi]
+        ]
+        for rnk, (dist, nid) in enumerate(sorted(cand)[: T._PQ_K], 1):
+            want.add((int(ids[qi]), nid, dist, rnk))
+    got = {
+        (r.query_id, r.neighbor_id, r.adc_dist, r.rnk)
+        for r in T.QUERIES["sim_ann_pq_adc"](spark, SF).collect()
+    }
+    assert got == want and len(got) == T._PQ_NQ * T._PQ_K
+
+
+def test_recrawl_schedule_matches_sequential_fetch_log(spark):
+    """Replay the change detector per page and pin the interval law:
+    24 h at change-every-fetch, 168 h at never-changed, monotone in
+    the stable-gap share."""
+    fetches: dict = defaultdict(list)
+    import json as _json
+
+    for r in load_table(spark, SF, "events").collect():
+        if r.event_type == "view":
+            fetches[int(_json.loads(r.props)["k"])].append(
+                (r.ts, r.event_id, r.value)
+            )
+    want = {}
+    for page, fs in fetches.items():
+        fs.sort()
+        if len(fs) < 2:
+            continue
+        changes = sum(
+            1 for a, b in zip(fs, fs[1:]) if b[2] != a[2]
+        )
+        gaps = len(fs) - 1
+        want[page] = (
+            len(fs),
+            changes,
+            changes * 1000000 // gaps,
+            24 + 144 * (gaps - changes) // gaps,
+        )
+    got = {
+        r.page: (
+            r.n_fetches, r.n_changes,
+            r.change_rate_micro, r.interval_hours,
+        )
+        for r in W.QUERIES["crawl_recrawl_schedule"](
+            spark, SF
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    for nf, nc, rate, hrs in got.values():
+        assert 24 <= hrs <= 168 and 0 <= nc <= nf - 1
+        if nc == nf - 1:
+            assert hrs == 24
+        if nc == 0:
+            assert hrs == 168
+
+
+def test_curriculum_phases_tile_the_per_lang_token_line(spark):
+    """Per lang: phases are contiguous ([token_start, token_end) abut),
+    cover exactly the lang's total token mass, doc counts are balanced
+    within 1, and phase token mass is computed over the ntile split
+    ordered by (n_chars, doc_id)."""
+    rows = W.QUERIES["corpus_curriculum_order"](spark, SF).collect()
+    by_lang: dict = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append(r)
+    docs = load_table(spark, SF, "documents").collect()
+    from collections import Counter
+
+    lang_tokens = Counter()
+    lang_docs = Counter()
+    for d in docs:
+        lang_tokens[d.lang] += d.n_chars // 4
+        lang_docs[d.lang] += 1
+    for lang, ph in by_lang.items():
+        ph.sort(key=lambda r: r.phase)
+        assert [p.phase for p in ph] == list(range(1, len(ph) + 1))
+        cursor = 0
+        for p in ph:
+            assert p.token_start == cursor
+            assert p.token_end == cursor + p.phase_tokens
+            cursor = p.token_end
+        assert cursor == lang_tokens[lang]
+        assert sum(p.n_docs for p in ph) == lang_docs[lang]
+        sizes = [p.n_docs for p in ph]
+        assert max(sizes) - min(sizes) <= 1

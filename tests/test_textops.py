@@ -2021,3 +2021,64 @@ def test_bpe_apply_prices_docs_like_sequential_encoder(spark, sf_dir):
     assert all(
         f <= 1000000 * max(len(w) for w in vocab) for _, _, f in got.values()
     )
+
+
+def test_ocr_lines_replay_law(spark, sf_dir):
+    """Pure-Python replay of the OCR flow (striped page -> projection
+    profile runs -> per-cell ink-sum recognition) must equal the
+    registered key exactly: boxes, reading order, and text."""
+    import octospark.textops as T
+
+    ids = [
+        int(r.doc_id)
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    want = set()
+    for d in ids:
+        w, lh, g, nl = (
+            24 + d % 40, 3 + d % 4, 2 + d % 3, 3 + d % 6,
+        )
+        nc = w // T._OCR_CW
+        for k in range(nl):
+            y0 = g + k * (lh + g)
+            text = "".join(
+                chr(65 + (lh * sum(
+                    (d + c * 8 + x) % 96 for x in range(8)
+                )) % 26)
+                for c in range(nc)
+            )
+            want.add((d, k, y0, y0 + lh, text, nc))
+    got = {
+        (r.doc_id, r.line_idx, r.y0, r.y1, r.text, r.n_chars)
+        for r in T.QUERIES["multimodal_ocr_lines"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_ocr_line_batches_never_drop_on_malformed_pages():
+    import pandas as pd
+
+    from octospark.textops import _fake_page_bytes, ocr_line_batches
+
+    ok = _fake_page_bytes(11)
+    bad = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "media": [None, b"YYYY" + ok[4:], ok[:11], ok],
+        }
+    )
+    rows = pd.concat(list(ocr_line_batches(iter([bad]))))
+    per_doc_err = rows.groupby("doc_id")["error"].agg(
+        lambda s: s.notna().any()
+    )
+    assert bool(per_doc_err[1]) and bool(per_doc_err[2])
+    assert bool(per_doc_err[3])  # truncated pixel buffer
+    ok_rows = rows[rows["doc_id"] == 4]
+    assert ok_rows["error"].isna().all()
+    assert len(ok_rows) == 3 + 11 % 6  # nl lines, in reading order
+    assert list(ok_rows["line_idx"]) == list(range(len(ok_rows)))
