@@ -3296,3 +3296,140 @@ def events_attribution(spark, sf):
             F.sum("rev_micro").cast("long").alias("revenue_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# table_manifest_prune — zone-map file skipping over the file manifest
+# --------------------------------------------------------------------------
+
+_PRUNE_DOC_LO, _PRUNE_DOC_HI = 120, 360  # doc_id range predicate
+_PRUNE_MIN_CHARS = 60                    # n_chars lower-bound predicate
+
+_MANIFEST_PRUNE_SQL = f"""
+    WITH manifest AS (
+      SELECT source, doc_id // 100 AS file_id,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             sum(n_chars) AS file_bytes,
+             min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+             min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      FROM documents GROUP BY 1, 2)
+    SELECT source, file_id, n_rows, file_bytes,
+           min_doc, max_doc, min_chars, max_chars,
+           (max_doc >= {_PRUNE_DOC_LO} AND min_doc <= {_PRUNE_DOC_HI}
+            AND max_chars >= {_PRUNE_MIN_CHARS}) AS must_scan,
+           CASE
+             WHEN NOT (max_doc >= {_PRUNE_DOC_LO}
+                       AND min_doc <= {_PRUNE_DOC_HI}) THEN 'doc_range'
+             WHEN max_chars < {_PRUNE_MIN_CHARS} THEN 'chars_stat'
+             ELSE 'scan'
+           END AS skip_reason
+    FROM manifest
+    """
+
+
+@register("table_manifest_prune", _MANIFEST_PRUNE_SQL)
+def table_manifest_prune(spark, sf):
+    """Zone-map file skipping over the file MANIFEST — the planning
+    step that makes a 100 TB scan affordable: every parquet/Iceberg
+    file carries per-column min/max stats, and a range predicate
+    (here ``doc_id BETWEEN 120 AND 360 AND n_chars >= 60``) must read
+    a file only when the predicate's range intersects the file's
+    stats envelope.  The planner touches manifest rows (one per file
+    — millions of rows for a 10^12-row table, never the data) and
+    emits must_scan + the first stats column that proved skippable,
+    so the scan stage enumerates only surviving files.  The no-false-
+    skip law (every row matching the predicate lives in a must_scan
+    file) is pinned in tests; false POSITIVES (scanned file, zero
+    matches) are allowed — that is what zone maps are.
+
+    Scale shape: one partial-agg groupBy over the manifest synthesis
+    (at production scale the manifest is already materialized — this
+    is a metadata-only pass, the same plan-over-manifest discipline
+    as table_compaction_plan); the decision itself is per-row
+    arithmetic, no join, no window.  Files written in doc_id order
+    have tight doc_id zone maps (the id predicate prunes hard), while
+    n_chars is unsorted so its envelope is wide (it rarely prunes) —
+    both behaviors are the honest production readout.
+
+    Reference analog: octopy's inspect command reads run METADATA to
+    decide what to re-process rather than re-reading page images
+    (reference src/octopy/cli/inspect.py)."""
+    docs = load_table(spark, sf, "documents")
+    manifest = docs.groupBy(
+        "source", F.expr("doc_id div 100").alias("file_id")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_chars").alias("file_bytes"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    doc_hit = (F.col("max_doc") >= _PRUNE_DOC_LO) & (
+        F.col("min_doc") <= _PRUNE_DOC_HI
+    )
+    chars_hit = F.col("max_chars") >= _PRUNE_MIN_CHARS
+    return manifest.select(
+        "source", "file_id", "n_rows", "file_bytes",
+        "min_doc", "max_doc", "min_chars", "max_chars",
+        (doc_hit & chars_hit).alias("must_scan"),
+        F.when(~doc_hit, F.lit("doc_range"))
+        .when(~chars_hit, F.lit("chars_stat"))
+        .otherwise(F.lit("scan"))
+        .alias("skip_reason"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_reservoir_sample — fixed-size deterministic corpus sample
+# --------------------------------------------------------------------------
+
+_SAMPLE_K = 200
+
+_RESERVOIR_SQL = f"""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY hk, doc_id) AS BIGINT)
+             AS rank,
+           doc_id, lang, hk
+    FROM (
+      SELECT doc_id, lang,
+             (doc_id * 2654435761) % 4294967296 AS hk
+      FROM documents)
+    ORDER BY hk, doc_id LIMIT {_SAMPLE_K}
+    """
+
+
+@register("agg_reservoir_sample", _RESERVOIR_SQL)
+def agg_reservoir_sample(spark, sf):
+    """Fixed-size-k uniform corpus sample by hash order statistics —
+    the distributed equivalent of reservoir sampling: rank every row
+    by a keyed Knuth multiplicative hash and keep the k smallest.
+    Unlike the Bernoulli draw (corpus_stratified_sample, rate-based,
+    size only in expectation) this yields EXACTLY k rows, which is
+    what eval holdouts and human-inspection panels need; and unlike
+    rand()-based sampling it is reproducible across runs, partition
+    counts, and engines (pure int64 arithmetic, ties broken by
+    doc_id).
+
+    Scale shape: orderBy+limit plans as TakeOrderedAndProject — each
+    partition keeps its local top-k (a k-row heap, one streaming
+    pass), and the driver merges num_partitions * k candidate rows,
+    never sorting the corpus.  At 10^12 pages with k=200 that merge
+    is ~200 * n_partitions rows of metadata — the corpus itself is
+    read once and never shuffled.
+
+    Reference analog: octopy's train/val partition takes a fixed
+    fraction of pages deterministically rather than shuffling the
+    dataset (reference src/octopy/train.py)."""
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        (
+            (F.col("doc_id") * F.lit(2654435761).cast("long"))
+            % F.lit(4294967296).cast("long")
+        ).alias("hk"),
+    )
+    top = docs.orderBy("hk", "doc_id").limit(_SAMPLE_K)
+    w = Window.orderBy("hk", "doc_id")
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("rank", "doc_id", "lang", "hk")

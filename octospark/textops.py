@@ -6587,3 +6587,206 @@ def sim_ann_pq_adc(spark, sf):
         )
         .filter(F.col("rnk") <= _PQ_K)
     )
+
+
+# --------------------------------------------------------------------------
+# multimodal_caption_align — CLIP-style image–text alignment filter
+# --------------------------------------------------------------------------
+
+_ALIGN_MIN_DOT = 0  # keep a pair iff its alignment dot is positive
+
+_CAPTION_ALIGN_SQL = "WITH " + _QUANT_CTE_SQL + f""",
+    paired AS (
+      SELECT vec_id, q,
+             list_transform(range(1, len(q) + 1),
+               j -> (vec_id * 31 + j * 7) % 255 - 127) AS img_q
+      FROM qn),
+    scored AS (
+      SELECT vec_id,
+             CAST(len(q) AS INT) AS n_dims,
+             list_reduce(
+               list_transform(range(1, len(q) + 1),
+                              j -> q[j] * img_q[j]),
+               (a, x) -> a + x) AS align_dot
+      FROM paired)
+    SELECT vec_id, n_dims, align_dot,
+           align_dot > {_ALIGN_MIN_DOT} AS keep
+    FROM scored
+    """
+
+
+@register("multimodal_caption_align", _CAPTION_ALIGN_SQL)
+def multimodal_caption_align(spark, sf):
+    """Image–text alignment filtering — the LAION/DataComp curation
+    step for multimodal training pairs: score each (image, caption)
+    pair by the dot product of its two embeddings and keep only pairs
+    above a similarity floor (badly-captioned images are the dominant
+    noise source in web-scraped multimodal corpora).  The caption leg
+    is the real embeddings table run through the shared int8
+    quantizer (_quantized — the same codes embed_quantize_int8
+    emits); the image leg is a deterministic synthetic int8 embedding
+    derived from vec_id ((vec_id*31 + j*7) % 255 - 127 per dimension
+    — the multimodal keys' SQL-reconstructable-content discipline,
+    standing in for a real image tower the sandbox cannot run).  The
+    score is an exact int64 dot of two int8 code vectors, so there is
+    no float fold-order hazard anywhere and the DuckDB oracle matches
+    bitwise.
+
+    Scale shape: zero shuffles — quantize, synthesize, dot, and
+    threshold are all per-row JVM higher-order functions fused into
+    the scan stage; at 10^9 pairs this runs map-side and the kept
+    subset streams straight into the training-shard writer.  With a
+    real image tower the img_q column arrives precomputed from the
+    image pipeline and the plan shape is identical (one zip_with per
+    row).
+
+    Reference analog: octopy pairs each page image with its
+    ground-truth text lines before training and drops pages whose
+    pairing is unusable (reference src/octopy/train.py)."""
+    qn = _quantized(spark, sf)
+    img_q = F.transform(
+        F.sequence(F.lit(1), F.size("q")),
+        lambda j: (
+            (F.col("vec_id") * 31 + j.cast("long") * 7) % 255 - 127
+        ).cast("long"),
+    )
+    scored = qn.select(
+        "vec_id",
+        F.size("q").alias("n_dims"),
+        F.aggregate(
+            F.zip_with(F.col("q"), img_q, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("align_dot"),
+    )
+    return scored.select(
+        "vec_id",
+        "n_dims",
+        "align_dot",
+        (F.col("align_dot") > _ALIGN_MIN_DOT).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_cooccurrence_pmi — skip-window co-occurrence counts + PMI ratio
+# --------------------------------------------------------------------------
+
+_PMI_MIN_PAIR = 3  # support floor: singleton pairs carry no signal
+
+_COOCCUR_PMI_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, pos, w[pos] AS word FROM (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        FROM documents WHERE text IS NOT NULL)),
+    prs AS (
+      SELECT word,
+             lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS n1,
+             lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS n2
+      FROM toks),
+    pairs AS (
+      SELECT least(word, n1) AS x, greatest(word, n1) AS y
+      FROM prs WHERE n1 IS NOT NULL
+      UNION ALL
+      SELECT least(word, n2) AS x, greatest(word, n2) AS y
+      FROM prs WHERE n2 IS NOT NULL),
+    pc AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS pair_n
+           FROM pairs GROUP BY x, y),
+    uc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS uni_n
+           FROM toks GROUP BY word),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks)
+    SELECT p.x, p.y, p.pair_n,
+           ux.uni_n AS x_n, uy.uni_n AS y_n,
+           p.pair_n * t.n_tokens * 1000000 // (ux.uni_n * uy.uni_n)
+             AS pmi_ratio_micro
+    FROM pc p
+    JOIN uc ux ON p.x = ux.word
+    JOIN uc uy ON p.y = uy.word
+    CROSS JOIN tot t
+    WHERE p.pair_n >= {_PMI_MIN_PAIR}
+    """
+
+
+@register("text_cooccurrence_pmi", _COOCCUR_PMI_SQL)
+def text_cooccurrence_pmi(spark, sf):
+    """Skip-window word co-occurrence with pointwise-mutual-information
+    ranking — the counting core of word-embedding training data
+    (word2vec negative sampling tables, GloVe co-occurrence matrices)
+    and of collocation mining for tokenizer seeding: count unordered
+    word pairs within a +/-2 token window, then score each pair by
+    PMI expressed as the exact integer ratio
+    ``pair_n * N * 1e6 // (x_n * y_n)`` (PMI = log of that / 1e6 —
+    the log is left to the consumer so both engines stay in BIGINT;
+    at 10^12-token scale the product needs decimal(38,0) headroom,
+    same escape hatch as the other micro-unit keys).
+
+    Scale shape: both window offsets ride the same (doc_id ORDER BY
+    pos) window as lead(1)/lead(2) and fan out as an in-row array
+    explode (never a positional self-join); the pair groupBy
+    partial-aggregates its Zipf head map-side.  The unigram table is
+    vocabulary-sized and localCheckpointed once, so its three
+    consumers (x-side join, y-side join, the scalar N rollup) reuse
+    n_vocab rows instead of re-deriving the corpus scan per branch —
+    the corpus is read exactly twice (token window + unigram count)
+    and shuffled twice, both unavoidable (pairs and unigrams are
+    different keys).  Both join-backs broadcast; the scalar N's
+    single-partition exchange merges aggregation STATES of the vocab
+    table, never corpus rows.  The support floor shrinks the output,
+    not the aggregation (text_bigram_lm's discipline — this key
+    differs by unordered pairs, skip-window reach, and corpus-global
+    PMI instead of conditional probability).
+
+    Reference analog: octopy's training consumes (image, text)
+    co-occurrence ground truth per page; the co-occurrence table is
+    the text-only analog of that pairing signal (reference
+    src/octopy/train.py)."""
+    d = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(
+        "doc_id", F.posexplode(_words(F.col("text"))).alias("pos", "word")
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    prs = toks.select(
+        "word",
+        F.lead("word", 1).over(wnd).alias("n1"),
+        F.lead("word", 2).over(wnd).alias("n2"),
+    )
+    mk = lambda n: F.when(  # noqa: E731 — local pair constructor
+        F.col(n).isNotNull(),
+        F.struct(
+            F.least("word", n).alias("x"), F.greatest("word", n).alias("y")
+        ),
+    )
+    pairs = (
+        prs.select(F.explode(F.array(mk("n1"), mk("n2"))).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select("p.x", "p.y")
+    )
+    pc = pairs.groupBy("x", "y").agg(F.count("*").alias("pair_n"))
+    uc = (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("uni_n"))
+        .localCheckpoint(eager=True)
+    )
+    tot = uc.agg(F.sum("uni_n").cast("long").alias("n_tokens"))
+    return (
+        pc.filter(F.col("pair_n") >= _PMI_MIN_PAIR)
+        .join(
+            F.broadcast(
+                uc.select(F.col("word").alias("x"), F.col("uni_n").alias("x_n"))
+            ),
+            "x",
+        )
+        .join(
+            F.broadcast(
+                uc.select(F.col("word").alias("y"), F.col("uni_n").alias("y_n"))
+            ),
+            "y",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x", "y", "pair_n", "x_n", "y_n",
+            F.expr(
+                "pair_n * n_tokens * 1000000 div (x_n * y_n)"
+            ).alias("pmi_ratio_micro"),
+        )
+    )

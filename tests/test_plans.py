@@ -333,6 +333,9 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         # survive TakeOrderedAndProject (asserted separately)
         "sim_ann_topk", "sim_ann_lsh_bucketed", "sim_ann_ivf",
         "sim_ann_topk_int8",
+        # rank assignment over the k rows surviving TakeOrdered —
+        # identical class to the ANN keys above
+        "agg_reservoir_sample",
         # global window over the collapsed HOST aggregate (bounded by
         # n_hosts, never the doc count) — the documented exception
         # class; see the key's docstring
@@ -343,6 +346,12 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         # partitioned by doc_id (asserted in
         # test_tfidf_window_is_doc_partitioned)
         "text_tfidf_topk",
+        # same false-positive class as text_tfidf_topk: the
+        # SinglePartition exchange feeds the scalar token total N
+        # (aggregation states of the vocab table, one row broadcast
+        # back); the Window is partitioned by doc_id (asserted in
+        # test_pmi_window_is_doc_partitioned)
+        "text_cooccurrence_pmi",
     }
     ALLOW_CARTESIAN = set()
     failures = []
@@ -657,3 +666,20 @@ def test_plan_fingerprints_unchanged(spark):
         "plan fingerprint regression — if intended, regenerate via "
         f"`python scripts/plan_fingerprints.py`: {diffs}"
     )
+
+
+def test_pmi_window_is_doc_partitioned(spark):
+    """text_cooccurrence_pmi rides ALLOW_GLOBAL_WINDOW only because its
+    scalar N rollup trips the single-partition-exchange signature; pin
+    that the lead() Window itself partitions by doc_id, and that the
+    plan has exactly two file scans (token window + unigram count —
+    the localCheckpointed vocab table feeds everything else)."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.queries()["text_cooccurrence_pmi"](spark, SF))
+    wins = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    assert wins, plan
+    assert any("doc_id" in w for w in wins), wins
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 4

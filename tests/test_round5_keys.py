@@ -539,3 +539,116 @@ def test_curriculum_phases_tile_the_per_lang_token_line(spark):
         assert sum(p.n_docs for p in ph) == lang_docs[lang]
         sizes = [p.n_docs for p in ph]
         assert max(sizes) - min(sizes) <= 1
+
+
+def test_manifest_prune_never_false_skips(spark):
+    """No-false-skip law: every document matching the predicate lives
+    in a file the planner marked must_scan; reason column is
+    consistent with the flag; at sf0.01 the doc_id zone maps actually
+    prune files (the readout is not vacuous)."""
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents").collect()
+    matching_files = {
+        (d.source, d.doc_id // 100)
+        for d in docs
+        if 120 <= d.doc_id <= 360 and d.n_chars >= 60
+    }
+    out = R.QUERIES["table_manifest_prune"](spark, sf).collect()
+    scanned = {(r.source, r.file_id) for r in out if r.must_scan}
+    assert matching_files <= scanned
+    for r in out:
+        assert r.must_scan == (r.skip_reason == "scan")
+        # stats envelope sanity
+        assert r.min_doc <= r.max_doc and r.min_chars <= r.max_chars
+    assert any(not r.must_scan for r in out), "pruning was vacuous"
+    assert any(r.skip_reason == "doc_range" for r in out)
+
+
+def test_reservoir_sample_matches_hash_order_statistics(spark):
+    """Exactly k rows, equal to the sequential k-smallest-hash replay,
+    with ranks 1..k in (hk, doc_id) order — reproducible sampling."""
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents").collect()
+    ranked = sorted(
+        ((d.doc_id * 2654435761) % 4294967296, d.doc_id, d.lang)
+        for d in docs
+    )
+    want = [
+        (i + 1, doc, lang, hk)
+        for i, (hk, doc, lang) in enumerate(ranked[:200])
+    ]
+    out = R.QUERIES["agg_reservoir_sample"](spark, sf).collect()
+    got = sorted((r.rank, r.doc_id, r.lang, r.hk) for r in out)
+    assert got == want
+    assert len(got) == 200
+
+
+def test_caption_align_dot_is_exact_int(spark):
+    """Alignment dot replayed sequentially: shared int8 quantizer
+    (round half-away-from-zero, 1e-30 floor regime) x the synthetic
+    image codes — bit-equal int64 dot and keep flag per pair."""
+    import math
+
+    emb = load_table(spark, SF, "embeddings").collect()
+
+    def _q(xs):
+        v = [float(x) for x in xs]
+        m = max(abs(x) for x in v) if v else 0.0
+        if m < 1e-30:
+            return [0] * len(v)
+        return [
+            int(math.copysign(math.floor(abs(x * 127 / m) + 0.5), x))
+            for x in v
+        ]
+
+    want = {}
+    for e in emb:
+        q = _q(e.embedding)
+        img = [
+            (e.vec_id * 31 + (j + 1) * 7) % 255 - 127
+            for j in range(len(q))
+        ]
+        dot = sum(a * b for a, b in zip(q, img))
+        want[e.vec_id] = (len(q), dot, dot > 0)
+    out = T.QUERIES["multimodal_caption_align"](spark, SF).collect()
+    got = {r.vec_id: (r.n_dims, r.align_dot, r.keep) for r in out}
+    assert got == want
+
+
+def test_cooccurrence_pmi_matches_sequential_count(spark):
+    """Pair counts, unigram counts, and the integer PMI ratio replayed
+    sequentially over +/-2 skip windows with unordered canonical
+    pairs; support floor applied to the output only."""
+    docs = load_table(spark, SF, "documents").collect()
+    pair_n: dict = defaultdict(int)
+    uni_n: dict = defaultdict(int)
+    n_tokens = 0
+    for d in docs:
+        if d.text is None:
+            continue
+        w = d.text.split(" ")
+        n_tokens += len(w)
+        for t in w:
+            uni_n[t] += 1
+        for off in (1, 2):
+            for i in range(len(w) - off):
+                x, y = sorted((w[i], w[i + off]))
+                pair_n[(x, y)] += 1
+    want = {
+        (x, y): (
+            c,
+            uni_n[x],
+            uni_n[y],
+            c * n_tokens * 1000000 // (uni_n[x] * uni_n[y]),
+        )
+        for (x, y), c in pair_n.items()
+        if c >= 3
+    }
+    out = T.QUERIES["text_cooccurrence_pmi"](spark, SF).collect()
+    got = {
+        (r.x, r.y): (r.pair_n, r.x_n, r.y_n, r.pmi_ratio_micro)
+        for r in out
+    }
+    assert got == want
+    # canonical-pair law: x <= y everywhere
+    assert all(x <= y for x, y in got)
