@@ -4173,6 +4173,27 @@ def _train_logistic_sql(steps: int, emit: str = "model") -> str:
                   FROM tx, w{steps} w)
             WHERE z > 0.0"""
         )
+    if emit == "calibration":
+        # score the VALIDATION split, bucket by the rational-sigmoid
+        # probability (p in (0,1) strictly, so floor(p*10) is 0..9),
+        # and roll up observed positives + floored predicted micros —
+        # every emitted number is an exact integer
+        return (
+            "WITH " + ",\n".join(ctes)
+            + f""" SELECT bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(yd) AS BIGINT) AS n_pos,
+                   sum(pred_micro) AS pred_micro_sum
+            FROM (
+              SELECT yd,
+                     CAST(floor((0.5 + z / (2.0 * (1.0 + abs(z)))) * 10)
+                          AS INT) AS bucket,
+                     CAST(floor((0.5 + z / (2.0 * (1.0 + abs(z))))
+                                * 1000000) AS BIGINT) AS pred_micro
+              FROM (SELECT yd, {_train_z_sql('w')} AS z
+                    FROM tx, w{steps} w WHERE NOT tx.is_train))
+            GROUP BY bucket"""
+        )
     ctes.append(f"""val AS (
       SELECT count(*) AS val_total,
              sum(CASE WHEN (z > 0.0) = (yd > 0.5) THEN 1 ELSE 0 END)
@@ -6788,5 +6809,243 @@ def text_cooccurrence_pmi(spark, sf):
             F.expr(
                 "pair_n * n_tokens * 1000000 div (x_n * y_n)"
             ).alias("pmi_ratio_micro"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# scan_binary_files — binaryFile ingestion of an image-blob landing dir
+# --------------------------------------------------------------------------
+
+_BINSCAN_MAX_ID = 200
+
+
+def _stage_image_blobs(spark, sf: str) -> str:
+    """Materialize one OIMG blob file per document (doc_id < 200) under
+    /tmp, once per (sf, fingerprint) — the simulated object-store
+    landing a multimodal ingest job reads. Same idempotent staging
+    contract as sources.stage_format_copy."""
+    import os
+
+    from octospark.sources import _staged_dir
+
+    ids = [
+        r.doc_id
+        for r in load_table(spark, sf, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < _BINSCAN_MAX_ID)
+        .collect()
+    ]
+
+    def write(dest: str) -> None:
+        os.makedirs(dest, exist_ok=True)
+        for i in ids:
+            with open(os.path.join(dest, f"img_{i:06d}.oimg"), "wb") as f:
+                f.write(_fake_image_bytes(i))
+        # marker last: a crashed write never looks complete
+        open(os.path.join(dest, "_STAGED"), "w").close()
+
+    return _staged_dir(
+        sf, "documents", "octospark_src", "images.bin", "_STAGED", write
+    )
+
+
+def _be_int(pos: int, nbytes: int):
+    """Big-endian unsigned int from a binary-column slice, decoded
+    entirely JVM-side (substring -> hex -> base-16 conv)."""
+    return F.conv(
+        F.hex(F.expr(f"substring(content, {pos}, {nbytes})")), 16, 10
+    ).cast("long")
+
+
+@register(
+    "scan_binary_files",
+    f"""
+    SELECT doc_id,
+           1 + doc_id % 64 AS width,
+           1 + (doc_id * 7) % 48 AS height,
+           CAST(1 AS BIGINT) AS channels,
+           doc_id % 256 AS first_px,
+           (1 + doc_id % 64) * (1 + (doc_id * 7) % 48) AS n_px
+    FROM documents WHERE doc_id < {_BINSCAN_MAX_ID}
+    """,
+)
+def scan_binary_files(spark, sf):
+    """Whole-file binary ingestion via Spark's ``binaryFile`` source —
+    the R1-family reader for image/audio corpora that land as one
+    object per item rather than as parquet rows: each file becomes a
+    (path, modificationTime, length, content) row, and the OIMG
+    container header (magic | width:u16be | height:u16be |
+    channels:u8 | pixels) is parsed ENTIRELY JVM-side with
+    substring/hex/conv — no Python stage, so header-only metadata
+    extraction never deserializes pixels into the Python worker.  The
+    DuckDB oracle reconstructs every field from doc_id (the
+    deterministic-container discipline of the multimodal keys).
+
+    Scale shape: binaryFile packs many small objects per task
+    (spark.sql.files.maxPartitionBytes), so a 10^9-image landing
+    reads as a normal well-partitioned scan; the header parse is a
+    map-side projection and the pixel payload is never touched unless
+    a downstream decode stage asks for ``content``.
+
+    Reference analog: octopy's segment command globs page-image FILES
+    from a directory as its input unit (reference
+    src/octopy/cli/segment.py)."""
+    d = spark.read.format("binaryFile").load(_stage_image_blobs(spark, sf))
+    fname = F.element_at(F.split(F.col("path"), "/"), -1)
+    return d.select(
+        F.regexp_extract(fname, r"img_(\d+)\.oimg", 1)
+        .cast("long")
+        .alias("doc_id"),
+        _be_int(5, 2).alias("width"),
+        _be_int(7, 2).alias("height"),
+        _be_int(9, 1).alias("channels"),
+        _be_int(10, 1).alias("first_px"),
+        (F.col("length") - 9).cast("long").alias("n_px"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_kneser_ney_bigram — interpolated Kneser-Ney smoothing, exact ints
+# --------------------------------------------------------------------------
+
+_KN_MIN_PAIR = 2  # support floor on the EMITTED pairs (not the counts)
+
+_KNESER_NEY_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, pos, w[pos] AS word FROM (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        FROM documents WHERE text IS NOT NULL)),
+    adj AS (
+      SELECT doc_id, word AS w1,
+             lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM toks),
+    bg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_n
+           FROM adj WHERE w2 IS NOT NULL GROUP BY w1, w2),
+    ctx AS (SELECT w1, sum(pair_n) AS ctx_n,
+                   CAST(COUNT(*) AS BIGINT) AS n1plus
+            FROM bg GROUP BY w1),
+    cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS cont_n
+             FROM bg GROUP BY w2),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM bg)
+    SELECT b.w1, b.w2, b.pair_n, x.ctx_n, x.n1plus, k.cont_n, t.n_types,
+           (greatest(4 * b.pair_n - 3, 0) * t.n_types
+              + 3 * x.n1plus * k.cont_n) * 1000000
+             // (4 * x.ctx_n * t.n_types) AS p_kn_micro
+    FROM bg b
+    JOIN ctx x ON b.w1 = x.w1
+    JOIN cont k ON b.w2 = k.w2
+    CROSS JOIN tot t
+    WHERE b.pair_n >= {_KN_MIN_PAIR}
+    """
+
+
+@register("text_kneser_ney_bigram", _KNESER_NEY_SQL)
+def text_kneser_ney_bigram(spark, sf):
+    """Interpolated Kneser-Ney bigram smoothing (Kneser & Ney 1995;
+    Chen & Goodman 1998) — the smoothing every production KenLM
+    quality scorer uses, where text_bigram_lm's raw conditional counts
+    break down: P_KN(w2|w1) = max(c-d,0)/c(w1) + d*N1+(w1,.)/c(w1) *
+    Pcont(w2), with Pcont the CONTINUATION probability (how many
+    distinct contexts precede w2, not how often w2 occurs — the
+    'San Francisco' correction).  With discount d = 3/4 the whole
+    formula clears to one integer fraction, (max(4c-3,0)*T +
+    3*N1+(w1)*Ncont(w2)) / (4*c(w1)*T) with T = #bigram types, emitted
+    in floored micro-units — exact BIGINT end-to-end on both engines
+    (10^12-token corpora need decimal(38,0) headroom, the standard
+    micro-unit escape hatch).
+
+    Scale shape: ONE corpus-token shuffle (the (doc_id, pos) lead
+    window) feeding one (w1,w2) partial-agg groupBy; the bigram-type
+    table is materialized once (localCheckpoint) and EVERYTHING else
+    — context totals, N1+ fan-outs, continuation counts, the type
+    count — is a vocabulary-sized rollup of that table, never a
+    second corpus pass (the text_cooccurrence_pmi discipline).  Both
+    join-backs broadcast; the support floor shrinks output, not the
+    estimate."""
+    d = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(
+        "doc_id", F.posexplode(_words(F.col("text"))).alias("pos", "word")
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    adj = toks.select(
+        F.col("word").alias("w1"),
+        F.lead("word", 1).over(wnd).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    bg = (
+        adj.groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_n"))
+        .localCheckpoint(eager=True)
+    )
+    ctx = bg.groupBy("w1").agg(
+        F.sum("pair_n").alias("ctx_n"), F.count("*").alias("n1plus")
+    )
+    cont = bg.groupBy("w2").agg(F.count("*").alias("cont_n"))
+    tot = bg.agg(F.count("*").alias("n_types"))
+    return (
+        bg.filter(F.col("pair_n") >= _KN_MIN_PAIR)
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "pair_n", "ctx_n", "n1plus", "cont_n", "n_types",
+            F.expr(
+                "(greatest(4 * pair_n - 3, 0) * n_types"
+                " + 3 * n1plus * cont_n) * 1000000"
+                " div (4 * ctx_n * n_types)"
+            ).alias("p_kn_micro"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus_quality_calibration — reliability table for the trained classifier
+# --------------------------------------------------------------------------
+
+@register(
+    "corpus_quality_calibration",
+    _train_logistic_sql(_TRAIN_STEPS, emit="calibration"),
+)
+def corpus_quality_calibration(spark, sf):
+    """Calibration (reliability) table for the distributed quality
+    classifier — the eval step between train_quality_classifier and
+    corpus_classifier_filter that a production gate ships with: train
+    end-to-end (identical exact loop), score the held-out VALIDATION
+    split, bucket by predicted probability decile, and report per
+    bucket how many documents landed there, how many were actually
+    positive, and the floored sum of predicted micros — a calibrated
+    model has n_pos/n_docs tracking pred_micro_sum/(n_docs*1e6) per
+    bucket.  The probability is the trainer's rational sigmoid
+    p = 0.5 + z/(2(1+|z|)) (strictly inside (0,1), so floor(p*10) is
+    a total, engine-exact bucketing); every emitted number is an
+    exact integer, and the oracle replays training AND calibration.
+
+    Scale shape: training as in train_quality_classifier (steps+1
+    bounded-output passes); calibration adds ONE partial-agg groupBy
+    over <=10 buckets on the validation split — no window, no join,
+    no Python.  Reference analog: octopy evaluates each epoch on the
+    held-out partition and reports per-epoch accuracy (reference
+    src/octopy/cli/train.py validation split)."""
+    from octospark.trainer import fit_logistic_exact, score_expr_exact
+
+    frame, feats = _train_feature_frame(spark, sf)
+    m = fit_logistic_exact(
+        frame, feats, steps=_TRAIN_STEPS, lr=float(_TRAIN_LR)
+    )
+    z = score_expr_exact(m)
+    p = F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+    return (
+        frame.filter(~F.col("is_train"))
+        .select(
+            F.floor(p * 10).cast("int").alias("bucket"),
+            F.col("y"),
+            F.floor(p * 1000000).cast("long").alias("pred_micro"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum("pred_micro").alias("pred_micro_sum"),
         )
     )

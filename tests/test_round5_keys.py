@@ -652,3 +652,91 @@ def test_cooccurrence_pmi_matches_sequential_count(spark):
     assert got == want
     # canonical-pair law: x <= y everywhere
     assert all(x <= y for x, y in got)
+
+
+def test_scan_binary_files_header_parse_matches_codec(spark):
+    """The JVM-side header parse of the staged OIMG blobs equals the
+    codec law (width/height/channels/fill derived from doc_id), for
+    every staged file."""
+    docs = load_table(spark, SF, "documents").collect()
+    ids = sorted(d.doc_id for d in docs if d.doc_id < 200)
+    out = T.QUERIES["scan_binary_files"](spark, SF).collect()
+    assert sorted(r.doc_id for r in out) == ids
+    for r in out:
+        w, h = 1 + r.doc_id % 64, 1 + (r.doc_id * 7) % 48
+        assert (r.width, r.height, r.channels) == (w, h, 1)
+        assert r.first_px == r.doc_id % 256
+        assert r.n_px == w * h
+
+
+def test_kneser_ney_mass_law_and_replay(spark):
+    """Two laws: (1) the interpolated-KN estimate normalizes — for
+    every context w1, sum over OBSERVED continuations of the
+    discounted term plus lambda(w1) * 1 equals exactly 1 (Fraction
+    arithmetic, no float); (2) the emitted micro values equal the
+    sequential integer replay."""
+    from fractions import Fraction
+
+    docs = load_table(spark, SF, "documents").collect()
+    bg: dict = defaultdict(int)
+    for d in docs:
+        if d.text is None:
+            continue
+        w = d.text.split(" ")
+        for a, b in zip(w, w[1:]):
+            bg[(a, b)] += 1
+    ctx_n: dict = defaultdict(int)
+    n1plus: dict = defaultdict(int)
+    cont_n: dict = defaultdict(int)
+    for (a, b), c in bg.items():
+        ctx_n[a] += c
+        n1plus[a] += 1
+        cont_n[b] += 1
+    T_types = len(bg)
+    d75 = Fraction(3, 4)
+    # law 1: normalization per context
+    for w1 in ctx_n:
+        disc = sum(
+            max(Fraction(c) - d75, 0) / ctx_n[w1]
+            for (a, _), c in bg.items()
+            if a == w1
+        )
+        lam = d75 * n1plus[w1] / ctx_n[w1]
+        assert disc + lam == 1, w1
+    # law 2: emitted integers equal the replay
+    want = {}
+    for (a, b), c in bg.items():
+        if c < 2:
+            continue
+        num = max(4 * c - 3, 0) * T_types + 3 * n1plus[a] * cont_n[b]
+        den = 4 * ctx_n[a] * T_types
+        want[(a, b)] = (
+            c, ctx_n[a], n1plus[a], cont_n[b], T_types,
+            num * 1000000 // den,
+        )
+    out = T.QUERIES["text_kneser_ney_bigram"](spark, SF).collect()
+    got = {
+        (r.w1, r.w2): (
+            r.pair_n, r.ctx_n, r.n1plus, r.cont_n, r.n_types,
+            r.p_kn_micro,
+        )
+        for r in out
+    }
+    assert got == want
+
+
+def test_quality_calibration_invariants(spark):
+    """Reliability-table invariants: buckets cover the validation split
+    exactly once; every bucket's floored mean prediction lies inside
+    the bucket's decile; positives never exceed docs; the positive
+    total equals the label column's validation total."""
+    frame, _ = T._train_feature_frame(spark, SF)
+    val = frame.filter("NOT is_train").collect()
+    out = T.QUERIES["corpus_quality_calibration"](spark, SF).collect()
+    assert sum(r.n_docs for r in out) == len(val)
+    assert sum(r.n_pos for r in out) == sum(r.y for r in val)
+    for r in out:
+        assert 0 <= r.bucket <= 9
+        assert 0 <= r.n_pos <= r.n_docs
+        mean_micro = r.pred_micro_sum / r.n_docs
+        assert r.bucket * 100000 <= mean_micro < (r.bucket + 1) * 100000
