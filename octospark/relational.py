@@ -3433,3 +3433,179 @@ def agg_reservoir_sample(spark, sf):
     return top.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).select("rank", "doc_id", "lang", "hk")
+
+
+# --------------------------------------------------------------------------
+# events_wilson_ctr — conversion-rate ranking by Wilson lower bound
+# --------------------------------------------------------------------------
+
+_WILSON_CONV_VALUE = 100.0  # an event converts when its value exceeds this
+
+_WILSON_SQL = f"""
+    WITH agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN value > {_WILSON_CONV_VALUE}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_conv
+      FROM events GROUP BY event_type)
+    SELECT event_type, n_events, n_conv,
+           CAST(n_conv AS DOUBLE) / n_events AS ctr,
+           ((CAST(n_conv AS DOUBLE) / n_events) + 3.8416 / (2.0 * n_events)
+             - 1.96 * sqrt(
+                 ((CAST(n_conv AS DOUBLE) / n_events)
+                  * (1.0 - CAST(n_conv AS DOUBLE) / n_events)) / n_events
+                 + 3.8416 / (4.0 * n_events * n_events)))
+             / (1.0 + 3.8416 / n_events) AS wilson_lb
+    FROM agg
+    """
+
+
+@register("events_wilson_ctr", _WILSON_SQL)
+def events_wilson_ctr(spark, sf):
+    """Conversion-rate ranking by the Wilson score lower bound (z =
+    1.96, the 'how not to sort by average rating' correction): a
+    segment with 3/3 conversions must NOT outrank one with 180/200,
+    so rankings sort by the interval's lower bound, which shrinks
+    toward zero as n falls.  Counts are exact integers from one
+    partial-agg groupBy; the bound itself is one IEEE expression
+    written with the identical operation tree on both engines
+    (division/sqrt are correctly rounded, so the doubles match
+    bitwise).
+
+    Scale shape: a single partial-aggregable groupBy over the event
+    stream (map-side combine carries two counters per segment) —
+    the estimator adds zero shuffles on top of the count; at 10^12
+    events the per-segment math runs on the handful of rollup rows.
+
+    Reference analog: octopy reports per-epoch validation accuracy
+    as a raw proportion (reference src/octopy/cli/train.py); the
+    Wilson bound is that proportion made safe to RANK by."""
+    ev = load_table(spark, sf, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.when(F.col("value") > _WILSON_CONV_VALUE, 1).otherwise(0)
+        ).cast("long").alias("n_conv"),
+    )
+    n = F.col("n_events").cast("double")
+    p = F.col("n_conv").cast("double") / n
+    lb = (
+        p + F.lit(3.8416) / (F.lit(2.0) * n)
+        - F.lit(1.96) * F.sqrt(
+            (p * (F.lit(1.0) - p)) / n
+            + F.lit(3.8416) / (F.lit(4.0) * n * n)
+        )
+    ) / (F.lit(1.0) + F.lit(3.8416) / n)
+    return agg.select(
+        "event_type", "n_events", "n_conv",
+        p.alias("ctr"), lb.alias("wilson_lb"),
+    )
+
+
+# --------------------------------------------------------------------------
+# events_sequence_pattern — MATCH_RECOGNIZE-style per-session regex
+# --------------------------------------------------------------------------
+
+_SEQ_CAP = 200  # guard: a bot session never builds an unbounded string
+
+_SEQ_PATTERN = "v.*c.*p"  # view ... click ... purchase, in order
+
+_SEQ_PATTERN_SQL = f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS initial,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    b AS (
+      SELECT user_id, ts, event_id, initial,
+             CASE WHEN prev_ts IS NULL
+                    OR epoch_us(ts) - epoch_us(prev_ts) > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e),
+    s AS (
+      SELECT user_id, ts, event_id, initial,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM b),
+    capped AS (
+      SELECT user_id, session_id, ts, event_id, initial,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS rn
+      FROM s)
+    SELECT user_id, session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           string_agg(initial, '' ORDER BY ts, event_id) AS seq,
+           regexp_matches(string_agg(initial, '' ORDER BY ts, event_id),
+                          '{_SEQ_PATTERN}') AS matched
+    FROM capped WHERE rn <= {_SEQ_CAP}
+    GROUP BY user_id, session_id
+    """
+
+
+@register("events_sequence_pattern", _SEQ_PATTERN_SQL)
+def events_sequence_pattern(spark, sf):
+    """Per-session event-sequence pattern matching — the
+    MATCH_RECOGNIZE emulation for engines without it: gap-sessionize
+    (the events_sessionize_gap rule), render each session's ordered
+    event-type initials as a string, and regex-match the journey
+    ('v.*c.*p' = view then click then purchase, anything between) —
+    subsequence funnels, abandonment shapes, and bot signatures all
+    reduce to one regex over this string.  Order inside the collected
+    array is made deterministic by sorting (ts, event_id) structs,
+    and a per-session cap (200 events) bounds the string so a bot
+    session can never blow up a row — the cap is applied identically
+    in the oracle via a pre-aggregation row_number filter.
+
+    Scale shape: ONE hashpartitioning(user_id) exchange carries the
+    gap window, the session numbering, the cap window, and the
+    per-session collect (all cluster by user); the regex is one JVM
+    rlike per session row.  At 10^12 events sessions are bounded by
+    the 30-minute gap rule + the cap, so collect_list stays O(cap)."""
+    ev = load_table(spark, sf, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # TIMESTAMP_NTZ: session tz is UTC so the cast is wall-clock-
+    # identical (the events_sessionize_gap idiom)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = ts_us - F.unix_micros(
+        F.lag("ts", 1).over(wu).cast("timestamp")
+    )
+    s = ev.select(
+        "user_id", "ts", "event_id",
+        F.substring("event_type", 1, 1).alias("initial"),
+        F.when(
+            F.lag("ts", 1).over(wu).isNull()
+            | (gap_us > _SESSION_GAP_US),
+            1,
+        ).otherwise(0).alias("is_new"),
+    ).select(
+        "user_id", "ts", "event_id", "initial",
+        F.sum("is_new")
+        .over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    capped = s.withColumn("rn", F.row_number().over(ws)).filter(
+        F.col("rn") <= _SEQ_CAP
+    )
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "initial"))
+            ),
+            lambda x: x.initial,
+        ),
+        "",
+    )
+    return (
+        capped.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            seq.alias("seq"),
+        )
+        .select(
+            "user_id", "session_id", "n_events", "seq",
+            F.col("seq").rlike(_SEQ_PATTERN).alias("matched"),
+        )
+    )

@@ -7049,3 +7049,128 @@ def corpus_quality_calibration(spark, sf):
             F.sum("pred_micro").alias("pred_micro_sum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# sim_knn_graph — mutual-kNN edge list over LSH candidate buckets
+# --------------------------------------------------------------------------
+
+_KNN_PLANES = 4  # 16 buckets: candidate generation, not the final rank
+_KNN_K = 3
+
+
+def _knn_graph_oracle_sql() -> str:
+    """Oracle: same 4 sign-bit hyperplanes as literals, same int8 codes
+    (shared _QUANT_CTE_SQL), same dequantized ranking and mutual
+    self-join — every step either exact BIGINT or one identical IEEE
+    multiply chain."""
+    planes = _hyperplanes()[:_KNN_PLANES]
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(str(x) for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN {_sql_dot('v', lit)} > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    dot = (
+        "list_reduce(list_transform(range(1, len(a.q) + 1), "
+        "j -> a.q[j] * b.q[j]), (acc, x) -> acc + x)"
+    )
+    return (
+        "WITH " + _QUANT_CTE_SQL + f""",
+    bk AS (SELECT vec_id, q, scale, {bucket} AS bucket FROM qn),
+    e AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             {dot} AS dot,
+             (a.scale * b.scale / 16129.0) AS dq
+      FROM bk a JOIN bk b ON a.bucket = b.bucket
+      WHERE a.vec_id <> b.vec_id),
+    r AS (
+      SELECT src, dst, dot,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY src ORDER BY dot * dq DESC, dst)
+               AS BIGINT) AS rank
+      FROM e),
+    knn AS (SELECT * FROM r WHERE rank <= {_KNN_K})
+    SELECT src, dst, dot, rank,
+           COUNT(*) OVER (PARTITION BY least(src, dst),
+                          greatest(src, dst)) = 2 AS mutual
+    FROM knn
+    """
+    )
+
+
+@register("sim_knn_graph", _knn_graph_oracle_sql())
+def sim_knn_graph(spark, sf):
+    """k-nearest-neighbor GRAPH construction (k=3) over LSH candidate
+    buckets — the precursor structure for SemDeDup-style clustering,
+    graph-based ANN indexes (HNSW layer-0 / NN-descent seeds), and
+    kNN-classifier data pruning: 4 sign-bit hyperplanes coarsen the
+    corpus into 16 buckets, each vector ranks only its in-bucket
+    candidates by the dequantized int8 dot (exact int64 dot x one
+    IEEE scale chain — the sim_ann_topk_int8 ranking discipline), and
+    an edge is flagged mutual when both endpoints choose each other
+    (mutual-kNN is the usual density filter before clustering).
+
+    Scale shape: the self-join is an EQUI-join on bucket (hash join,
+    never cartesian — the sweep enforces it), so pair generation is
+    bounded by the bucket histogram, exactly dedup_semantic_semdedup's
+    within-cell discipline; per-src ranking windows partition by src;
+    the mutual check is ONE count window over the canonical
+    undirected pair key of the k*n edge rows (a directed edge occurs
+    at most once, so the pair occurs twice iff both directions chose
+    each other) — never a self-join that would re-run the bucket+rank
+    pipeline, and the shuffle moves EDGES, never vectors.  More
+    planes = smaller buckets =
+    sparser candidates; production tunes planes to the recall target
+    exactly like dedup_minhash_lsh's band count."""
+    planes = _hyperplanes()[:_KNN_PLANES]
+    qn = _quantized(spark, sf)
+    bucket = None
+    for i, p in enumerate(planes):
+        parr = F.array(*[F.lit(x) for x in p])
+        bit = F.when(_dot(F.col("v"), parr) > 0, F.lit(1 << i)).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    bk = qn.select("vec_id", "q", "scale", bucket.alias("bucket"))
+    a = bk.select(
+        F.col("vec_id").alias("src"), F.col("q").alias("qa"),
+        F.col("scale").alias("sa"), "bucket",
+    )
+    b = bk.select(
+        F.col("vec_id").alias("dst"), F.col("q").alias("qb"),
+        F.col("scale").alias("sb"), "bucket",
+    )
+    e = (
+        a.join(b, "bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src", "dst",
+            F.aggregate(
+                F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+            (F.col("sa") * F.col("sb") / F.lit(16129.0)).alias("dq"),
+        )
+    )
+    wr = Window.partitionBy("src").orderBy(
+        (F.col("dot") * F.col("dq")).desc(), "dst"
+    )
+    knn = (
+        e.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= _KNN_K)
+        .select("src", "dst", "dot", "rank")
+    )
+    # mutuality WITHOUT a self-join (the dedup_minhash_lsh no-self-join
+    # lesson: a join against knn would re-run the bucket+rank pipeline
+    # twice): a directed edge appears at most once, so the canonical
+    # undirected pair occurs exactly twice iff both directions chose
+    # each other — one window over the k*n edge rows, partitioned by
+    # the pair key
+    wm = Window.partitionBy(
+        F.least("src", "dst"), F.greatest("src", "dst")
+    )
+    return knn.select(
+        "src", "dst", "dot", "rank",
+        (F.count("*").over(wm) == 2).alias("mutual"),
+    )

@@ -740,3 +740,130 @@ def test_quality_calibration_invariants(spark):
         assert 0 <= r.n_pos <= r.n_docs
         mean_micro = r.pred_micro_sum / r.n_docs
         assert r.bucket * 100000 <= mean_micro < (r.bucket + 1) * 100000
+
+
+def _quantize_int8(xs):
+    """Sequential replay of the shared int8 quantizer (round
+    half-away-from-zero, 1e-30 floor regime)."""
+    import math
+
+    v = [float(x) for x in xs]
+    m = max(abs(x) for x in v) if v else 0.0
+    if m < 1e-30:
+        return [0] * len(v), 1e-30
+    return [
+        int(math.copysign(math.floor(abs(x * 127 / m) + 0.5), x))
+        for x in v
+    ], m
+
+
+def test_knn_graph_matches_sequential_bucketed_knn(spark):
+    """Full sequential replay: hyperplane buckets, in-bucket candidate
+    dots, dequantized top-3 per source, mutual flag from the directed
+    edge set — plus the structural laws (<=k per src, edges never
+    cross buckets, mutual is symmetric membership)."""
+    from octospark.textops import _hyperplanes
+
+    emb = load_table(spark, SF, "embeddings").collect()
+    planes = _hyperplanes()[:4]
+    rows = {}
+    for e in emb:
+        v = [float(x) for x in e.embedding]
+        q, s = _quantize_int8(e.embedding)
+        bucket = sum(
+            (1 << i)
+            for i, p in enumerate(planes)
+            if sum(a * b for a, b in zip(v, p)) > 0
+        )
+        rows[e.vec_id] = (v, q, s, bucket)
+    knn = {}
+    for src, (_, qa, sa, bk) in rows.items():
+        cands = []
+        for dst, (_, qb, sb, bk2) in rows.items():
+            if dst == src or bk2 != bk:
+                continue
+            dot = sum(a * b for a, b in zip(qa, qb))
+            cands.append((-(dot * (sa * sb / 16129.0)), dst, dot))
+        cands.sort()
+        for rank, (_, dst, dot) in enumerate(cands[:3], start=1):
+            knn[(src, dst)] = (dot, rank)
+    want = {
+        (s, d): (dot, rank, (d, s) in knn)
+        for (s, d), (dot, rank) in knn.items()
+    }
+    out = T.QUERIES["sim_knn_graph"](spark, SF).collect()
+    got = {(r.src, r.dst): (r.dot, r.rank, r.mutual) for r in out}
+    assert got == want
+    per_src = defaultdict(int)
+    for (s, _d), (_, _, _) in got.items():
+        per_src[s] += 1
+    assert all(c <= 3 for c in per_src.values())
+
+
+def test_wilson_ctr_bound_laws(spark):
+    """Wilson lower bound replayed with the identical IEEE formula;
+    the bound never exceeds the raw proportion and stays in [0, 1)."""
+    import math
+
+    ev = load_table(spark, SF, "events").collect()
+    agg = defaultdict(lambda: [0, 0])
+    for e in ev:
+        agg[e.event_type][0] += 1
+        if e.value is not None and e.value > 100.0:
+            agg[e.event_type][1] += 1
+    res = R.QUERIES["events_wilson_ctr"](spark, SF).collect()
+    assert {r.event_type for r in res} == set(agg)
+    for r in res:
+        n, c = agg[r.event_type]
+        assert (r.n_events, r.n_conv) == (n, c)
+        p = c / n
+        lb = (
+            p + 3.8416 / (2.0 * n)
+            - 1.96 * math.sqrt(
+                (p * (1.0 - p)) / n + 3.8416 / (4.0 * n * n)
+            )
+        ) / (1.0 + 3.8416 / n)
+        assert abs(r.wilson_lb - lb) < 1e-12
+        assert r.wilson_lb <= r.ctr + 1e-12
+        assert 0.0 <= max(r.wilson_lb, 0.0) < 1.0
+
+
+def test_sequence_pattern_matches_sequential_sessions(spark):
+    """Sessionize sequentially (30-min gap, (ts, event_id) order), cap
+    at 200 events, build the initials string, regex-match — equal to
+    the distributed result row for row."""
+    import re
+
+    ev = load_table(spark, SF, "events").collect()
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e.user_id].append((e.ts, e.event_id, e.event_type[0]))
+    want = {}
+    for u, rows in by_user.items():
+        rows.sort()
+        sid = 0
+        prev = None
+        cur: list = []
+        flush = []
+        for ts, eid, ini in rows:
+            if prev is None or _us(ts) - _us(prev) > _GAP_US:
+                if cur:
+                    flush.append(cur)
+                cur = []
+            cur.append(ini)
+            prev = ts
+        if cur:
+            flush.append(cur)
+        for sid, inis in enumerate(flush, start=1):
+            seq = "".join(inis[:200])
+            want[(u, sid)] = (
+                len(inis[:200]),
+                seq,
+                re.search("v.*c.*p", seq) is not None,
+            )
+    out = R.QUERIES["events_sequence_pattern"](spark, SF).collect()
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.seq, r.matched)
+        for r in out
+    }
+    assert got == want
