@@ -391,3 +391,40 @@ def windowed_page_counts(
             "n_pages",
         )
     )
+
+
+def join_stream_with_fetch_log(
+    pages: DataFrame,
+    fetches: DataFrame,
+    watermark: str = "10 minutes",
+    max_lag_minutes: int = 5,
+) -> DataFrame:
+    """Stream-stream INNER join: enrich the live pages stream with the
+    crawl fetch log (status code, latency) that arrives on its own
+    stream — matched on url with an event-time range bound
+    (fetch within [warc_ts, warc_ts + max_lag]).  Both sides carry
+    watermarks because Spark requires them to BOUND THE JOIN STATE:
+    a buffered page can be dropped from state once the fetch-side
+    watermark passes warc_ts + max_lag (no future fetch can match),
+    which is what keeps state finite on an unbounded 10^12-page
+    crawl.  Without the time bound the state store would pin every
+    unmatched url forever.
+
+    Scale shape: the join state is hash-partitioned by url exactly
+    like a batch shuffle join; the range condition turns into the
+    state-eviction clock. The reference has no streaming analog (its
+    progress loop is batch, cli/segment.py:134-145) — this is the
+    Spark-native extension of R11's url-keyed join to unbounded
+    inputs."""
+    p = pages.withWatermark("warc_ts", watermark)
+    f = fetches.withWatermark("fetch_ts", watermark)
+    return p.join(
+        f,
+        F.expr(
+            "url = fetch_url AND fetch_ts >= warc_ts "
+            f"AND fetch_ts <= warc_ts + interval {max_lag_minutes} minutes"
+        ),
+        "inner",
+    ).select(
+        "url", "warc_ts", "fetch_ts", "status", "latency_ms",
+    )

@@ -516,3 +516,73 @@ def test_exactly_once_sink_kill_resume_no_dup_no_gap(
     assert got_df.groupBy("url").count().filter("count != 1").count() == 0
     ids = sorted(int(k) for k in read_manifest(out)["batches"])
     assert ids == list(range(len(ids)))  # contiguous batch commits
+
+
+def test_stream_stream_join_respects_time_bound_and_emits_once(
+    spark, tmp_path
+):
+    """Stream-stream url join with an event-time range: a fetch within
+    [warc_ts, warc_ts+5min] joins; one outside the bound never does;
+    re-triggering never duplicates an emitted match."""
+    from octospark.streamops import join_stream_with_fetch_log
+
+    pages_dir = str(tmp_path / "ss_pages")
+    fetch_dir = str(tmp_path / "ss_fetch")
+    ckpt = str(tmp_path / "ss_ckpt")
+
+    def land(path, schema, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    pg = "url string, warc_ts timestamp"
+    ft = "fetch_url string, fetch_ts timestamp, status int, latency_ms int"
+    ts = lambda s: __import__("datetime").datetime.fromisoformat(s)  # noqa: E731
+
+    # batch 1: two pages; u1's fetch lands 2 min later (in bound),
+    # u2's fetch lands 30 min later (outside the 5-min bound)
+    land(pages_dir, pg, [("u1", ts("2026-01-01 10:00:00")),
+                         ("u2", ts("2026-01-01 10:00:00"))])
+    land(fetch_dir, ft, [("u1", ts("2026-01-01 10:02:00"), 200, 37),
+                         ("u2", ts("2026-01-01 10:30:00"), 200, 11)])
+
+    pages = (
+        spark.readStream.schema(pg).option("maxFilesPerTrigger", 1)
+        .parquet(pages_dir)
+    )
+    fetches = (
+        spark.readStream.schema(ft).option("maxFilesPerTrigger", 1)
+        .parquet(fetch_dir)
+    )
+    q = (
+        join_stream_with_fetch_log(pages, fetches)
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a second page for u2 whose fetch IS in bound, plus
+        # far-future rows on both sides to advance both watermarks and
+        # force state eviction of everything earlier
+        land(pages_dir, pg, [("u2", ts("2026-01-01 10:28:00")),
+                             ("zz", ts("2026-01-01 12:00:00"))])
+        land(fetch_dir, ft, [("zz", ts("2026-01-01 12:00:00"), 500, 1)])
+        q.processAllAvailable()
+        q.processAllAvailable()  # idempotent re-trigger: no new files
+        got = {
+            (r.url, r.warc_ts.strftime("%H:%M"),
+             r.fetch_ts.strftime("%H:%M"), r.status, r.latency_ms)
+            for r in spark.sql("SELECT * FROM ss_join").collect()
+        }
+        n_rows = spark.sql("SELECT count(*) c FROM ss_join").collect()[0].c
+    finally:
+        q.stop()
+    assert got == {
+        ("u1", "10:00", "10:02", 200, 37),   # in-bound match
+        ("u2", "10:28", "10:30", 200, 11),   # matches the LATER page only
+        ("zz", "12:00", "12:00", 500, 1),    # watermark-advancer pair
+    }
+    assert n_rows == len(got)  # emitted exactly once each
