@@ -3609,3 +3609,164 @@ def events_sequence_pattern(spark, sf):
             F.col("seq").rlike(_SEQ_PATTERN).alias("matched"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# events_new_vs_returning — daily growth accounting + cumulative users
+# --------------------------------------------------------------------------
+
+_NEW_RET_SQL = """
+    WITH ud AS (
+      SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+      FROM events),
+    first_day AS (
+      SELECT user_id, min(day) AS day FROM ud GROUP BY user_id),
+    act AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS active_users
+      FROM ud GROUP BY day),
+    nw AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM first_day GROUP BY day)
+    SELECT a.day, a.active_users,
+           COALESCE(n.new_users, 0) AS new_users,
+           a.active_users - COALESCE(n.new_users, 0) AS returning_users,
+           SUM(COALESCE(n.new_users, 0)) OVER (
+             ORDER BY a.day ROWS UNBOUNDED PRECEDING) AS cum_users
+    FROM act a LEFT JOIN nw n ON a.day = n.day
+    """
+
+
+@register("events_new_vs_returning", _NEW_RET_SQL)
+def events_new_vs_returning(spark, sf):
+    """Daily new-vs-returning user accounting plus the cumulative
+    acquired-users curve — the growth dashboard every event pipeline
+    feeds: a user is NEW on the day of their first-ever event and
+    RETURNING on every later active day; cum_users is the running sum
+    of daily new users (== distinct users ever seen through that
+    day).  All exact integer counts; days as formatted strings (the
+    house timestamp rule).
+
+    Scale shape: one distinct (user, day) shuffle over the event
+    stream (partial-aggregable), one user-keyed min rollup for first
+    days, then everything runs on DAY-sized tables — the cumulative
+    window is a running sum over the collapsed per-day rollup
+    (bounded by the calendar, never the event count), the documented
+    global-window exception class of corpus_host_coverage_curve.
+
+    Reference analog: octopy accumulates per-epoch counts over a
+    fixed train/val membership (reference src/octopy/train.py) — the
+    first-seen-day rollup is the same membership accounting over
+    time."""
+    ev = load_table(spark, sf, "events")
+    ud = ev.select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("day"))
+    act = ud.groupBy("day").agg(F.count("*").alias("active_users"))
+    nw = first.groupBy("day").agg(F.count("*").alias("new_users"))
+    j = act.join(nw, "day", "left").select(
+        "day",
+        "active_users",
+        F.coalesce("new_users", F.lit(0)).alias("new_users"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return j.select(
+        "day", "active_users", "new_users",
+        (F.col("active_users") - F.col("new_users"))
+        .alias("returning_users"),
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# table_partition_evolution — planning across two partition specs
+# --------------------------------------------------------------------------
+
+_EVOLVE_SRC = "src1"
+_EVOLVE_LANG = "en"
+
+_PARTITION_EVOLUTION_SQL = f"""
+    WITH spec1 AS (
+      SELECT 1 AS spec, source, doc_id // 100 AS file_id,
+             CAST(NULL AS VARCHAR) AS lang,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM documents WHERE (doc_id // 100) % 2 = 0
+      GROUP BY source, doc_id // 100),
+    spec2 AS (
+      SELECT 2 AS spec, source, doc_id // 100 AS file_id, lang,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM documents WHERE (doc_id // 100) % 2 = 1
+      GROUP BY source, doc_id // 100, lang),
+    manifest AS (SELECT * FROM spec1 UNION ALL SELECT * FROM spec2)
+    SELECT spec, source, file_id, lang, n_rows,
+           (source = '{_EVOLVE_SRC}'
+            AND (spec = 1 OR lang = '{_EVOLVE_LANG}')) AS must_scan,
+           CASE
+             WHEN source <> '{_EVOLVE_SRC}' THEN 'source'
+             WHEN spec = 2 AND lang <> '{_EVOLVE_LANG}' THEN 'lang'
+             ELSE 'scan'
+           END AS prune_reason
+    FROM manifest
+    """
+
+
+@register("table_partition_evolution", _PARTITION_EVOLUTION_SQL)
+def table_partition_evolution(spark, sf):
+    """Scan planning across an EVOLVED partition spec — the Iceberg
+    contract that old data is never rewritten when the partitioning
+    changes: files written under spec 1 (partitioned by source only)
+    coexist with files written under spec 2 (partitioned by
+    (source, lang)), and a predicate ``source = X AND lang = Y`` must
+    prune per-spec — spec-2 files prune on BOTH keys, spec-1 files
+    prune on source but must be scanned for every lang (their lang
+    partition value does not exist).  The planner emits must_scan +
+    the first partition key that proved skippable, per file, from the
+    manifest alone.
+
+    Scale shape: metadata-only, the table_manifest_prune discipline —
+    two partial-agg groupBys synthesize the two spec manifests (at
+    production scale both already exist as Iceberg manifests), the
+    decision is per-row arithmetic, no join, no window.  This is why
+    spec evolution is free on a 100 TB table: the old files keep
+    their old grouping and only the PLANNER knows two dialects.
+
+    Reference analog: octopy's class-merge remapping lets old labels
+    coexist with a new target taxonomy, resolved at read time
+    (reference src/octopy/train.py:199-240) — the same
+    old-data-under-new-schema contract."""
+    docs = load_table(spark, sf, "documents")
+    fid = F.expr("doc_id div 100")
+    s1 = (
+        docs.filter(fid % 2 == 0)
+        .groupBy("source", fid.alias("file_id"))
+        .agg(F.count("*").alias("n_rows"))
+        .select(
+            F.lit(1).alias("spec"), "source", "file_id",
+            F.lit(None).cast("string").alias("lang"), "n_rows",
+        )
+    )
+    s2 = (
+        docs.filter(fid % 2 == 1)
+        .groupBy("source", fid.alias("file_id"), "lang")
+        .agg(F.count("*").alias("n_rows"))
+        .select(
+            F.lit(2).alias("spec"), "source", "file_id", "lang", "n_rows"
+        )
+    )
+    m = s1.unionByName(s2)
+    must = (F.col("source") == _EVOLVE_SRC) & (
+        (F.col("spec") == 1) | (F.col("lang") == _EVOLVE_LANG)
+    )
+    return m.select(
+        "spec", "source", "file_id", "lang", "n_rows",
+        must.alias("must_scan"),
+        F.when(F.col("source") != _EVOLVE_SRC, F.lit("source"))
+        .when(
+            (F.col("spec") == 2) & (F.col("lang") != _EVOLVE_LANG),
+            F.lit("lang"),
+        )
+        .otherwise(F.lit("scan"))
+        .alias("prune_reason"),
+    )

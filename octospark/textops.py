@@ -7174,3 +7174,110 @@ def sim_knn_graph(spark, sf):
         "src", "dst", "dot", "rank",
         (F.count("*").over(wm) == 2).alias("mutual"),
     )
+
+
+# --------------------------------------------------------------------------
+# graph_jaccard_link_pred — neighbor-Jaccard link prediction scores
+# --------------------------------------------------------------------------
+
+_LINKPRED_MIN_COMMON = 2
+
+_LINKPRED_SQL = (
+    "WITH "
+    + ",\n".join(_MODULAR_EDGES_CTES)
+    + f""",
+    e2 AS MATERIALIZED (
+      -- MATERIALIZED works around a DuckDB binder fault when a WHERE
+      -- filters the unnest-produced edges CTE referenced by a UNION
+      SELECT src, dst FROM edges WHERE src <> dst),
+    adj AS (
+      SELECT src AS v, dst AS w FROM e2
+      UNION
+      SELECT dst AS v, src AS w FROM e2),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY v),
+    wedge AS (
+      SELECT a1.w AS x, a2.w AS y
+      FROM adj a1 JOIN adj a2 ON a1.v = a2.v AND a1.w < a2.w),
+    cm AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS common_n
+           FROM wedge GROUP BY x, y),
+    und AS (SELECT DISTINCT least(v, w) AS x, greatest(v, w) AS y FROM adj)
+    SELECT c.x, c.y, c.common_n, dx.d AS deg_x, dy.d AS deg_y,
+           (u.x IS NOT NULL) AS already_linked,
+           c.common_n * 1000000 // (dx.d + dy.d - c.common_n)
+             AS jaccard_micro
+    FROM cm c
+    JOIN deg dx ON c.x = dx.v
+    JOIN deg dy ON c.y = dy.v
+    LEFT JOIN und u ON c.x = u.x AND c.y = u.y
+    WHERE c.common_n >= {_LINKPRED_MIN_COMMON}
+    """
+)
+
+
+@register("graph_jaccard_link_pred", _LINKPRED_SQL)
+def graph_jaccard_link_pred(spark, sf):
+    """Neighbor-Jaccard link prediction (Liben-Nowell & Kleinberg
+    2003) over the undirected link graph: score every vertex pair
+    sharing >= 2 neighbors by |N(x) ∩ N(y)| / |N(x) ∪ N(y)| in exact
+    integer micros — the classic recommend-a-link / detect-a-missing-
+    mirror primitive, and (with already_linked flagged) the spam
+    signal for pairs whose neighborhoods are near-identical.  Common
+    neighbors come from the wedge join (adjacency joined to itself on
+    the shared middle vertex, x < y canonical so each pair counts
+    once); the union size is inclusion-exclusion on the two exact
+    degrees, so no set materialization ever happens.
+
+    Scale shape: the wedge join is the triangle-enumeration shape
+    (graph_triangle_count) — middle-vertex keyed, partial-agg
+    friendly; its fanout is sum(deg^2), so at web scale the known
+    mitigation is the same hot-hub degree cap documented there (drop
+    or sample wedges through vertices above a degree ceiling — a hub
+    shared by everyone predicts nothing).  Degrees and the
+    already-linked probe are edge-keyed hash joins; the support floor
+    bounds the OUTPUT, not the count."""
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    n = docs.count()
+    e = _modular_edges(docs, n).filter(F.col("src") != F.col("dst"))
+    adj = (
+        e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+        .unionByName(
+            e.select(F.col("dst").alias("v"), F.col("src").alias("w"))
+        )
+        .distinct()
+        # edge-sized: materialize once so the five consumers (two wedge
+        # sides, two degree projections, the already-linked probe) reuse
+        # the adjacency instead of re-deriving the corpus scan each —
+        # the graph_hits_scores edge-checkpoint idiom
+        .localCheckpoint(eager=True)
+    )
+    deg = adj.groupBy("v").agg(F.count("*").alias("d"))
+    a1 = adj.select("v", F.col("w").alias("x"))
+    a2 = adj.select("v", F.col("w").alias("y"))
+    cm = (
+        a1.join(a2, "v")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("common_n"))
+        .filter(F.col("common_n") >= _LINKPRED_MIN_COMMON)
+    )
+    und = adj.select(
+        F.least("v", "w").alias("x"), F.greatest("v", "w").alias("y")
+    ).distinct().withColumn("linked", F.lit(True))
+    return (
+        cm.join(
+            deg.select(F.col("v").alias("x"), F.col("d").alias("deg_x")),
+            "x",
+        )
+        .join(
+            deg.select(F.col("v").alias("y"), F.col("d").alias("deg_y")),
+            "y",
+        )
+        .join(und, ["x", "y"], "left")
+        .select(
+            "x", "y", "common_n", "deg_x", "deg_y",
+            F.coalesce("linked", F.lit(False)).alias("already_linked"),
+            F.expr(
+                "common_n * 1000000 div (deg_x + deg_y - common_n)"
+            ).alias("jaccard_micro"),
+        )
+    )

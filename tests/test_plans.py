@@ -340,6 +340,10 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         # n_hosts, never the doc count) — the documented exception
         # class; see the key's docstring
         "corpus_host_coverage_curve",
+        # same exception class: cumulative-users running sum over the
+        # collapsed per-DAY rollup (bounded by the calendar, never the
+        # event count); see the key's docstring
+        "events_new_vs_returning",
         # detector false positive, not a global window: the plan's
         # Exchange SinglePartition feeds the SCALAR corpus-count N
         # (one row, broadcast back); the Window node itself is

@@ -867,3 +867,109 @@ def test_sequence_pattern_matches_sequential_sessions(spark):
         for r in out
     }
     assert got == want
+
+
+def test_link_pred_matches_sequential_jaccard(spark):
+    """Sequential replay of the wedge-count Jaccard: undirected
+    adjacency sets from the modular edges, common = |N(x) ∩ N(y)|,
+    union by inclusion-exclusion, floored micros; already_linked
+    equals edge-set membership."""
+    docs = load_table(spark, SF, "documents").collect()
+    n = len(docs)
+    nbrs = defaultdict(set)
+    for d in docs:
+        i = d.doc_id
+        for j in ((i * 17 + 1) % n, (i * 31 + 7) % n, (i + 1) % n):
+            if i != j:
+                nbrs[i].add(j)
+                nbrs[j].add(i)
+    want = {}
+    nodes = sorted(nbrs)
+    # replay via wedges so complexity mirrors the distributed shape
+    common = defaultdict(int)
+    for v in nodes:
+        adj = sorted(nbrs[v])
+        for ai in range(len(adj)):
+            for bi in range(ai + 1, len(adj)):
+                common[(adj[ai], adj[bi])] += 1
+    for (x, y), c in common.items():
+        if c < 2:
+            continue
+        dx, dy = len(nbrs[x]), len(nbrs[y])
+        want[(x, y)] = (
+            c, dx, dy, y in nbrs[x],
+            c * 1000000 // (dx + dy - c),
+        )
+    out = T.QUERIES["graph_jaccard_link_pred"](spark, SF).collect()
+    got = {
+        (r.x, r.y): (
+            r.common_n, r.deg_x, r.deg_y, r.already_linked,
+            r.jaccard_micro,
+        )
+        for r in out
+    }
+    assert got == want
+    # structural law: scores live in (0, 1e6]
+    assert all(0 < v[4] <= 1000000 for v in got.values())
+
+
+def test_new_vs_returning_matches_sequential_walk(spark):
+    """Sequential replay: first-seen day per user, daily active set,
+    new/returning split, cumulative acquired-users curve."""
+    ev = load_table(spark, SF, "events").collect()
+    days = defaultdict(set)
+    first = {}
+    for e in ev:
+        d = e.ts.strftime("%Y-%m-%d")
+        days[d].add(e.user_id)
+        if e.user_id not in first or d < first[e.user_id]:
+            first[e.user_id] = d
+    want = {}
+    cum = 0
+    for d in sorted(days):
+        new = sum(1 for u, fd in first.items() if fd == d)
+        cum += new
+        want[d] = (len(days[d]), new, len(days[d]) - new, cum)
+    out = R.QUERIES["events_new_vs_returning"](spark, SF).collect()
+    got = {
+        r.day: (r.active_users, r.new_users, r.returning_users,
+                r.cum_users)
+        for r in out
+    }
+    assert got == want
+    # conservation: final cumulative == total distinct users
+    assert got[sorted(got)[-1]][3] == len(first)
+
+
+def test_partition_evolution_never_false_skips(spark):
+    """No-false-skip across BOTH specs: every document matching
+    (source, lang) lives in a must_scan file of its spec; spec-1
+    files matching the source are always scanned (their lang value is
+    unknown); reasons are consistent with the flag."""
+    docs = load_table(spark, SF, "documents").collect()
+    out = R.QUERIES["table_partition_evolution"](spark, SF).collect()
+    scanned1 = {
+        (r.source, r.file_id) for r in out if r.spec == 1 and r.must_scan
+    }
+    scanned2 = {
+        (r.source, r.file_id, r.lang)
+        for r in out
+        if r.spec == 2 and r.must_scan
+    }
+    for d in docs:
+        fid = d.doc_id // 100
+        if d.source == "src1" and d.lang == "en":
+            if fid % 2 == 0:
+                assert (d.source, fid) in scanned1
+            else:
+                assert (d.source, fid, d.lang) in scanned2
+    for r in out:
+        assert r.must_scan == (r.prune_reason == "scan")
+        if r.spec == 1:
+            assert r.lang is None
+            if r.source == "src1":
+                assert r.must_scan  # spec-1 cannot prune on lang
+        else:
+            assert r.lang is not None
+    assert any(r.prune_reason == "lang" for r in out)
+    assert any(r.prune_reason == "source" for r in out)
