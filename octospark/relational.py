@@ -3770,3 +3770,79 @@ def table_partition_evolution(spark, sf):
         .otherwise(F.lit("scan"))
         .alias("prune_reason"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_stickiness_dau_wau — DAU/WAU engagement stickiness per day
+# --------------------------------------------------------------------------
+
+_STICKINESS_SQL = """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+    contrib AS (
+      SELECT DISTINCT user_id, cd FROM (
+        SELECT user_id, unnest([day + CAST(i AS INTEGER) FOR i IN range(0, 7)]) AS cd
+        FROM ud)),
+    wau AS (
+      SELECT cd AS day, CAST(COUNT(*) AS BIGINT) AS wau
+      FROM contrib GROUP BY cd)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+           d.dau * 1000000 // w.wau AS stickiness_micro
+    FROM dau d JOIN wau w ON d.day = w.day
+    """
+
+
+@register("events_stickiness_dau_wau", _STICKINESS_SQL)
+def events_stickiness_dau_wau(spark, sf):
+    """DAU/WAU engagement stickiness per day — the standard retention
+    health ratio: daily actives over trailing-7-day actives
+    (stickiness 1e6 micro-units; ~142857 = users show up one day in
+    seven, 1e6 = every weekly user is daily).  Distinct-count-over-a-
+    sliding-window does NOT partial-aggregate directly, so the scale
+    trick is CONTRIBUTION EXPANSION: each (user, active-day) row
+    contributes to exactly the 7 calendar days it keeps the user
+    'weekly active' for, and WAU(day) becomes a plain distinct count
+    per contributed day — turning a windowed COUNT DISTINCT into two
+    partial-aggregable shuffles with a bounded 7x row expansion of
+    the (user, day) table (NOT of the event stream).
+
+    Scale shape: one distinct (user, day) reduction of the event
+    stream, one 7x map-side explode of that far-smaller table, one
+    distinct + count per day; output is calendar-sized.  WAU is
+    emitted for days with activity (inner join with DAU) — identical
+    convention both engines.
+
+    Reference analog: octopy's validation cadence measures model
+    health on a sliding schedule (cli/train.py:199-206); this is the
+    same trailing-window health readout over users."""
+    ev = load_table(spark, sf, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(6)),
+                    lambda i: F.date_add(F.col("day"), i),
+                )
+            ).alias("cd"),
+        )
+        .distinct()
+    )
+    wau = contrib.groupBy(F.col("cd").alias("day")).agg(
+        F.count("*").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.expr("dau * 1000000 div wau").alias("stickiness_micro"),
+        )
+    )

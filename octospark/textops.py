@@ -7281,3 +7281,106 @@ def graph_jaccard_link_pred(spark, sf):
             ).alias("jaccard_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# text_code_detection — code-vs-prose gate for corpus routing
+# --------------------------------------------------------------------------
+
+# every 20th doc gets a deterministic code block appended — the known
+# positives the detector must catch (same injected-positive discipline
+# as dedup_containment's snippets); the snippet varies with doc_id so
+# injected docs are not all byte-identical, and it repeats with doc
+# LENGTH because a code doc is mostly code — symbol density must stay
+# high regardless of the base text size
+_CODE_SNIPPET_SQL = (
+    "repeat(' int x' || CAST(doc_id % 7 AS VARCHAR) || "
+    "' = (a[i] * 3); if (x > 0) { y += x; } // k', "
+    "1 + CAST(length(coalesce(text, '')) // 100 AS INTEGER))"
+)
+_CODE_SYMBOLS = "{}();=[]<>+*/"
+_CODE_SYM_MICRO = 50000  # >= 5% symbol chars -> code
+
+
+@register(
+    "text_code_detection",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 20 = 0
+                  THEN coalesce(text, '') || {_CODE_SNIPPET_SQL}
+                  ELSE coalesce(text, '') END AS t
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(length(t) AS BIGINT) AS n_chars,
+             CAST(length(t) - length(translate(t, '{_CODE_SYMBOLS}', ''))
+                  AS BIGINT) AS n_code_sym,
+             CAST(length(t) - length(replace(t, ';', '')) AS BIGINT)
+               AS n_semicolons
+      FROM aug)
+    SELECT doc_id, n_chars, n_code_sym, n_semicolons,
+           CASE WHEN n_chars > 0
+                THEN n_code_sym * 1000000 // n_chars ELSE 0 END
+             AS sym_micro,
+           (n_chars > 0
+            AND n_code_sym * 1000000 // n_chars >= {_CODE_SYM_MICRO})
+             AS is_code
+    FROM m
+    """,
+)
+def text_code_detection(spark, sf):
+    """Code-vs-prose detection — the corpus-routing gate every mixed
+    web scrape needs before LM training (code goes to the code
+    pipeline with its own dedup/quality stack; prose goes to the text
+    stack; StarCoder/DCLM-style preprocessing both start here): score
+    each document by code-symbol density ({{}}();=[]<>+*/ per char,
+    integer micro-units) and flag docs above 5%.  The natural corpus
+    is symbol-free word soup, so every 20th document gets a
+    deterministic code block appended in BOTH engines (the
+    injected-positive discipline of dedup_containment) — the
+    detector's recall on known positives is pinned in tests.
+
+    Scale shape: pure map-side length/translate/replace arithmetic
+    fused into the scan (zero shuffles, zero Python, whole-stage
+    codegen); at 10^12 docs this is a free column on the first pass.
+    Production swap: add per-language keyword hit counts as extra
+    translate/regexp columns — same plan shape.
+
+    Reference analog: octopy routes segmented regions by class before
+    recognition (segment vs table vs image regions, segment.py) — the
+    same route-by-content-type gate one level up."""
+    docs = load_table(spark, sf, "documents")
+    snippet = F.concat(
+        F.lit(" int x"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(" = (a[i] * 3); if (x > 0) { y += x; } // k"),
+    )
+    base = F.coalesce(F.col("text"), F.lit(""))
+    # a code doc is MOSTLY code: repeat the snippet with doc length so
+    # symbol density stays high regardless of the base text size
+    reps = (F.lit(1) + F.floor(F.length(base) / 100)).cast("int")
+    t = F.when(
+        F.col("doc_id") % 20 == 0,
+        F.concat(base, F.repeat(snippet, reps)),
+    ).otherwise(base)
+    m = docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        (F.length(t) - F.length(F.translate(t, _CODE_SYMBOLS, "")))
+        .cast("long")
+        .alias("n_code_sym"),
+        (F.length(t) - F.length(F.replace(t, F.lit(";"), F.lit(""))))
+        .cast("long")
+        .alias("n_semicolons"),
+    )
+    sym_micro = F.when(
+        F.col("n_chars") > 0,
+        F.expr("n_code_sym * 1000000 div n_chars"),
+    ).otherwise(F.lit(0).cast("long"))
+    return m.select(
+        "doc_id", "n_chars", "n_code_sym", "n_semicolons",
+        sym_micro.alias("sym_micro"),
+        ((F.col("n_chars") > 0) & (sym_micro >= _CODE_SYM_MICRO))
+        .alias("is_code"),
+    )

@@ -973,3 +973,62 @@ def test_partition_evolution_never_false_skips(spark):
             assert r.lang is not None
     assert any(r.prune_reason == "lang" for r in out)
     assert any(r.prune_reason == "source" for r in out)
+
+
+def test_stickiness_matches_sequential_window(spark):
+    """DAU/WAU replayed sequentially: per day, WAU = distinct users
+    active in the trailing 7 calendar days; DAU <= WAU always;
+    stickiness in (0, 1e6]."""
+    from datetime import timedelta
+
+    ev = load_table(spark, SF, "events").collect()
+    ud = {(e.user_id, e.ts.date()) for e in ev}
+    days = sorted({d for _, d in ud})
+    want = {}
+    for d in days:
+        dau = sum(1 for u, dd in ud if dd == d)
+        wau = len({
+            u for u, dd in ud
+            if d - timedelta(days=6) <= dd <= d
+        })
+        want[d.strftime("%Y-%m-%d")] = (
+            dau, wau, dau * 1000000 // wau,
+        )
+    out = R.QUERIES["events_stickiness_dau_wau"](spark, SF).collect()
+    got = {r.day: (r.dau, r.wau, r.stickiness_micro) for r in out}
+    assert got == want
+    for dau, wau, s in got.values():
+        assert dau <= wau
+        assert 0 < s <= 1000000
+
+
+def test_code_detection_catches_injected_and_matches_recount(spark):
+    """Every injected code doc (doc_id % 20 == 0) is flagged; clean
+    docs are not; counts equal the Python recount over the same
+    augmented text."""
+    docs = load_table(spark, SF, "documents").collect()
+    syms = set("{}();=[]<>+*/")
+    want = {}
+    for d in docs:
+        t = d.text or ""
+        if d.doc_id % 20 == 0:
+            snip = (f" int x{d.doc_id % 7}"
+                    " = (a[i] * 3); if (x > 0) { y += x; } // k")
+            t += snip * (1 + len(t) // 100)
+        n = len(t)
+        ns = sum(1 for c in t if c in syms)
+        semi = t.count(";")
+        sym_micro = ns * 1000000 // n if n else 0
+        want[d.doc_id] = (n, ns, semi, sym_micro, n > 0 and sym_micro >= 50000)
+    out = T.QUERIES["text_code_detection"](spark, SF).collect()
+    got = {
+        r.doc_id: (r.n_chars, r.n_code_sym, r.n_semicolons,
+                   r.sym_micro, r.is_code)
+        for r in out
+    }
+    assert got == want
+    for doc_id, v in got.items():
+        if doc_id % 20 == 0:
+            assert v[4], f"injected code doc {doc_id} not flagged"
+        else:
+            assert not v[4], f"clean doc {doc_id} falsely flagged"
