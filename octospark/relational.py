@@ -3846,3 +3846,122 @@ def events_stickiness_dau_wau(spark, sf):
             F.expr("dau * 1000000 div wau").alias("stickiness_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# events_rfm_segments — recency/frequency/monetary segmentation rollup
+# --------------------------------------------------------------------------
+
+_RFM_SQL = """
+    WITH u AS (
+      SELECT user_id,
+             CAST(max(CAST(ts AS DATE)) AS DATE) AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS rev_micro
+      FROM events GROUP BY user_id),
+    mx AS (SELECT max(last_day) AS corpus_day FROM u),
+    ur AS (
+      SELECT user_id,
+             CAST(datediff('day', last_day, corpus_day) AS BIGINT)
+               AS r_days,
+             freq, rev_micro
+      FROM u, mx),
+    cuts AS (
+      SELECT quantile_cont(r_days, 0.25) AS r1,
+             quantile_cont(r_days, 0.50) AS r2,
+             quantile_cont(r_days, 0.75) AS r3,
+             quantile_cont(freq, 0.25) AS f1,
+             quantile_cont(freq, 0.50) AS f2,
+             quantile_cont(freq, 0.75) AS f3,
+             quantile_cont(rev_micro, 0.25) AS m1,
+             quantile_cont(rev_micro, 0.50) AS m2,
+             quantile_cont(rev_micro, 0.75) AS m3
+      FROM ur),
+    scored AS (
+      SELECT user_id, rev_micro,
+             4 - (CAST(r_days > r1 AS BIGINT) + CAST(r_days > r2 AS BIGINT)
+                  + CAST(r_days > r3 AS BIGINT)) AS r_score,
+             1 + CAST(freq > f1 AS BIGINT) + CAST(freq > f2 AS BIGINT)
+               + CAST(freq > f3 AS BIGINT) AS f_score,
+             1 + CAST(rev_micro > m1 AS BIGINT)
+               + CAST(rev_micro > m2 AS BIGINT)
+               + CAST(rev_micro > m3 AS BIGINT) AS m_score
+      FROM ur, cuts)
+    SELECT r_score * 100 + f_score * 10 + m_score AS segment,
+           r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(sum(rev_micro) AS BIGINT) AS rev_micro_sum
+    FROM scored GROUP BY 1, 2, 3, 4
+    """
+
+
+@register("events_rfm_segments", _RFM_SQL)
+def events_rfm_segments(spark, sf):
+    """RFM segmentation (recency / frequency / monetary — the classic
+    customer-value rollup): per user, days since last event (relative
+    to the corpus's latest day), event count, and floor-micro revenue;
+    each dimension quartile-scored against exact percentile cutoffs
+    (recency INVERTED — recent is better), segment = r*100+f*10+m.
+    Revenue is floor(value*1e6) per event summed in BIGINT (the
+    events_attribution micro discipline), so the only doubles anywhere
+    are the quartile cutoffs — the agg_quartile_assign parity
+    precedent (quantile_cont and Spark's exact percentile share the
+    p*(N-1) lerp, bit-identical on integer inputs).
+
+    Scale shape: ONE user-keyed partial-agg shuffle builds the user
+    table; cutoffs are a single aggregation over it whose 9 doubles
+    broadcast back (no window, no sort — the 10^12-row alternative to
+    ntile); the segment rollup is 64-ary. At true scale swap exact
+    percentile for percentile_approx, plan shape unchanged.
+
+    Reference analog: R27 class statistics (per-class count rollups,
+    reference src/octopy/train.py:99-121) applied to user value."""
+    ev = load_table(spark, sf, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("date")).alias("last_day"),
+        F.count("*").alias("freq"),
+        F.sum(F.floor(F.col("value") * 1000000).cast("long"))
+        .cast("long")
+        .alias("rev_micro"),
+        # user-rollup-sized: materialize once so its four consumers
+        # (corpus-day scalar, cutoffs, scoring, rollup) never re-scan
+        # the event stream — the corpus_token_budget_plan discipline
+    ).localCheckpoint(eager=True)
+    mx = u.agg(F.max("last_day").alias("corpus_day"))
+    ur = u.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.datediff("corpus_day", "last_day").cast("long").alias("r_days"),
+        "freq",
+        "rev_micro",
+    )
+    cuts = ur.agg(
+        *[
+            F.percentile(c, F.lit(q)).alias(f"{p}{i}")
+            for c, p in (("r_days", "r"), ("freq", "f"),
+                         ("rev_micro", "m"))
+            for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+    def _gt(c, p):
+        return (F.col(c) > F.col(p)).cast("long")
+    scored = ur.crossJoin(F.broadcast(cuts)).select(
+        "user_id", "rev_micro",
+        (F.lit(4) - (_gt("r_days", "r1") + _gt("r_days", "r2")
+                     + _gt("r_days", "r3"))).alias("r_score"),
+        (F.lit(1) + _gt("freq", "f1") + _gt("freq", "f2")
+         + _gt("freq", "f3")).alias("f_score"),
+        (F.lit(1) + _gt("rev_micro", "m1") + _gt("rev_micro", "m2")
+         + _gt("rev_micro", "m3")).alias("m_score"),
+    )
+    return (
+        scored.groupBy(
+            (F.col("r_score") * 100 + F.col("f_score") * 10
+             + F.col("m_score")).alias("segment"),
+            "r_score", "f_score", "m_score",
+        )
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("rev_micro").cast("long").alias("rev_micro_sum"),
+        )
+    )

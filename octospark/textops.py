@@ -7384,3 +7384,77 @@ def text_code_detection(spark, sf):
         ((F.col("n_chars") > 0) & (sym_micro >= _CODE_SYM_MICRO))
         .alias("is_code"),
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_datacard_stats — one-row corpus data card
+# --------------------------------------------------------------------------
+
+_DATACARD_SQL = """
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+               AS n_tokens,
+             sha256(coalesce(text, '')) AS sha
+      FROM documents)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT sha) AS BIGINT) AS n_unique_texts,
+           (COUNT(*) - COUNT(DISTINCT sha)) * 1000000 // COUNT(*)
+             AS dup_rate_micro,
+           sum(n_chars) AS total_chars,
+           sum(n_tokens) AS total_tokens,
+           sum(n_tokens) * 1000000 // COUNT(*) AS mean_tokens_micro,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM t
+    """
+
+
+@register("corpus_datacard_stats", _DATACARD_SQL)
+def corpus_datacard_stats(spark, sf):
+    """One-row corpus DATA CARD — the summary block every released
+    training corpus ships (docs, languages, sources, exact-dup rate,
+    token volume, length envelope): the numbers a consumer checks
+    before training and the numbers a regression gate pins between
+    corpus rebuilds.  Everything is an exact integer (rates/means in
+    floored micro-units), so the card is bit-stable across engines,
+    runs, and partitionings — a changed card means the corpus
+    actually changed.
+
+    Scale shape: ONE aggregation pass; the three COUNT DISTINCTs make
+    it an Expand-based multi-distinct aggregate (Spark rewrites them
+    into one shuffle with per-distinct-group expansion — still
+    partial-aggregable, still a single job); token counts come from
+    size(split(...)) map-side, never an explode.  At 10^12 docs the
+    exact distinct-sha count is the one genuinely heavy term — the
+    documented swap is approx_count_distinct / the HLL sketch keys,
+    same card shape.
+
+    Reference analog: octopy's inspect command prints the dataset
+    inventory before training (reference src/octopy/cli/inspect.py)."""
+    docs = load_table(spark, sf, "documents")
+    t = docs.select(
+        "lang", "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(_words(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("n_tokens"),
+        F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("sha"),
+    )
+    return t.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("sha").alias("n_unique_texts"),
+        F.expr(
+            "(count(*) - count(DISTINCT sha)) * 1000000 div count(*)"
+        ).alias("dup_rate_micro"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.expr("sum(n_tokens) * 1000000 div count(*)")
+        .alias("mean_tokens_micro"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

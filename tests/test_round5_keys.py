@@ -1032,3 +1032,83 @@ def test_code_detection_catches_injected_and_matches_recount(spark):
             assert v[4], f"injected code doc {doc_id} not flagged"
         else:
             assert not v[4], f"clean doc {doc_id} falsely flagged"
+
+
+def test_rfm_segments_match_sequential_scoring(spark):
+    """Sequential replay: per-user (recency days, frequency, floor-micro
+    revenue), exact lerp quartile cutoffs, inverted recency scoring,
+    segment rollup — plus conservation (users and revenue both sum to
+    the corpus totals)."""
+    import math
+
+    ev = load_table(spark, SF, "events").collect()
+    per = defaultdict(lambda: [None, 0, 0])
+    for e in ev:
+        p = per[e.user_id]
+        d = e.ts.date()
+        p[0] = d if p[0] is None or d > p[0] else p[0]
+        p[1] += 1
+        p[2] += math.floor(e.value * 1000000)
+    corpus_day = max(p[0] for p in per.values())
+
+    def lerp_q(vals, q):
+        s = sorted(vals)
+        pos = q * (len(s) - 1)
+        lo, hi = int(math.floor(pos)), int(math.ceil(pos))
+        return s[lo] + (s[hi] - s[lo]) * (pos - lo)
+
+    rows = [
+        ((corpus_day - p[0]).days, p[1], p[2]) for p in per.values()
+    ]
+    cuts = {
+        dim: [lerp_q([r[i] for r in rows], q) for q in (0.25, 0.5, 0.75)]
+        for i, dim in enumerate(("r", "f", "m"))
+    }
+    want = defaultdict(lambda: [0, 0])
+    for rd, fq, rv in rows:
+        rs = 4 - sum(rd > c for c in cuts["r"])
+        fs = 1 + sum(fq > c for c in cuts["f"])
+        ms = 1 + sum(rv > c for c in cuts["m"])
+        k = (rs * 100 + fs * 10 + ms, rs, fs, ms)
+        want[k][0] += 1
+        want[k][1] += rv
+    out = R.QUERIES["events_rfm_segments"](spark, SF).collect()
+    got = {
+        (r.segment, r.r_score, r.f_score, r.m_score):
+            [r.n_users, r.rev_micro_sum]
+        for r in out
+    }
+    assert got == dict(want)
+    assert sum(v[0] for v in got.values()) == len(per)
+    assert sum(v[1] for v in got.values()) == sum(
+        p[2] for p in per.values()
+    )
+
+
+def test_datacard_matches_sequential_inventory(spark):
+    """The one-row card equals the Python inventory recount, and the
+    card is stable across two runs (bit-stable contract)."""
+    import hashlib
+
+    docs = load_table(spark, SF, "documents").collect()
+    shas = {hashlib.sha256((d.text or "").encode()).hexdigest()
+            for d in docs}
+    n = len(docs)
+    toks = [len((d.text or "").split(" ")) for d in docs]
+    want = (
+        n, len({d.lang for d in docs}), len({d.source for d in docs}),
+        len(shas), (n - len(shas)) * 1000000 // n,
+        sum(d.n_chars for d in docs), sum(toks),
+        sum(toks) * 1000000 // n,
+        min(d.n_chars for d in docs), max(d.n_chars for d in docs),
+    )
+    fn = T.QUERIES["corpus_datacard_stats"]
+    r1 = fn(spark, SF).collect()[0]
+    r2 = fn(spark, SF).collect()[0]
+    got = (
+        r1.n_docs, r1.n_langs, r1.n_sources, r1.n_unique_texts,
+        r1.dup_rate_micro, r1.total_chars, r1.total_tokens,
+        r1.mean_tokens_micro, r1.min_chars, r1.max_chars,
+    )
+    assert got == want
+    assert r1 == r2
