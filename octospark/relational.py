@@ -3392,7 +3392,8 @@ _RESERVOIR_SQL = f"""
            doc_id, lang, hk
     FROM (
       SELECT doc_id, lang,
-             (doc_id * 2654435761) % 4294967296 AS hk
+             ((doc_id % {_SPLIT_REDUCE}) * {_SPLIT_MULT}) % 4294967296
+               AS hk
       FROM documents)
     ORDER BY hk, doc_id LIMIT {_SAMPLE_K}
     """
@@ -3424,7 +3425,11 @@ def agg_reservoir_sample(spark, sf):
         "doc_id",
         "lang",
         (
-            (F.col("doc_id") * F.lit(2654435761).cast("long"))
+            # reduce mod 1e8+7 BEFORE the multiply (the
+            # corpus_split_assign overflow discipline): the raw product
+            # exceeds BIGINT at doc_id >= 2^63/_SPLIT_MULT ~ 3.47e9
+            ((F.col("doc_id") % _SPLIT_REDUCE)
+             * F.lit(_SPLIT_MULT).cast("long"))
             % F.lit(4294967296).cast("long")
         ).alias("hk"),
     )

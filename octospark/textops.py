@@ -6829,15 +6829,18 @@ def _stage_image_blobs(spark, sf: str) -> str:
 
     from octospark.sources import _staged_dir
 
-    ids = [
-        r.doc_id
-        for r in load_table(spark, sf, "documents")
-        .select("doc_id")
-        .filter(F.col("doc_id") < _BINSCAN_MAX_ID)
-        .collect()
-    ]
-
     def write(dest: str) -> None:
+        # the ids collect lives INSIDE write() so the idempotent fast
+        # path (marker already present) costs zero Spark jobs — the
+        # stage_format_copy discipline; the collect itself is bounded
+        # by _BINSCAN_MAX_ID rows
+        ids = [
+            r.doc_id
+            for r in load_table(spark, sf, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") < _BINSCAN_MAX_ID)
+            .collect()
+        ]
         os.makedirs(dest, exist_ok=True)
         for i in ids:
             with open(os.path.join(dest, f"img_{i:06d}.oimg"), "wb") as f:
@@ -7334,7 +7337,7 @@ def text_code_detection(spark, sf):
     web scrape needs before LM training (code goes to the code
     pipeline with its own dedup/quality stack; prose goes to the text
     stack; StarCoder/DCLM-style preprocessing both start here): score
-    each document by code-symbol density ({{}}();=[]<>+*/ per char,
+    each document by code-symbol density ({}();=[]<>+*/ per char,
     integer micro-units) and flag docs above 5%.  The natural corpus
     is symbol-free word soup, so every 20th document gets a
     deterministic code block appended in BOTH engines (the

@@ -686,4 +686,4 @@ def test_pmi_window_is_doc_partitioned(spark):
     wins = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
     assert wins, plan
     assert any("doc_id" in w for w in wins), wins
-    assert plan.count("Scan parquet") + plan.count("FileScan") <= 4
+    assert plan.count("Scan parquet") <= 2  # token window + unigram count

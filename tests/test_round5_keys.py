@@ -570,7 +570,8 @@ def test_reservoir_sample_matches_hash_order_statistics(spark):
     sf = "/root/testdata/sf0.01"
     docs = load_table(spark, sf, "documents").collect()
     ranked = sorted(
-        ((d.doc_id * 2654435761) % 4294967296, d.doc_id, d.lang)
+        (((d.doc_id % 100000007) * 2654435761) % 4294967296,
+         d.doc_id, d.lang)
         for d in docs
     )
     want = [
@@ -587,23 +588,11 @@ def test_caption_align_dot_is_exact_int(spark):
     """Alignment dot replayed sequentially: shared int8 quantizer
     (round half-away-from-zero, 1e-30 floor regime) x the synthetic
     image codes — bit-equal int64 dot and keep flag per pair."""
-    import math
-
     emb = load_table(spark, SF, "embeddings").collect()
-
-    def _q(xs):
-        v = [float(x) for x in xs]
-        m = max(abs(x) for x in v) if v else 0.0
-        if m < 1e-30:
-            return [0] * len(v)
-        return [
-            int(math.copysign(math.floor(abs(x * 127 / m) + 0.5), x))
-            for x in v
-        ]
 
     want = {}
     for e in emb:
-        q = _q(e.embedding)
+        q, _scale = _quantize_int8(e.embedding)
         img = [
             (e.vec_id * 31 + (j + 1) * 7) % 255 - 127
             for j in range(len(q))
@@ -825,7 +814,7 @@ def test_wilson_ctr_bound_laws(spark):
         ) / (1.0 + 3.8416 / n)
         assert abs(r.wilson_lb - lb) < 1e-12
         assert r.wilson_lb <= r.ctr + 1e-12
-        assert 0.0 <= max(r.wilson_lb, 0.0) < 1.0
+        assert 0.0 <= r.wilson_lb < 1.0
 
 
 def test_sequence_pattern_matches_sequential_sessions(spark):
