@@ -3970,3 +3970,158 @@ def events_rfm_segments(spark, sf):
             F.sum("rev_micro").cast("long").alias("rev_micro_sum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# table_vacuum_orphans — orphan-file audit (vacuum planning)
+# --------------------------------------------------------------------------
+
+_VACUUM_SQL = """
+    WITH manifest AS (
+      SELECT source, doc_id // 100 AS file_id, sum(n_chars) AS file_bytes
+      FROM documents GROUP BY 1, 2),
+    listing AS (
+      -- the physical directory listing: every manifest file PLUS the
+      -- debris a crashed writer leaves behind (one .tmp per source,
+      -- deterministic size so both engines agree)
+      SELECT source, file_id, file_bytes, FALSE AS is_tmp FROM manifest
+      UNION ALL
+      -- file ids are unique WITHIN a source, so the debris id is a
+      -- constant (no window, no global sort)
+      SELECT source, CAST(9000 AS BIGINT) AS file_id,
+             4096 AS file_bytes, TRUE AS is_tmp
+      FROM (SELECT DISTINCT source FROM documents) s),
+    audit AS (
+      SELECT l.source, l.file_id, l.file_bytes, l.is_tmp,
+             (m.file_id IS NULL) AS orphan
+      FROM listing l LEFT JOIN manifest m
+        ON l.source = m.source AND l.file_id = m.file_id)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN orphan THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphans,
+           SUM(CASE WHEN orphan THEN file_bytes ELSE 0 END)
+             AS reclaim_bytes,
+           SUM(CASE WHEN NOT orphan THEN file_bytes ELSE 0 END)
+             AS live_bytes
+    FROM audit GROUP BY source
+    """
+
+
+@register("table_vacuum_orphans", _VACUUM_SQL)
+def table_vacuum_orphans(spark, sf):
+    """Orphan-file audit — the VACUUM planning pass that closes the
+    table-maintenance family (merge → retention → CDC → compaction →
+    zone-map prune → spec evolution → vacuum): anti-join the physical
+    directory LISTING against the snapshot MANIFEST; files on disk
+    that no snapshot references (crashed-writer .tmp debris, aborted
+    compactions) are orphans whose bytes a vacuum reclaims.  The
+    listing is synthesized as manifest + one deterministic .tmp per
+    source so both engines see identical debris; output is the
+    per-source reclaim plan (never delete inline — plan first, act
+    per group, the compaction-planner discipline).
+
+    Scale shape: metadata-only — manifest and listing are file-grain
+    tables (millions of rows for a 10^12-row table), the orphan check
+    is one file-keyed left join, and the rollup partial-aggregates;
+    the data itself is never read.  At production scale the listing
+    side streams from the object store's LIST pages.
+
+    Reference analog: octopy's checkpoint cleanup drops non-best
+    checkpoints by comparing the directory against the tracked top-k
+    list (reference src/octopy/cli/train.py:80-87)."""
+    docs = load_table(spark, sf, "documents")
+    manifest = docs.groupBy(
+        "source", F.expr("doc_id div 100").alias("file_id")
+    ).agg(F.sum("n_chars").alias("file_bytes"))
+    # file ids are unique WITHIN a source, so the debris id is a
+    # constant — no window, no global sort
+    tmps = (
+        docs.select("source").distinct()
+        .select(
+            "source",
+            F.lit(9000).cast("long").alias("file_id"),
+            F.lit(4096).cast("long").alias("file_bytes"),
+            F.lit(True).alias("is_tmp"),
+        )
+    )
+    listing = manifest.withColumn("is_tmp", F.lit(False)).unionByName(tmps)
+    audit = listing.join(
+        manifest.select(
+            "source", "file_id", F.lit(True).alias("referenced")
+        ),
+        ["source", "file_id"],
+        "left",
+    ).select(
+        "source", "file_bytes",
+        F.col("referenced").isNull().alias("orphan"),
+    )
+    return audit.groupBy("source").agg(
+        F.count("*").alias("n_files"),
+        F.sum(F.when(F.col("orphan"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_orphans"),
+        F.sum(F.when(F.col("orphan"), F.col("file_bytes")).otherwise(0))
+        .alias("reclaim_bytes"),
+        F.sum(F.when(~F.col("orphan"), F.col("file_bytes")).otherwise(0))
+        .alias("live_bytes"),
+    )
+
+
+# --------------------------------------------------------------------------
+# events_time_to_convert — first-view -> first-purchase latency per user
+# --------------------------------------------------------------------------
+
+_TTC_SQL = """
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view'
+                      THEN epoch_us(ts) END) AS first_view_us,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts) END) AS first_purchase_us
+      FROM events GROUP BY user_id)
+    SELECT user_id, first_view_us, first_purchase_us,
+           first_purchase_us - first_view_us AS ttc_us
+    FROM firsts
+    WHERE first_view_us IS NOT NULL
+      AND first_purchase_us IS NOT NULL
+      AND first_purchase_us >= first_view_us
+    """
+
+
+@register("events_time_to_convert", _TTC_SQL)
+def events_time_to_convert(spark, sf):
+    """Time-to-convert — per user, the latency from first view to
+    first purchase (the activation metric growth teams track next to
+    the funnel): both firsts come from ONE conditional-min aggregation
+    (min over a CASE, partial-aggregable — never a sort or window),
+    emitted only for users who viewed before purchasing.  Exact epoch
+    microseconds end-to-end; the session tz is UTC so the NTZ cast is
+    wall-clock-identical (the events_sessionize_gap idiom).
+
+    Scale shape: one user-keyed partial-agg shuffle of the event
+    stream, map-side combine carries two running mins per user; the
+    filter runs on the user-grain rollup.  At 10^12 events this is
+    strictly cheaper than the funnel keys (no step ordering to
+    resolve — firsts are commutative mins).
+
+    Reference analog: octopy reports per-epoch elapsed training time
+    against the validation metric (reference src/octopy/cli/train.py)
+    — latency-to-outcome over the same rollup shape."""
+    ev = load_table(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us))
+        .alias("first_view_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us))
+        .alias("first_purchase_us"),
+    )
+    return firsts.filter(
+        F.col("first_view_us").isNotNull()
+        & F.col("first_purchase_us").isNotNull()
+        & (F.col("first_purchase_us") >= F.col("first_view_us"))
+    ).select(
+        "user_id", "first_view_us", "first_purchase_us",
+        (F.col("first_purchase_us") - F.col("first_view_us"))
+        .alias("ttc_us"),
+    )

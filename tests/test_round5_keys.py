@@ -1101,3 +1101,48 @@ def test_datacard_matches_sequential_inventory(spark):
     )
     assert got == want
     assert r1 == r2
+
+
+def test_vacuum_orphans_exactly_the_injected_debris(spark):
+    """Every source reports exactly one orphan (the injected .tmp,
+    4096 bytes) and live_bytes equals the manifest recount; no
+    referenced file is ever counted as reclaimable."""
+    docs = load_table(spark, SF, "documents").collect()
+    live = defaultdict(int)
+    nfiles = defaultdict(set)
+    for d in docs:
+        live[d.source] += d.n_chars
+        nfiles[d.source].add(d.doc_id // 100)
+    out = R.QUERIES["table_vacuum_orphans"](spark, SF).collect()
+    assert {r.source for r in out} == set(live)
+    for r in out:
+        assert r.n_orphans == 1
+        assert r.reclaim_bytes == 4096
+        assert r.live_bytes == live[r.source]
+        assert r.n_files == len(nfiles[r.source]) + 1
+
+
+def test_time_to_convert_matches_sequential_firsts(spark):
+    """Per-user first view / first purchase and their gap replayed
+    sequentially in exact epoch microseconds; only view-then-purchase
+    users emit; ttc is never negative."""
+    ev = load_table(spark, SF, "events").collect()
+    fv, fp = {}, {}
+    for e in ev:
+        us = _us(e.ts)
+        if e.event_type == "view":
+            fv[e.user_id] = min(us, fv.get(e.user_id, us))
+        elif e.event_type == "purchase":
+            fp[e.user_id] = min(us, fp.get(e.user_id, us))
+    want = {
+        u: (fv[u], fp[u], fp[u] - fv[u])
+        for u in fv.keys() & fp.keys()
+        if fp[u] >= fv[u]
+    }
+    out = R.QUERIES["events_time_to_convert"](spark, SF).collect()
+    got = {
+        r.user_id: (r.first_view_us, r.first_purchase_us, r.ttc_us)
+        for r in out
+    }
+    assert got == want
+    assert all(v[2] >= 0 for v in got.values())
