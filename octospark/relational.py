@@ -4125,3 +4125,85 @@ def events_time_to_convert(spark, sf):
         (F.col("first_purchase_us") - F.col("first_view_us"))
         .alias("ttc_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_cohort_ltv — cumulative revenue by signup cohort and age
+# --------------------------------------------------------------------------
+
+_COHORT_LTV_SQL = """
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id),
+    rev AS (
+      SELECT f.cohort_day,
+             datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS age_days,
+             CAST(floor(e.value * 1000000) AS BIGINT) AS rev_micro
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'),
+    daily AS (
+      SELECT cohort_day, age_days,
+             CAST(COUNT(*) AS BIGINT) AS n_purchases,
+             CAST(sum(rev_micro) AS BIGINT) AS rev_micro
+      FROM rev GROUP BY cohort_day, age_days)
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           age_days, n_purchases, rev_micro,
+           -- keep the running sum in exact integer arithmetic: DuckDB's
+           -- windowed SUM over BIGINT upcasts through double otherwise
+           CAST(SUM(CAST(rev_micro AS HUGEINT)) OVER (
+             PARTITION BY cohort_day ORDER BY age_days
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_micro
+    FROM daily
+    """
+
+
+@register("events_cohort_ltv", _COHORT_LTV_SQL)
+def events_cohort_ltv(spark, sf):
+    """Cohort LTV curves — cumulative purchase revenue by signup
+    cohort (a user's first-ever event day) and cohort AGE in days:
+    the lifetime-value readout growth teams plot cohort-over-cohort
+    to see whether newer cohorts monetize faster.  Revenue in
+    floor-micro integers (the events_attribution discipline), so the
+    curve is engine-exact; days as formatted strings per the house
+    timestamp rule.
+
+    Scale shape: one user-keyed first-day rollup, one user-keyed
+    join-back onto the purchase stream (both cluster on user_id so
+    AQE reuses the partitioning), one (cohort, age) partial-agg
+    groupBy; the cumulative window partitions by cohort_day over the
+    cohort×age-sized rollup — bounded by the calendar squared, never
+    the event count.
+
+    Reference analog: octopy plots per-epoch validation accuracy over
+    training age (reference src/octopy/cli/train.py) — the same
+    cohort-age accumulation over users."""
+    ev = load_table(spark, sf, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day"))
+            .cast("long")
+            .alias("age_days"),
+            F.floor(F.col("value") * 1000000).cast("long")
+            .alias("rev_micro"),
+        )
+    )
+    daily = rev.groupBy("cohort_day", "age_days").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum("rev_micro").cast("long").alias("rev_micro"),
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "age_days", "n_purchases", "rev_micro",
+        F.sum("rev_micro").over(w).alias("cum_rev_micro"),
+    )

@@ -7461,3 +7461,73 @@ def corpus_datacard_stats(spark, sf):
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# graph_hostgraph_collapse — page graph -> host graph compression
+# --------------------------------------------------------------------------
+
+_HOSTGRAPH_SQL = (
+    "WITH "
+    + ",\n".join(_MODULAR_EDGES_CTES)
+    + """,
+    hosts AS (SELECT doc_id, source AS host FROM documents),
+    he AS (
+      SELECT hs.host AS src_host, hd.host AS dst_host
+      FROM edges e
+      JOIN hosts hs ON e.src = hs.doc_id
+      JOIN hosts hd ON e.dst = hd.doc_id)
+    SELECT src_host, dst_host,
+           CAST(COUNT(*) AS BIGINT) AS n_links,
+           (src_host = dst_host) AS intra_host
+    FROM he GROUP BY src_host, dst_host
+    """
+)
+
+
+@register("graph_hostgraph_collapse", _HOSTGRAPH_SQL)
+def graph_hostgraph_collapse(spark, sf):
+    """Collapse the page-level link graph to the HOST graph — the
+    compression step every web-scale ranking pipeline runs before
+    host-level PageRank/HITS/spam scoring: a 10^12-edge page graph
+    becomes a 10^7-node host graph (the scale at which iterative
+    algorithms become cheap), with per-host-pair link counts as edge
+    weights and intra-host edges flagged (they dominate raw counts
+    and are usually downweighted or dropped before ranking).
+
+    Scale shape: two doc-keyed hash joins map endpoints to hosts (at
+    production scale the page->host map is a projection of the url
+    column — zero joins; the join form here exists because the
+    synthetic edge list carries only doc ids), then ONE partial-agg
+    groupBy on the host pair — the Zipf head of host pairs combines
+    map-side, which is exactly why the collapse is affordable.
+
+    Reference analog: octopy's class-merge remapping collapses many
+    source labels onto one target before training
+    (reference src/octopy/train.py:199-240) — the same
+    many-to-one-then-aggregate shape over graph endpoints."""
+    docs = load_table(spark, sf, "documents")
+    n = docs.count()
+    hosts = docs.select("doc_id", F.col("source").alias("host"))
+    e = _modular_edges(docs.select("doc_id"), n)
+    he = (
+        e.join(
+            hosts.select(
+                F.col("doc_id").alias("src"),
+                F.col("host").alias("src_host"),
+            ),
+            "src",
+        )
+        .join(
+            hosts.select(
+                F.col("doc_id").alias("dst"),
+                F.col("host").alias("dst_host"),
+            ),
+            "dst",
+        )
+    )
+    return he.groupBy("src_host", "dst_host").agg(
+        F.count("*").alias("n_links"),
+    ).withColumn(
+        "intra_host", F.col("src_host") == F.col("dst_host")
+    )

@@ -1146,3 +1146,65 @@ def test_time_to_convert_matches_sequential_firsts(spark):
     }
     assert got == want
     assert all(v[2] >= 0 for v in got.values())
+
+
+def test_hostgraph_collapse_matches_sequential_count(spark):
+    """Host-pair link counts replayed sequentially from the modular
+    edge list + the doc->host map; intra-host flag consistent; link
+    conservation (sum of pair counts == number of page edges)."""
+    docs = load_table(spark, SF, "documents").collect()
+    n = len(docs)
+    host = {d.doc_id: d.source for d in docs}
+    edges = set()
+    for v in host:
+        for u in ((v * 17 + 1) % n, (v * 31 + 7) % n, (v + 1) % n):
+            edges.add((v, u))
+    want = defaultdict(int)
+    for s, d in edges:
+        want[(host[s], host[d])] += 1
+    out = T.QUERIES["graph_hostgraph_collapse"](spark, SF).collect()
+    got = {(r.src_host, r.dst_host): r.n_links for r in out}
+    assert got == dict(want)
+    assert all(
+        r.intra_host == (r.src_host == r.dst_host) for r in out
+    )
+    assert sum(got.values()) == len(edges)
+
+
+def test_cohort_ltv_matches_sequential_walk(spark):
+    """Cohort/age revenue replayed sequentially: cohort = first event
+    day, age = purchase day - cohort day, floor-micro revenue, running
+    cumulative per cohort in age order."""
+    import math
+
+    ev = load_table(spark, SF, "events").collect()
+    first = {}
+    for e in ev:
+        d = e.ts.date()
+        if e.user_id not in first or d < first[e.user_id]:
+            first[e.user_id] = d
+    daily = defaultdict(lambda: [0, 0])
+    for e in ev:
+        if e.event_type != "purchase":
+            continue
+        c = first[e.user_id]
+        age = (e.ts.date() - c).days
+        daily[(c, age)][0] += 1
+        daily[(c, age)][1] += math.floor(e.value * 1000000)
+    want = {}
+    by_cohort = defaultdict(list)
+    for (c, age), v in daily.items():
+        by_cohort[c].append((age, v))
+    for c, rows in by_cohort.items():
+        rows.sort()
+        cum = 0
+        for age, (np_, rv) in rows:
+            cum += rv
+            want[(c.strftime("%Y-%m-%d"), age)] = (np_, rv, cum)
+    out = R.QUERIES["events_cohort_ltv"](spark, SF).collect()
+    got = {
+        (r.cohort_day, r.age_days):
+            (r.n_purchases, r.rev_micro, r.cum_rev_micro)
+        for r in out
+    }
+    assert got == want
