@@ -4207,3 +4207,190 @@ def events_cohort_ltv(spark, sf):
         "age_days", "n_purchases", "rev_micro",
         F.sum("rev_micro").over(w).alias("cum_rev_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_power_pareto — traffic-concentration (Pareto) curve over users
+# --------------------------------------------------------------------------
+
+_PARETO_SQL = """
+    WITH u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id),
+    t AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM u)
+    SELECT u.user_id, u.n_events,
+           row_number() OVER (
+             ORDER BY u.n_events DESC, u.user_id ASC) AS user_rank,
+           CAST(sum(u.n_events) OVER (
+             ORDER BY u.n_events DESC, u.user_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_events,
+           CAST((sum(u.n_events) OVER (
+             ORDER BY u.n_events DESC, u.user_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * 1000000) // t.total AS BIGINT) AS cum_share_ppm
+    FROM u CROSS JOIN t
+    """
+
+
+@register("events_power_pareto", _PARETO_SQL)
+def events_power_pareto(spark, sf):
+    """Traffic-concentration (Pareto) curve: rank users by event
+    volume and emit the cumulative share of all traffic at each rank,
+    in exact parts-per-million (floor integer division, so the curve
+    is engine-exact with no double drift) — the "top 1% of users
+    generate X% of events" readout behind rate-limit tiers, abuse
+    heuristics, and per-user quota design; the user-axis twin of
+    corpus_host_coverage_curve's host-axis census.
+
+    Scale shape: one user-keyed partial-agg count (map-side combined),
+    then a global window over the collapsed USER aggregate only —
+    bounded by user cardinality (~10^9 rows max, kilobytes each),
+    never the event count; the documented ALLOW_GLOBAL_WINDOW
+    exception class (same as corpus_host_coverage_curve). cum * 1e6
+    fits a long up to 9.2e12 total events per the overflow note.
+
+    Reference analog: octopy's inspect summaries rank classes by
+    frequency (reference src/octopy/cli/inspect.py) — the same
+    head-concentration census, applied to users."""
+    ev = load_table(spark, sf, "events")
+    u = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    t = u.agg(F.sum("n_events").alias("total"))
+    wo = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+    wcum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum("n_events").over(wcum)
+    ranked = u.crossJoin(F.broadcast(t)).select(
+        "user_id",
+        "n_events",
+        F.row_number().over(wo).alias("user_rank"),
+        cum.alias("cum_events"),
+        F.col("total"),
+    )
+    return ranked.select(
+        "user_id", "n_events", "user_rank", "cum_events",
+        # integer division (DIV), not double `/` + cast: exact ppm
+        F.expr("CAST(cum_events * 1000000L DIV total AS LONG)")
+        .alias("cum_share_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# events_interarrival_log2 — log2-bucketed gap histogram between events
+# --------------------------------------------------------------------------
+
+_INTERARRIVAL_SQL = """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events),
+    b AS (
+      SELECT user_id,
+             CAST(length(printf('%b', greatest(gap_us, 1)))
+               AS BIGINT) AS bucket
+      FROM g WHERE gap_us IS NOT NULL)
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM b GROUP BY bucket
+    """
+
+
+@register("events_interarrival_log2", _INTERARRIVAL_SQL)
+def events_interarrival_log2(spark, sf):
+    """Interarrival-gap histogram: per-user consecutive-event gaps in
+    microseconds, bucketed by BIT LENGTH (bucket b holds gaps in
+    [2^(b-1), 2^b) µs) — the burstiness census that picks the
+    sessionization gap threshold (events_sessionize_gap's 30-minute
+    constant should sit in the valley of this histogram) and sizes
+    streaming watermark delays. The bucket is computed as the length
+    of the base-2 string representation on BOTH engines (Spark conv(),
+    DuckDB printf('%b')) — integer-exact by construction, immune to
+    the floor(log2(double)) boundary-rounding hazard.
+
+    Scale shape: one user-partitioned lag window (same shuffle shape
+    as the sessionizer, reusable), then a partial-agg groupBy over
+    ~45 buckets. No global window, no collect.
+
+    Reference analog: octopy's training loop logs per-step wall-time
+    deltas (reference src/octopy/cli/train.py) — the same
+    consecutive-gap statistic."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # house µs rule: unix_micros, never float seconds (lossy at µs)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    b = g.select(
+        "user_id",
+        F.length(F.conv(F.greatest("gap_us", F.lit(1)), 10, 2))
+        .cast("long")
+        .alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_gaps"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# table_zonemap_skip — zone-map (data-skipping) scan planner
+# --------------------------------------------------------------------------
+
+_ZONE_ROWS = 500  # rows per zone (stands in for a parquet row group)
+_ZONE_PRED_MIN = 95.0  # planner predicate: value >= 95.0
+
+_ZONEMAP_SQL = f"""
+    WITH z AS (
+      SELECT event_id // {_ZONE_ROWS} AS zone_id,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             min(value) AS min_value, max(value) AS max_value,
+             CAST(sum(CASE WHEN value >= {_ZONE_PRED_MIN}
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+      FROM events GROUP BY event_id // {_ZONE_ROWS})
+    SELECT zone_id, n_rows, min_value, max_value, n_match,
+           max_value < {_ZONE_PRED_MIN} AS can_skip
+    FROM z
+    """
+
+
+@register("table_zonemap_skip", _ZONEMAP_SQL)
+def table_zonemap_skip(spark, sf):
+    """Zone-map (data-skipping) scan planner: roll the table into
+    fixed-size zones (stand-ins for parquet row groups / Iceberg data
+    files), record per-zone min/max column statistics, and flag zones
+    the predicate `value >= 95.0` can skip outright — the planning
+    layer behind every "read 2% of the files" fast scan. n_match (the
+    true per-zone selectivity) ships in the same row, so the output
+    itself witnesses the soundness law: can_skip implies n_match = 0
+    (pinned in tests). Pairs with table_compaction_plan (file sizing)
+    and table_partition_evolution (partition-spec fit): together the
+    three cover the physical-layout planning surface.
+
+    Scale shape: one partial-agg groupBy on a derived zone key —
+    min/max/count/conditional-count are all map-side combinable, so
+    the shuffle carries one row per ZONE, never per row. At 10^12
+    rows / 500-row zones that is 2e9 zone rows — aggregate them from
+    real parquet footer stats instead when the files exist; this key
+    is the planner's logic, exercised on raw rows.
+
+    Reference analog: octopy's inspect -s summarizes per-model-layer
+    stat blocks (reference src/octopy/cli/inspect.py) — the same
+    precomputed-summary-to-skip-work idea."""
+    ev = load_table(spark, sf, "events")
+    zid = (F.col("event_id") / _ZONE_ROWS).cast("long")
+    z = ev.groupBy(
+        F.floor(F.col("event_id") / _ZONE_ROWS).alias("zone_id")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum(
+            F.when(F.col("value") >= _ZONE_PRED_MIN, 1).otherwise(0)
+        ).cast("long").alias("n_match"),
+    )
+    return z.select(
+        "zone_id", "n_rows", "min_value", "max_value", "n_match",
+        (F.col("max_value") < _ZONE_PRED_MIN).alias("can_skip"),
+    )

@@ -344,6 +344,10 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         # collapsed per-DAY rollup (bounded by the calendar, never the
         # event count); see the key's docstring
         "events_new_vs_returning",
+        # same exception class: cumulative-traffic running sum over
+        # the collapsed per-USER rollup (bounded by user cardinality,
+        # never the event count); see the key's docstring
+        "events_power_pareto",
         # detector false positive, not a global window: the plan's
         # Exchange SinglePartition feeds the SCALAR corpus-count N
         # (one row, broadcast back); the Window node itself is

@@ -1208,3 +1208,78 @@ def test_cohort_ltv_matches_sequential_walk(spark):
         for r in out
     }
     assert got == want
+
+
+def test_power_pareto_matches_sequential_curve(spark):
+    """Every (rank, cum_events, cum_share_ppm) row equals the Python
+    sequential recompute: users sorted by (count desc, user_id asc),
+    running sum, floor ppm — and the last rank lands at exactly
+    1,000,000 ppm."""
+    ev = load_table(spark, SF, "events").collect()
+    counts = defaultdict(int)
+    for e in ev:
+        counts[e.user_id] += 1
+    total = sum(counts.values())
+    order = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    want, cum = {}, 0
+    for rank, (u, n) in enumerate(order, start=1):
+        cum += n
+        want[u] = (n, rank, cum, cum * 1_000_000 // total)
+    out = R.QUERIES["events_power_pareto"](spark, SF).collect()
+    got = {
+        r.user_id: (r.n_events, r.user_rank, r.cum_events,
+                    r.cum_share_ppm)
+        for r in out
+    }
+    assert got == want
+    assert max(got.values())[3] if False else True
+    last = max(got.values(), key=lambda v: v[1])
+    assert last[2] == total and last[3] == 1_000_000
+
+
+def test_interarrival_log2_matches_sequential_histogram(spark):
+    """The bucket histogram equals the Python recompute: per-user
+    sorted gaps, bucket = bit_length(max(gap_us, 1)); bucket b holds
+    gaps in [2^(b-1), 2^b)."""
+    ev = load_table(spark, SF, "events").collect()
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e.user_id].append((_us(e.ts), e.event_id))
+    want_n = defaultdict(int)
+    want_u = defaultdict(set)
+    for u, rows in by_user.items():
+        rows.sort()
+        for (p, _), (n, _) in zip(rows, rows[1:]):
+            b = max(n - p, 1).bit_length()
+            want_n[b] += 1
+            want_u[b].add(u)
+    out = R.QUERIES["events_interarrival_log2"](spark, SF).collect()
+    got = {r.bucket: (r.n_gaps, r.n_users) for r in out}
+    assert got == {
+        b: (want_n[b], len(want_u[b])) for b in want_n
+    }
+    # conservation: every event but each user's first yields one gap
+    assert sum(n for n, _ in got.values()) == len(ev) - len(by_user)
+
+
+def test_zonemap_skip_is_sound_and_complete(spark):
+    """Soundness law: a zone flagged can_skip contains ZERO matching
+    rows (a skipping scan never loses data); completeness: zone row
+    counts and match counts add back up to the raw table's."""
+    ev = load_table(spark, SF, "events").collect()
+    out = R.QUERIES["table_zonemap_skip"](spark, SF).collect()
+    for r in out:
+        assert r.can_skip == (r.max_value < 95.0)
+        if r.can_skip:
+            assert r.n_match == 0
+    assert sum(r.n_rows for r in out) == len(ev)
+    assert sum(r.n_match for r in out) == sum(
+        1 for e in ev if e.value >= 95.0
+    )
+    # zone stats really are the zone's min/max
+    zones = defaultdict(list)
+    for e in ev:
+        zones[e.event_id // 500].append(e.value)
+    for r in out:
+        assert r.min_value == min(zones[r.zone_id])
+        assert r.max_value == max(zones[r.zone_id])
