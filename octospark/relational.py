@@ -4394,3 +4394,141 @@ def table_zonemap_skip(spark, sf):
         "zone_id", "n_rows", "min_value", "max_value", "n_match",
         (F.col("max_value") < _ZONE_PRED_MIN).alias("can_skip"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_anomaly_mad — robust median/MAD outlier hours (integer-exact)
+# --------------------------------------------------------------------------
+
+_MAD_SQL = f"""
+    WITH c AS ({_HOURLY_COUNTS_CTE}),
+    m AS (
+      SELECT event_type, CAST(2 * median(n) AS BIGINT) AS med2
+      FROM c GROUP BY event_type),
+    d AS (
+      SELECT c.event_type, c.win_start, c.n, m.med2,
+             CAST(abs(2 * c.n - m.med2) AS BIGINT) AS d2
+      FROM c JOIN m USING (event_type)),
+    s AS (
+      SELECT event_type, CAST(2 * median(d2) AS BIGINT) AS mad4
+      FROM d GROUP BY event_type)
+    SELECT d.event_type, d.win_start, d.n, d.med2, s.mad4, d.d2,
+           2 * d.d2 > 3 * s.mad4 AS is_anomaly
+    FROM d JOIN s USING (event_type)
+    """
+
+
+@register("events_anomaly_mad", _MAD_SQL)
+def events_anomaly_mad(spark, sf):
+    """Robust (median/MAD) outlier hours per event type — the
+    heavy-tail-safe twin of events_anomaly_hours: the mean/stddev
+    z-score there is dragged by the very outliers it hunts, while the
+    median and the median-absolute-deviation are breakdown-50% robust,
+    so one flash-crowd hour cannot mask another. Flags hours where
+    |n - median| > 3 * MAD.
+
+    Integer-exactness: a median of BIGINTs is k or k+0.5, both exact
+    in a double, so med2 = 2*median(n) and mad4 = 2*median(|2n-med2|)
+    round-trip through CAST AS BIGINT losslessly on both engines; the
+    flag 2*d2 > 3*mad4 is then pure integer arithmetic — |n-med| >
+    3*MAD cross-multiplied by 4 — immune to IEEE drift and
+    partitioning order.
+
+    Scale shape: one hourly partial-agg groupBy (the shared
+    _HOURLY_COUNTS_CTE shape), then two per-type medians over the
+    collapsed HOURLY table only (rows = types x hours, never events)
+    joined back via broadcast — event-type cardinality is tiny. No
+    global window, no collect.
+
+    Reference analog: octopy's validation-cadence checks flag
+    off-trend epochs (reference src/octopy/cli/train.py) — the same
+    center-plus-spread alarm, made robust."""
+    ev = load_table(spark, sf, "events")
+    c = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+        .alias("win_start"),
+    ).agg(F.count("*").alias("n"))
+    # the hourly rollup is tiny (types x hours) but feeds FOUR plan
+    # branches (m, d, s, and the final join) — materialize it once so
+    # the 100 TB events table is scanned exactly once, not four times
+    c = c.localCheckpoint(eager=True)
+    m = c.groupBy("event_type").agg(
+        (2 * F.median("n")).cast("long").alias("med2")
+    )
+    d = c.join(F.broadcast(m), "event_type").withColumn(
+        "d2", F.abs(2 * F.col("n") - F.col("med2")).cast("long")
+    )
+    s = d.groupBy("event_type").agg(
+        (2 * F.median("d2")).cast("long").alias("mad4")
+    )
+    return d.join(F.broadcast(s), "event_type").select(
+        "event_type", "win_start", "n", "med2", "mad4", "d2",
+        (2 * F.col("d2") > 3 * F.col("mad4")).alias("is_anomaly"),
+    )
+
+
+# --------------------------------------------------------------------------
+# window_running_distinct — running distinct-type count per user
+# --------------------------------------------------------------------------
+
+_RUNDIST_SQL = """
+    WITH r AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CAST(count(DISTINCT event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_types_seen
+      FROM events)
+    SELECT event_id, user_id, ts_us, n_types_seen,
+           n_types_seen > coalesce(lag(n_types_seen) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id), 0)
+             AS is_new_type
+    FROM r
+    """
+
+
+@register("window_running_distinct", _RUNDIST_SQL)
+def window_running_distinct(spark, sf):
+    """Running distinct-event-type count per user, plus the
+    first-exposure flag (is_new_type) — the feature-adoption /
+    breadth-of-use curve behind activation scoring: "after k events,
+    how many distinct features has this user touched?". Spark has no
+    count(DISTINCT) window, so the running cardinality is
+    size(collect_set() OVER w) — exact, bounded by the event-type
+    vocabulary (tiny), never the event count; DuckDB's windowed
+    DISTINCT aggregate is the oracle twin.
+
+    Scale shape: both windows share the user_id partition key, so the
+    plan is ONE user-keyed shuffle + sort reused by the collect_set
+    window and the lag; per-user state is the type set (bounded ~10s).
+    Ordering key (ts, event_id) is total because event_id is unique —
+    the result is partitioning-independent.
+
+    Reference analog: octopy's train loop tracks the growing label
+    vocabulary as batches stream (reference src/octopy/cli/train.py:
+    dynamic codec growth) — the same running-distinct census."""
+    ev = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.size(F.collect_set("event_type").over(w))
+        .cast("long")
+        .alias("n_types_seen"),
+    )
+    wl = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return r.select(
+        "event_id", "user_id", "ts_us", "n_types_seen",
+        (
+            F.col("n_types_seen")
+            > F.coalesce(
+                F.lag("n_types_seen").over(wl), F.lit(0)
+            )
+        ).alias("is_new_type"),
+    )

@@ -7531,3 +7531,87 @@ def graph_hostgraph_collapse(spark, sf):
     ).withColumn(
         "intra_host", F.col("src_host") == F.col("dst_host")
     )
+
+
+# --------------------------------------------------------------------------
+# text_safety_wordlist — safety-lexicon gate (wordlist hit-rate filter)
+# --------------------------------------------------------------------------
+
+_SAFETY_LEXICON = ("slow", "big", "spam")  # stand-in unsafe lexicon
+_SAFETY_DENOM = 12  # keep iff n_hits / n_words <= 1/12 (~8.3%)
+
+_SAFETY_SQL = f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(CASE WHEN word IN
+               {_SAFETY_LEXICON!r} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits,
+             CAST(count(DISTINCT CASE WHEN word IN
+               {_SAFETY_LEXICON!r} THEN word END) AS BIGINT)
+               AS n_terms
+      FROM w GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(s.n_words, 0) AS n_words,
+           coalesce(s.n_hits, 0) AS n_hits,
+           coalesce(s.n_terms, 0) AS n_terms,
+           coalesce({_SAFETY_DENOM} * s.n_hits <= s.n_words, TRUE)
+             AS keep
+    FROM documents d LEFT JOIN s USING (doc_id)
+    """
+
+
+@register("text_safety_wordlist", _SAFETY_SQL)
+def text_safety_wordlist(spark, sf):
+    """Safety-lexicon gate — the C4/RefinedWeb "bad-words" filter
+    stage: count occurrences of a curated unsafe lexicon per document
+    (exact word-boundary tokens, the same single-space tokenizer as
+    every text key) and keep the document iff the hit RATE stays under
+    1/12 — a rate, not a raw count, so long documents are not
+    penalized for length. n_terms (distinct lexicon terms hit) ships
+    alongside because one term repeated 50x and 50 different terms
+    once are different moderation signals. The lexicon here is a
+    deterministic stand-in (the sandbox corpus has a synthetic vocab);
+    a real deployment swaps the literal list for a ~1e4-word broadcast
+    table without touching the plan shape.
+
+    Integer-exactness: the gate is the cross-multiplication
+    12*n_hits <= n_words — no IEEE division anywhere.
+
+    Never-drop discipline: EVERY doc gets a verdict row; docs with
+    NULL text produce no word rows, are left-joined back from the full
+    base, zero-filled, and kept (no evidence, no drop) — same shape as
+    text_repetition_filter.
+
+    Scale shape: words become ROWS (explode, map-side), membership is
+    a literal IN (a real lexicon becomes a broadcast hash join), the
+    per-doc rollup is a partial-agg groupBy on the unique doc_id, and
+    the verdict join is doc_id-keyed with no skew. The doc table never
+    shuffles on a skewed key.
+
+    Reference analog: R8's never-drop filtering discipline
+    (/root/reference/src/octopy/segment.py:166-178) applied to the
+    moderation gate every production corpus pass runs."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    w = docs.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("word")
+    )
+    lex = F.col("word").isin(*_SAFETY_LEXICON)
+    s = w.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.when(lex, 1).otherwise(0)).cast("long").alias("n_hits"),
+        F.count_distinct(F.when(lex, F.col("word"))).alias("n_terms"),
+    )
+    return docs.select("doc_id").join(s, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_words", F.lit(0)).alias("n_words"),
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.coalesce("n_terms", F.lit(0)).alias("n_terms"),
+        F.coalesce(
+            _SAFETY_DENOM * F.col("n_hits") <= F.col("n_words"),
+            F.lit(True),
+        ).alias("keep"),
+    )

@@ -1906,3 +1906,82 @@ def corpus_curriculum_order(spark, sf):
         .cast("long")
         .alias("token_end"),
     )
+
+
+# --------------------------------------------------------------------------
+# crawl_sitemap_coverage — sitemap-vs-crawl gap census per host
+# --------------------------------------------------------------------------
+
+_SITEMAP_SQL = """
+    WITH f AS (
+      SELECT source || '.example.org' AS host,
+             doc_id % 2 = 0 AS in_sitemap,
+             doc_id % 3 <> 0 AS crawled
+      FROM documents)
+    SELECT host,
+           CAST(sum(CASE WHEN in_sitemap THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_sitemap,
+           CAST(sum(CASE WHEN crawled THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_crawled,
+           CAST(sum(CASE WHEN in_sitemap AND crawled THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_both,
+           CAST(sum(CASE WHEN in_sitemap AND NOT crawled
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+           CAST(sum(CASE WHEN crawled AND NOT in_sitemap
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_extra,
+           CAST(sum(CASE WHEN in_sitemap AND crawled THEN 1 ELSE 0 END)
+             * 1000000 // greatest(
+               sum(CASE WHEN in_sitemap THEN 1 ELSE 0 END), 1)
+             AS BIGINT) AS coverage_ppm
+    FROM f GROUP BY host
+    """
+
+
+@register("crawl_sitemap_coverage", _SITEMAP_SQL)
+def crawl_sitemap_coverage(spark, sf):
+    """Sitemap-vs-crawl coverage census per host: how much of what a
+    host DECLARES (its sitemap urls) did the crawler actually FETCH
+    (n_both / n_sitemap, exact ppm via integer floor-division), how
+    much is missing (declared, never fetched — recrawl-queue fodder),
+    and how much is extra (fetched but undeclared — discovered via
+    links; a crawl-trap signal when it dwarfs the sitemap). The two
+    url sets are synthesized deterministically from the shared doc
+    base (doc_id % 2 declares, doc_id % 3 fetches) so the oracle
+    reconstructs them exactly.
+
+    Scale shape: membership flags are computed per row in the SAME
+    scan (a real deployment joins a sitemap table to the crawl log on
+    url_hash first — that join is url-keyed and AQE-skew-safe; the
+    census below it is this exact shape), then ONE host-keyed
+    partial-agg groupBy: all six aggregates are conditional counts
+    that combine map-side, so the shuffle carries one row per host.
+    Host skew does not hurt a partial-agg count.
+
+    pipeline role: feeds crawl_recrawl_schedule (what to fetch next)
+    and crawl_frontier (what was never seen); the per-host gap curve
+    is the crawl-completeness SLA readout.
+
+    Reference analog: octopy's inspect summaries compare expected vs
+    produced page counts per run (reference src/octopy/cli/inspect.py)
+    — the same declared-vs-delivered census."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "source")
+    f = docs.select(
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
+        (F.col("doc_id") % 2 == 0).alias("in_sitemap"),
+        (F.col("doc_id") % 3 != 0).alias("crawled"),
+    )
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    g = f.groupBy("host").agg(
+        one(F.col("in_sitemap")).alias("n_sitemap"),
+        one(F.col("crawled")).alias("n_crawled"),
+        one(F.col("in_sitemap") & F.col("crawled")).alias("n_both"),
+        one(F.col("in_sitemap") & ~F.col("crawled")).alias("n_missing"),
+        one(F.col("crawled") & ~F.col("in_sitemap")).alias("n_extra"),
+    )
+    return g.select(
+        "host", "n_sitemap", "n_crawled", "n_both", "n_missing",
+        "n_extra",
+        F.expr(
+            "CAST(n_both * 1000000L DIV greatest(n_sitemap, 1L) AS LONG)"
+        ).alias("coverage_ppm"),
+    )
