@@ -4532,3 +4532,300 @@ def window_running_distinct(spark, sf):
             )
         ).alias("is_new_type"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_srm_check — sample-ratio-mismatch gate per segment
+# --------------------------------------------------------------------------
+
+_SRM_SQL = """
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(DISTINCT CASE WHEN user_id % 2 = 0
+               THEN user_id END) AS BIGINT) AS n_a,
+             CAST(count(DISTINCT CASE WHEN user_id % 2 = 1
+               THEN user_id END) AS BIGINT) AS n_b
+      FROM events GROUP BY event_type)
+    SELECT event_type, n_a, n_b,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)
+             AS chi2,
+           100 * (n_a - n_b) * (n_a - n_b) > 384 * (n_a + n_b) AS srm
+    FROM g
+    """
+
+
+@register("events_srm_check", _SRM_SQL)
+def events_srm_check(spark, sf):
+    """Sample-ratio-mismatch gate — the sanity check every experiment
+    platform runs BEFORE reading any lift number: under a 50/50
+    user-parity assignment the distinct-user counts per variant should
+    be binomially close, and a chi-square that rejects means the
+    randomization (or the logging) is broken, invalidating
+    events_ab_lift_test's verdict downstream. Segmented per event_type
+    so a mismatch confined to one surface (e.g. only purchase events
+    under-log variant B) is visible even when the global ratio looks
+    healthy.
+
+    Integer-exactness: with two equal-expected cells the chi-square
+    collapses to (n_a-n_b)^2/(n_a+n_b); the DECISION srm is the
+    cross-multiplied 100*(n_a-n_b)^2 > 384*(n_a+n_b) — the p<0.05
+    threshold 3.84 as an exact integer law (the events_ab_lift_test
+    recipe) — while the reported chi2 is one IEEE divide over the same
+    exact BIGINTs, identical on both engines. Magnitude: products stay
+    in BIGINT below ~3e8 distinct users per segment; beyond, lift to
+    decimal(38,0) (trainer recipe).
+
+    Scale shape: count(DISTINCT user) per (type, variant) is Spark's
+    two-level expand-then-agg — both levels partial-aggregate, the
+    final shuffle carries one row per (type, variant), and variant
+    pivot + chi-square run on rows = segment count. No window, no
+    collect.
+
+    Reference analog: octopy validates split integrity before training
+    (reference src/octopy/cli/train.py's deterministic val split) —
+    the same assignment-health gate, made a statistical test."""
+    e = load_table(spark, sf, "events")
+    g = e.groupBy("event_type").agg(
+        F.count_distinct(
+            F.when(F.col("user_id") % 2 == 0, F.col("user_id"))
+        ).alias("n_a"),
+        F.count_distinct(
+            F.when(F.col("user_id") % 2 == 1, F.col("user_id"))
+        ).alias("n_b"),
+    )
+    d = F.col("n_a") - F.col("n_b")
+    t = F.col("n_a") + F.col("n_b")
+    return g.select(
+        "event_type", "n_a", "n_b",
+        ((d * d).cast("double") / t).alias("chi2"),
+        (100 * d * d > 384 * t).alias("srm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# events_cuped_lift — CUPED variance-reduced A/B lift
+# --------------------------------------------------------------------------
+
+_CUPED_SQL = """
+    WITH b AS (
+      SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
+      FROM events),
+    u AS (
+      SELECT user_id, user_id % 2 AS grp,
+             CAST(sum(CASE WHEN epoch_us(ts) < (SELECT mid FROM b)
+               THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN epoch_us(ts) >= (SELECT mid FROM b)
+               THEN 1 ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id),
+    p AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))
+               AS sxx,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0))
+               AS sxy
+      FROM u),
+    v AS (
+      SELECT
+        CAST(max(CASE WHEN grp = 0 THEN ng END) AS BIGINT) AS n_a,
+        CAST(max(CASE WHEN grp = 0 THEN sxg END) AS BIGINT) AS sx_a,
+        CAST(max(CASE WHEN grp = 0 THEN syg END) AS BIGINT) AS sy_a,
+        CAST(max(CASE WHEN grp = 1 THEN ng END) AS BIGINT) AS n_b,
+        CAST(max(CASE WHEN grp = 1 THEN sxg END) AS BIGINT) AS sx_b,
+        CAST(max(CASE WHEN grp = 1 THEN syg END) AS BIGINT) AS sy_b
+      FROM (SELECT grp, count(*) AS ng, sum(x) AS sxg, sum(y) AS syg
+            FROM u GROUP BY grp) GROUP BY ()),
+    th AS (
+      SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS theta
+      FROM p)
+    SELECT v.n_a, v.sx_a, v.sy_a, v.n_b, v.sx_b, v.sy_b, th.theta,
+           CAST(v.sy_a AS DOUBLE) / v.n_a
+             - CAST(v.sy_b AS DOUBLE) / v.n_b AS delta_raw,
+           (CAST(v.sy_a AS DOUBLE) / v.n_a
+             - CAST(v.sy_b AS DOUBLE) / v.n_b)
+             - th.theta * (CAST(v.sx_a AS DOUBLE) / v.n_a
+                           - CAST(v.sx_b AS DOUBLE) / v.n_b)
+             AS delta_cuped
+    FROM v, th
+    """
+
+
+@register("events_cuped_lift", _CUPED_SQL)
+def events_cuped_lift(spark, sf):
+    """CUPED variance-reduced A/B lift (Deng et al., WSDM'13) — the
+    standard upgrade over the raw-difference readout: regress each
+    user's post-period activity y on their PRE-period activity x
+    (theta = cov(x,y)/var(x) pooled over all users), then report the
+    lift on the adjusted metric y - theta*x. Pre-period behavior is
+    assignment-independent, so the adjustment removes its variance
+    without biasing the effect — the same experiment reaches
+    significance with a fraction of the traffic.
+
+    Engine-parity discipline: every accumulated quantity (per-user x/y
+    counts, pooled n/sx/sy/sxx/sxy, per-variant sums) is an exact
+    integer — the cross products are accumulated in decimal(38,0) so a
+    100 TB event log cannot overflow them — and the three doubles
+    (theta, delta_raw, delta_cuped) are each ONE identically-written
+    IEEE expression over those exact integers, so both engines round
+    identically. The pre/post boundary is the integer-microsecond midpoint of
+    the observed time range.
+
+    Scale shape: pass 1 is a column-pruned min/max of ts (partial-agg,
+    vectorized; parquet footer stats serve most of it); pass 2 is ONE
+    user-keyed partial-agg groupBy producing the per-user (x, y)
+    rollup — rows = users, never events — and the pooled + per-variant
+    moments are two tiny aggregations over that rollup joined by
+    broadcast single-row crossJoins. No window, no collect, no skew
+    (user_id is the unique key).
+
+    Reference analog: octopy's train/val discipline normalizes away
+    nuisance variation before comparing runs (reference
+    src/octopy/cli/train.py); CUPED is that discipline as an
+    estimator."""
+    e = load_table(spark, sf, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = e.agg(
+        ((F.min(ts_us) + F.max(ts_us)) / F.lit(2))
+        .cast("long")
+        .alias("mid")
+    )
+    u = (
+        e.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(ts_us < F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(ts_us >= F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+        .withColumn("grp", F.col("user_id") % 2)
+    )
+    # the per-user rollup (rows = users, 3 small cols) feeds BOTH the
+    # pooled-moments and the per-variant branches — materialize it once
+    # so the 100 TB events table is scanned twice (bounds + rollup),
+    # never four times
+    u = u.localCheckpoint(eager=True)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    p = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec("x")).cast("decimal(38,0)").alias("sx"),
+        F.sum(dec("y")).cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    v = u.groupBy("grp").agg(
+        F.count("*").alias("ng"),
+        F.sum("x").alias("sxg"),
+        F.sum("y").alias("syg"),
+    ).agg(
+        F.max(F.when(F.col("grp") == 0, F.col("ng")))
+        .cast("long").alias("n_a"),
+        F.max(F.when(F.col("grp") == 0, F.col("sxg")))
+        .cast("long").alias("sx_a"),
+        F.max(F.when(F.col("grp") == 0, F.col("syg")))
+        .cast("long").alias("sy_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("ng")))
+        .cast("long").alias("n_b"),
+        F.max(F.when(F.col("grp") == 1, F.col("sxg")))
+        .cast("long").alias("sx_b"),
+        F.max(F.when(F.col("grp") == 1, F.col("syg")))
+        .cast("long").alias("sy_b"),
+    )
+    th = p.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("double")
+        ).alias("theta")
+    )
+    j = v.crossJoin(F.broadcast(th))
+    mean = lambda s, n: F.col(s).cast("double") / F.col(n)  # noqa: E731
+    d_raw = mean("sy_a", "n_a") - mean("sy_b", "n_b")
+    d_pre = mean("sx_a", "n_a") - mean("sx_b", "n_b")
+    return j.select(
+        "n_a", "sx_a", "sy_a", "n_b", "sx_b", "sy_b", "theta",
+        d_raw.alias("delta_raw"),
+        (d_raw - F.col("theta") * d_pre).alias("delta_cuped"),
+    )
+
+
+# --------------------------------------------------------------------------
+# join_asof_tolerance — staleness-bounded as-of join (feature-store rule)
+# --------------------------------------------------------------------------
+
+_ASOF_TOL_US = 3_600_000_000  # 1 hour in microseconds
+
+_ASOF_TOL_SQL = f"""
+    WITH r AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             max(CASE WHEN event_type = 'purchase'
+               THEN epoch_us(ts) END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_purchase_us
+      FROM events)
+    SELECT event_id, user_id, ts_us,
+           CASE WHEN ts_us - last_purchase_us <= {_ASOF_TOL_US}
+             THEN last_purchase_us END AS asof_purchase_us,
+           coalesce(ts_us - last_purchase_us <= {_ASOF_TOL_US}, FALSE)
+             AS fresh
+    FROM r
+    """
+
+
+@register("join_asof_tolerance", _ASOF_TOL_SQL)
+def join_asof_tolerance(spark, sf):
+    """As-of join with a staleness tolerance — the feature-store
+    point-in-time rule: each event sees the user's most recent PRIOR
+    purchase timestamp, but only if it is at most 1 hour stale;
+    otherwise the feature is NULL (a stale feature silently leaking
+    into training is worse than a missing one). Completes the as-of
+    family: join_asof_latest (unbounded backward), join_asof_next
+    (forward), and this bounded-backward form.
+
+    The 1-PRECEDING frame makes the join strictly point-in-time — a
+    purchase event never sees ITSELF as its own feature (the classic
+    feature-leakage bug). Ordering (ts, event_id) is total, so results
+    are partitioning-independent; all comparisons are integer
+    microseconds.
+
+    Scale shape: expressed as ONE user-partitioned running-max window
+    — no join at all, so there is exactly one user-keyed shuffle+sort
+    and per-row O(1) state (the running max), where the naive
+    range-join formulation would shuffle twice and explode candidate
+    pairs. This is the shape a 100 TB feature backfill wants.
+
+    Reference analog: octopy resumes from the latest checkpoint only
+    if it matches the current run's config (reference
+    src/octopy/cli/train.py:89-97) — the same freshness-gated
+    latest-prior lookup."""
+    e = load_table(spark, sf, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = e.select(
+        "event_id",
+        "user_id",
+        ts_us.alias("ts_us"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", ts_us)
+        ).over(w).alias("last_purchase_us"),
+    )
+    gap_ok = (
+        F.col("ts_us") - F.col("last_purchase_us") <= _ASOF_TOL_US
+    )
+    return r.select(
+        "event_id", "user_id", "ts_us",
+        F.when(gap_ok, F.col("last_purchase_us")).alias(
+            "asof_purchase_us"
+        ),
+        F.coalesce(gap_ok, F.lit(False)).alias("fresh"),
+    )
