@@ -4829,3 +4829,229 @@ def join_asof_tolerance(spark, sf):
         ),
         F.coalesce(gap_ok, F.lit(False)).alias("fresh"),
     )
+
+
+# --------------------------------------------------------------------------
+# table_deletion_vectors — lakehouse merge-on-read DV application + rewrite
+# planning
+# --------------------------------------------------------------------------
+
+_DV_FILE_ROWS = 1000  # orderkeys per synthetic data file
+
+_DV_SQL = f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderkey // {_DV_FILE_ROWS} AS file_id,
+             CAST(row_number() OVER (
+               PARTITION BY o_orderkey // {_DV_FILE_ROWS}
+               ORDER BY o_orderkey) AS BIGINT) AS pos
+      FROM orders),
+    dv AS (
+      SELECT file_id, pos, 1 AS dv FROM base WHERE o_orderkey % 13 = 3),
+    marked AS (
+      SELECT b.file_id, b.o_orderkey, dv.dv
+      FROM base b LEFT JOIN dv
+        ON b.file_id = dv.file_id AND b.pos = dv.pos)
+    SELECT file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(coalesce(sum(dv), 0) AS BIGINT) AS n_deleted,
+           CAST(count(*) - coalesce(sum(dv), 0) AS BIGINT) AS n_live,
+           CAST(coalesce(sum(CASE WHEN dv IS NULL THEN o_orderkey END),
+                         0) AS BIGINT) AS live_key_sum,
+           5 * coalesce(sum(dv), 0) >= count(*) AS rewrite
+    FROM marked GROUP BY file_id
+    """
+
+
+@register("table_deletion_vectors", _DV_SQL)
+def table_deletion_vectors(spark, sf):
+    """Merge-on-read deletion-vector application + compaction planning
+    — the Iceberg-v2 / Delta DV mechanic: deletes are NOT rewritten
+    into data files but recorded as (file_id, position) pairs in a
+    side table; readers anti-join the DV to serve live rows, and the
+    table service rewrites a file once its dead fraction crosses a
+    threshold (here >= 20 %, as the exact integer cross-multiplication
+    ``5 * n_deleted >= n_rows``). Output is the per-file audit the
+    rewrite planner consumes: row/dead/live counts, the live-key
+    checksum (witnesses that the DV join dropped EXACTLY the deleted
+    positions, not merely the right number of rows), and the rewrite
+    verdict. Complements table_zonemap_skip (read-side skipping) and
+    table_compaction_plan (small-file binpacking) with the
+    delete-side maintenance loop.
+
+    Synthetic but mechanical: files are fixed key-ranges of orders
+    (o_orderkey div 1000), row position is the within-file rank, and
+    the DV marks every position whose orderkey = 3 (mod 13) —
+    deterministic in both engines, so the oracle rebuilds the exact
+    same DV and the value-hash compare proves the positional join
+    semantics, not just the counts.
+
+    Scale shape: position assignment is a file_id-partitioned window
+    (each file's rows sort independently — no global sort); the DV
+    side is tiny relative to base data (deleted fraction of a file),
+    so the positional application join broadcasts per-file DV
+    partitions; stats are ONE partial-agg groupBy(file_id). The base
+    table is localCheckpointed once so base and DV branches do not
+    recompute the scan+window twice.
+
+    Reference analog: octopy never mutates its input page images;
+    corrections live in side files merged at read time
+    (reference README.md workflow: segment output JSON feeds
+    recognize without touching sources) — the same
+    base-plus-overlay read."""
+    o = load_table(spark, sf, "orders").select("o_orderkey")
+    w = Window.partitionBy("file_id").orderBy("o_orderkey")
+    base = (
+        o.select(
+            "o_orderkey",
+            F.expr(f"o_orderkey div {_DV_FILE_ROWS}").alias("file_id"),
+        )
+        .select(
+            "o_orderkey",
+            "file_id",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dv = base.filter(F.col("o_orderkey") % 13 == 3).select(
+        "file_id", "pos", F.lit(1).alias("dv")
+    )
+    marked = base.join(dv, ["file_id", "pos"], "left")
+    dead = F.coalesce(F.sum("dv"), F.lit(0)).cast("long")
+    return marked.groupBy("file_id").agg(
+        F.count("*").alias("n_rows"),
+        dead.alias("n_deleted"),
+        (F.count("*") - dead).cast("long").alias("n_live"),
+        F.coalesce(
+            F.sum(F.when(F.col("dv").isNull(), F.col("o_orderkey"))),
+            F.lit(0),
+        ).cast("long").alias("live_key_sum"),
+        (5 * dead >= F.count("*")).alias("rewrite"),
+    )
+
+
+# --------------------------------------------------------------------------
+# events_cusum_changepoint — CUSUM drift alarm over the hourly series
+# --------------------------------------------------------------------------
+
+_CUSUM_SQL = f"""
+    WITH c AS ({{hourly}}),
+    span AS (
+      SELECT event_type, min(win_start) AS lo, max(win_start) AS hi
+      FROM c GROUP BY 1),
+    dense AS (
+      SELECT s.event_type,
+             strftime(unnest(generate_series(
+                 CAST(s.lo AS TIMESTAMP), CAST(s.hi AS TIMESTAMP),
+                 INTERVAL 1 HOUR)), '%Y-%m-%d %H:%M:%S') AS win_start
+      FROM span s),
+    d AS (
+      SELECT dense.event_type, dense.win_start,
+             COALESCE(c.n, CAST(0 AS BIGINT)) AS n
+      FROM dense LEFT JOIN c
+        ON c.event_type = dense.event_type
+       AND c.win_start = dense.win_start),
+    k AS (
+      SELECT event_type, sum(n) // count(*) AS k
+      FROM d GROUP BY 1),
+    w AS (
+      SELECT d.event_type, d.win_start, d.n, k.k,
+             list(d.n - k.k) OVER (
+               PARTITION BY d.event_type ORDER BY d.win_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS hist
+      FROM d JOIN k ON d.event_type = k.event_type)
+    SELECT event_type, win_start, n, k,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), hist),
+                       (acc, x) -> greatest(CAST(0 AS BIGINT), acc + x)
+             ) AS cusum,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), hist),
+                       (acc, x) -> greatest(CAST(0 AS BIGINT), acc + x)
+             ) > greatest(4 * k, CAST(4 AS BIGINT)) AS alarm
+    FROM w
+    """
+
+
+@register(
+    "events_cusum_changepoint",
+    _CUSUM_SQL.format(hourly=_HOURLY_COUNTS_CTE),
+)
+def events_cusum_changepoint(spark, sf):
+    """CUSUM (cumulative-sum) changepoint alarm over the densified
+    hourly series per event type — the sequential-drift detector the
+    point alarms miss: events_anomaly_hours / events_anomaly_mad flag
+    single outlier HOURS, but a sustained small shift (traffic leak,
+    bot ramp, logging regression) never crosses a per-hour threshold.
+    CUSUM accumulates evidence: s_i = max(0, s_(i-1) + (n_i - k))
+    with reference value k = each type's floored mean hourly count,
+    alarming when s exceeds max(4k, 4).
+
+    All integers, so the inherently sequential fold is bit-identical
+    in both engines: the per-step op is one add and one max (no
+    rounding at all), folded from a seed of 0 over the ordered window
+    history (Spark F.aggregate over a collect_list window, DuckDB
+    list_reduce with a prepended seed). The series is DENSIFIED first
+    (every hour between each type's first and last event, zero-filled)
+    exactly like events_ewma_hourly: silent hours must DRAIN the
+    cusum (n - k goes negative), otherwise a gap freezes the
+    accumulated evidence across it.
+
+    Scale shape: the raw events scan collapses to the shared hourly
+    (type, hour) count table via ONE partial-agg groupBy; densify,
+    the per-type k rollup, and the ordered fold all operate on that
+    collapsed table (rows = types x hours, not events). The
+    full-preceding collect_list is O(H^2) per type in the worst case
+    but H is the retention horizon in hours (bounded, e.g. 8760/year)
+    — at 100 TB the cost lives in the one events scan, not here.
+    """
+    c = _hourly_type_counts(load_table(spark, sf, "events"))
+    span = c.groupBy("event_type").agg(
+        F.min("win_start").alias("lo"), F.max("win_start").alias("hi")
+    )
+    hours = span.select(
+        "event_type",
+        F.explode(
+            F.sequence(
+                F.to_timestamp("lo"),
+                F.to_timestamp("hi"),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("ts_h"),
+    )
+    dense = (
+        hours.select(
+            "event_type",
+            F.date_format("ts_h", "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+        )
+        .join(c, ["event_type", "win_start"], "left")
+        .select(
+            "event_type",
+            "win_start",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
+    k = dense.groupBy("event_type").agg(
+        F.expr("sum(n) div count(*)").alias("k")
+    )
+    j = dense.join(F.broadcast(k), "event_type")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("win_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist = F.collect_list(F.col("n") - F.col("k")).over(w)
+    zero = F.lit(0).cast("long")
+    cusum = F.aggregate(
+        hist, zero, lambda acc, x: F.greatest(zero, acc + x)
+    )
+    return j.select(
+        "event_type",
+        "win_start",
+        "n",
+        "k",
+        cusum.alias("cusum"),
+        (cusum > F.greatest(4 * F.col("k"), F.lit(4).cast("long"))).alias(
+            "alarm"
+        ),
+    )

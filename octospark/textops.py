@@ -7615,3 +7615,112 @@ def text_safety_wordlist(spark, sf):
             F.lit(True),
         ).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# graph_bfs_layers — multi-source BFS hop distance (crawl-depth census)
+# --------------------------------------------------------------------------
+
+_BFS_ITERS = 4
+
+
+def _bfs_sql(iters: int) -> str:
+    """Unrolled multi-source BFS oracle (see graph_bfs_layers)."""
+    ctes = [
+        *_MODULAR_EDGES_CTES,
+        ("d0 AS (SELECT doc_id AS node, CAST(0 AS BIGINT) AS hop "
+         "FROM documents WHERE doc_id % 97 = 0)"),
+        "f0 AS (SELECT node FROM d0)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""n{i} AS (
+          SELECT DISTINCT e.dst AS node
+          FROM edges e JOIN f{i - 1} f ON e.src = f.node)"""
+        )
+        ctes.append(
+            f"""f{i} AS (
+          SELECT n{i}.node FROM n{i}
+          LEFT JOIN d{i - 1} d ON n{i}.node = d.node
+          WHERE d.node IS NULL)"""
+        )
+        ctes.append(
+            f"""d{i} AS (
+          SELECT node, hop FROM d{i - 1}
+          UNION ALL
+          SELECT node, CAST({i} AS BIGINT) AS hop FROM f{i})"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""" SELECT doc.doc_id, d.hop
+        FROM documents doc LEFT JOIN d{iters} d ON doc.doc_id = d.node"""
+    )
+
+
+@register("graph_bfs_layers", _bfs_sql(_BFS_ITERS))
+def graph_bfs_layers(spark, sf):
+    """Multi-source BFS hop distance over the link graph — the
+    crawl-depth census: how many hops is every page from the seed set
+    (here doc_id = 0 mod 97, standing in for the curated seed list a
+    crawler starts from)? Feeds crawl_frontier prioritization (shallow
+    pages first), link-distance quality priors (content N hops off any
+    seed is overwhelmingly spam — the Common Crawl harmonic-centrality
+    intuition), and coverage audits (hop = NULL after K rounds =
+    unreachable from seeds). Completes the iterative-graph family:
+    pagerank (global authority), HITS (hub/authority), label
+    propagation / CC (components), k-core (density) — BFS is the
+    distance primitive none of them provide.
+
+    Frontier-style iteration, K = 4 unrolled rounds: each round
+    expands ONLY the newly-reached frontier (not the whole reached
+    set) against the edge list, anti-joins already-reached nodes, and
+    unions the survivors in with hop = round. Hops are exact integers;
+    set semantics make the result partitioning-independent, and the
+    DuckDB oracle unrolls the identical rounds so the value-hash
+    compare proves the frontier/anti-join mechanics round by round.
+
+    Scale shape per round: one src-keyed shuffle join of
+    edges x frontier (edges repartitioned on src ONCE and
+    localCheckpointed — every round reuses the same partitioning; at
+    corpus scale a persisted src-bucketed edge table), one distinct on
+    the candidate set, one anti-join against the reached set (both
+    sides node-keyed), and lineage truncation per round so the plan
+    never grows with iteration count. The frontier shrinks
+    geometrically once the graph saturates, so late rounds are cheap;
+    the reached set never exceeds |V|.
+
+    Reference analog: octopy's baseline segmentation orders lines by
+    reading order BFS-like from the page top (reference
+    src/octopy/segment.py polygon ordering) — the same
+    expand-from-seeds traversal."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    n = docs.count()  # single scalar, bounded driver read
+    edges = (
+        _modular_edges(docs, n)
+        .repartition(par, "src")
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(
+            F.col("doc_id").alias("node"),
+            F.lit(0).cast("long").alias("hop"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for i in range(1, _BFS_ITERS + 1):
+        nxt = (
+            edges.join(frontier, edges["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(i).cast("long").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return docs.join(
+        dist, docs["doc_id"] == dist["node"], "left"
+    ).select("doc_id", "hop")
