@@ -4930,11 +4930,14 @@ def table_deletion_vectors(spark, sf):
 
 
 # --------------------------------------------------------------------------
-# events_cusum_changepoint — CUSUM drift alarm over the hourly series
+# densified hourly series — shared by the sequential detectors
+# (CUSUM, seasonal baseline, Holt forecast): every hour between each
+# type's first and last event, zero-filled, so silent hours are DATA
+# (they drain a cusum, anchor a seasonal median, decay a forecast)
+# instead of invisible gaps.
 # --------------------------------------------------------------------------
 
-_CUSUM_SQL = f"""
-    WITH c AS ({{hourly}}),
+_DENSE_HOURLY_CTE = """c AS ({hourly}),
     span AS (
       SELECT event_type, min(win_start) AS lo, max(win_start) AS hi
       FROM c GROUP BY 1),
@@ -4949,7 +4952,55 @@ _CUSUM_SQL = f"""
              COALESCE(c.n, CAST(0 AS BIGINT)) AS n
       FROM dense LEFT JOIN c
         ON c.event_type = dense.event_type
-       AND c.win_start = dense.win_start),
+       AND c.win_start = dense.win_start)"""
+
+
+def _densified_hourly(spark, sf) -> DataFrame:
+    """Densified hourly (event_type, win_start, n) count table: the
+    hourly rollup left-joined onto each type's full first-to-last hour
+    range, zero-filled. One partial-agg shuffle collapses the events
+    scan; the densify join runs on the collapsed (types x hours)
+    table, never the event stream."""
+    c = _hourly_type_counts(load_table(spark, sf, "events"))
+    # the rollup feeds TWO plan branches (the span rollup and the
+    # densify join) — materialize it once so the 100 TB events table
+    # is scanned exactly once, not twice (events_anomaly_mad rule)
+    c = c.localCheckpoint(eager=True)
+    span = c.groupBy("event_type").agg(
+        F.min("win_start").alias("lo"), F.max("win_start").alias("hi")
+    )
+    hours = span.select(
+        "event_type",
+        F.explode(
+            F.sequence(
+                F.to_timestamp("lo"),
+                F.to_timestamp("hi"),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("ts_h"),
+    )
+    return (
+        hours.select(
+            "event_type",
+            F.date_format("ts_h", "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+        )
+        .join(c, ["event_type", "win_start"], "left")
+        .select(
+            "event_type",
+            "win_start",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# events_cusum_changepoint — CUSUM drift alarm over the hourly series
+# --------------------------------------------------------------------------
+
+_CUSUM_SQL = f"""
+    WITH {_DENSE_HOURLY_CTE},
     k AS (
       SELECT event_type, sum(n) // count(*) AS k
       FROM d GROUP BY 1),
@@ -5003,34 +5054,7 @@ def events_cusum_changepoint(spark, sf):
     but H is the retention horizon in hours (bounded, e.g. 8760/year)
     — at 100 TB the cost lives in the one events scan, not here.
     """
-    c = _hourly_type_counts(load_table(spark, sf, "events"))
-    span = c.groupBy("event_type").agg(
-        F.min("win_start").alias("lo"), F.max("win_start").alias("hi")
-    )
-    hours = span.select(
-        "event_type",
-        F.explode(
-            F.sequence(
-                F.to_timestamp("lo"),
-                F.to_timestamp("hi"),
-                F.expr("interval 1 hour"),
-            )
-        ).alias("ts_h"),
-    )
-    dense = (
-        hours.select(
-            "event_type",
-            F.date_format("ts_h", "yyyy-MM-dd HH:mm:ss").alias(
-                "win_start"
-            ),
-        )
-        .join(c, ["event_type", "win_start"], "left")
-        .select(
-            "event_type",
-            "win_start",
-            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
-        )
-    )
+    dense = _densified_hourly(spark, sf)
     k = dense.groupBy("event_type").agg(
         F.expr("sum(n) div count(*)").alias("k")
     )
@@ -5054,4 +5078,465 @@ def events_cusum_changepoint(spark, sf):
         (cusum > F.greatest(4 * F.col("k"), F.lit(4).cast("long"))).alias(
             "alarm"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# events_seasonal_baseline — hour-of-day robust seasonal anomaly
+# --------------------------------------------------------------------------
+
+_SEASONAL_SQL = f"""
+    WITH {_DENSE_HOURLY_CTE},
+    h AS (
+      SELECT event_type, win_start, n,
+             CAST(hour(CAST(win_start AS TIMESTAMP)) AS BIGINT) AS hod
+      FROM d),
+    m AS (
+      SELECT event_type, hod, CAST(2 * median(n) AS BIGINT) AS med2
+      FROM h GROUP BY 1, 2),
+    dd AS (
+      SELECT h.event_type, h.win_start, h.hod, h.n, m.med2,
+             CAST(abs(2 * h.n - m.med2) AS BIGINT) AS d2
+      FROM h JOIN m ON h.event_type = m.event_type AND h.hod = m.hod),
+    s AS (
+      SELECT event_type, hod, CAST(2 * median(d2) AS BIGINT) AS mad4
+      FROM dd GROUP BY 1, 2)
+    SELECT dd.event_type, dd.win_start, dd.hod, dd.n, dd.med2,
+           s.mad4, dd.d2,
+           2 * dd.d2 > 3 * s.mad4 AS is_anomaly
+    FROM dd JOIN s ON dd.event_type = s.event_type AND dd.hod = s.hod
+    """
+
+
+@register(
+    "events_seasonal_baseline",
+    _SEASONAL_SQL.format(hourly=_HOURLY_COUNTS_CTE),
+)
+def events_seasonal_baseline(spark, sf):
+    """Hour-of-day seasonal anomaly detection — the stratified member
+    of the anomaly family: events_anomaly_hours (global z),
+    events_anomaly_mad (global robust), events_cusum_changepoint
+    (sequential drift) all compare an hour against the WHOLE history,
+    so the 3 a.m. quiet trough and the noon rush both read as
+    anomalies of the pooled baseline. Here each hour is judged only
+    against its own hour-of-day stratum (the diurnal seasonality every
+    human-facing traffic series carries): per (type, hour-of-day)
+    robust median/MAD baseline over the DENSIFIED hourly series, flag
+    when |n - median| > 3 * MAD within the stratum.
+
+    Integer-exactness is the events_anomaly_mad recipe verbatim
+    (med2 = 2*median and mad4 = 2*median(2|n|-med2) round-trip BIGINT
+    exactly; the flag is the cross-multiplication 2*d2 > 3*mad4), and
+    densification is the CUSUM/EWMA rule (a silent 3 a.m. hour is a
+    zero COUNT in the 3 a.m. stratum, not a missing row — otherwise
+    the quiet-hour baseline is biased high and real outages at night
+    are invisible).
+
+    Scale shape: the events scan collapses to the (type, hour)
+    rollup via ONE partial-agg shuffle; densify, both median rollups
+    (types x 24 strata), and the flag join all run on the collapsed
+    table. The stratum rollups are broadcast back. At a year of
+    retention this is 8760 rows per type — planning-table sized.
+
+    Reference analog: octopy normalizes each line against its own
+    baseline curve before recognition (reference
+    src/octopy/segment.py baseline offsets) — judging a sample
+    against its local stratum, not the page-global mean."""
+    dense = _densified_hourly(spark, sf)
+    h = dense.select(
+        "event_type",
+        "win_start",
+        "n",
+        F.hour(F.to_timestamp("win_start")).cast("long").alias("hod"),
+    )
+    # tiny (types x hours) table feeding three plan branches: the two
+    # median rollups and the flag join — materialize once so the
+    # events table is scanned exactly once (events_anomaly_mad rule)
+    h = h.localCheckpoint(eager=True)
+    m = h.groupBy("event_type", "hod").agg(
+        (2 * F.median("n")).cast("long").alias("med2")
+    )
+    dd = h.join(F.broadcast(m), ["event_type", "hod"]).withColumn(
+        "d2", F.abs(2 * F.col("n") - F.col("med2")).cast("long")
+    )
+    s = dd.groupBy("event_type", "hod").agg(
+        (2 * F.median("d2")).cast("long").alias("mad4")
+    )
+    return dd.join(F.broadcast(s), ["event_type", "hod"]).select(
+        "event_type", "win_start", "hod", "n", "med2", "mad4", "d2",
+        (2 * F.col("d2") > 3 * F.col("mad4")).alias("is_anomaly"),
+    )
+
+
+# --------------------------------------------------------------------------
+# events_forecast_holt — double-EWMA trend forecast (Brown's method)
+# --------------------------------------------------------------------------
+
+_HOLT_SQL = f"""
+    WITH {_DENSE_HOURLY_CTE},
+    w1 AS (
+      SELECT event_type, win_start, n,
+             list(n) OVER (
+               PARTITION BY event_type ORDER BY win_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS hn
+      FROM d),
+    t1 AS (
+      SELECT event_type, win_start, n,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), hn),
+                         (acc, x) -> CAST(floor((x + 3 * acc) / 4.0)
+                                          AS BIGINT)) AS s1
+      FROM w1),
+    w2 AS (
+      SELECT event_type, win_start, n, s1,
+             list(s1) OVER (
+               PARTITION BY event_type ORDER BY win_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS hs
+      FROM t1)
+    SELECT event_type, win_start, n, s1,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                       (acc, x) -> CAST(floor((x + 3 * acc) / 4.0)
+                                        AS BIGINT)) AS s2,
+           2 * s1 - list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                       (acc, x) -> CAST(floor((x + 3 * acc) / 4.0)
+                                        AS BIGINT)) AS level,
+           7 * s1 - 4 * list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                       (acc, x) -> CAST(floor((x + 3 * acc) / 4.0)
+                                        AS BIGINT)) AS forecast_next_x3
+    FROM w2
+    """
+
+
+@register(
+    "events_forecast_holt",
+    _HOLT_SQL.format(hourly=_HOURLY_COUNTS_CTE),
+)
+def events_forecast_holt(spark, sf):
+    """Trend-aware hourly traffic forecast per event type — Brown's
+    double exponential smoothing (the linear-trend member of the
+    sequential family: EWMA smooths level only, CUSUM detects drift
+    only; this one EXTRAPOLATES): s1 = EWMA(n), s2 = EWMA(s1) with
+    alpha = 1/4, level = 2*s1 - s2, trend = (s1 - s2) * alpha/(1-alpha),
+    one-step forecast = level + trend. Capacity planners feed the
+    forecast into autoscaling; the residual n - forecast is the input
+    to a forecast-based alarm.
+
+    Integer determinism: with alpha = 1/4 each smoothing step is
+    s' = floor((x + 3*s) / 4) — x and s are nonnegative BIGINTs (counts
+    and smoothed counts), so the double divide-and-floor is exact and
+    identical in IEEE on both engines (values < 2^53), and crucially
+    no division ever sees a negative numerator (floor vs truncate
+    divergence is unreachable). The trend is reported as the exact
+    integer 3*forecast = 7*s1 - 4*s2 (`forecast_next_x3`) so no
+    engine ever divides by 3: consumers read forecast pages/hour as
+    forecast_next_x3 / 3 at display time.
+
+    The inherently sequential double fold is the CUSUM mechanic run
+    twice: collect_list prefix window -> F.aggregate fold for s1,
+    then the SAME window spec (one sort, reused) collects the s1
+    prefix for s2. Densified series (CUSUM rule): silent hours must
+    decay the forecast toward zero.
+
+    Scale shape: events collapse to the (type, hour) rollup in ONE
+    partial-agg shuffle; both prefix folds run on the collapsed table
+    (O(H^2) per type with H = bounded retention hours — see
+    events_cusum_changepoint for why that is the right trade)."""
+    dense = _densified_hourly(spark, sf)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("win_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    zero = F.lit(0).cast("long")
+    step = lambda acc, x: F.floor((x + 3 * acc) / F.lit(4.0)).cast(
+        "long"
+    )  # noqa: E731
+    s1 = F.aggregate(F.collect_list("n").over(w), zero, step)
+    t1 = dense.withColumn("s1", s1)
+    s2 = F.aggregate(F.collect_list("s1").over(w), zero, step)
+    return t1.select(
+        "event_type",
+        "win_start",
+        "n",
+        "s1",
+        s2.alias("s2"),
+        (2 * F.col("s1") - s2).alias("level"),
+        (7 * F.col("s1") - 4 * s2).alias("forecast_next_x3"),
+    )
+
+
+# --------------------------------------------------------------------------
+# events_diff_in_diff — pre/post x treat/control causal lift estimate
+# --------------------------------------------------------------------------
+
+_DID_CUT = "2024-01-16 00:00:00"
+
+_DID_SQL = f"""
+    WITH cell AS (
+      SELECT
+        count(*) FILTER (user_id % 2 = 1
+            AND ts <  TIMESTAMP '{_DID_CUT}') AS n_t_pre,
+        count(*) FILTER (user_id % 2 = 1
+            AND ts >= TIMESTAMP '{_DID_CUT}') AS n_t_post,
+        count(*) FILTER (user_id % 2 = 0
+            AND ts <  TIMESTAMP '{_DID_CUT}') AS n_c_pre,
+        count(*) FILTER (user_id % 2 = 0
+            AND ts >= TIMESTAMP '{_DID_CUT}') AS n_c_post,
+        COALESCE(sum(CAST(floor(value * 1000000.0) AS BIGINT))
+            FILTER (user_id % 2 = 1
+                AND ts <  TIMESTAMP '{_DID_CUT}'), 0) AS sum_t_pre,
+        COALESCE(sum(CAST(floor(value * 1000000.0) AS BIGINT))
+            FILTER (user_id % 2 = 1
+                AND ts >= TIMESTAMP '{_DID_CUT}'), 0) AS sum_t_post,
+        COALESCE(sum(CAST(floor(value * 1000000.0) AS BIGINT))
+            FILTER (user_id % 2 = 0
+                AND ts <  TIMESTAMP '{_DID_CUT}'), 0) AS sum_c_pre,
+        COALESCE(sum(CAST(floor(value * 1000000.0) AS BIGINT))
+            FILTER (user_id % 2 = 0
+                AND ts >= TIMESTAMP '{_DID_CUT}'), 0) AS sum_c_post
+      FROM events)
+    SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+           sum_t_pre // n_t_pre   AS mean_t_pre,
+           sum_t_post // n_t_post AS mean_t_post,
+           sum_c_pre // n_c_pre   AS mean_c_pre,
+           sum_c_post // n_c_post AS mean_c_post,
+           (sum_t_post // n_t_post - sum_t_pre // n_t_pre)
+         - (sum_c_post // n_c_post - sum_c_pre // n_c_pre)
+           AS did_micros
+    FROM cell
+    """
+
+
+@register("events_diff_in_diff", _DID_SQL)
+def events_diff_in_diff(spark, sf):
+    """Difference-in-differences causal lift — the experimentation
+    family's observational workhorse (alongside events_ab_lift_test's
+    randomized readout, events_cuped_lift's variance reduction, and
+    events_srm_check's assignment gate): when a change ships to the
+    treated population at a KNOWN cutoff time rather than by coin
+    flip, the naive post-minus-pre delta confounds the change with
+    whatever drifted globally; DiD nets out the shared drift by
+    subtracting the control group's own pre/post delta:
+    DiD = (mean_T_post - mean_T_pre) - (mean_C_post - mean_C_pre).
+
+    Determinism: per-event outcome is value floored to exact micro
+    units (floor(value * 1e6), one IEEE multiply both engines share
+    bitwise); cell sums are BIGINT; cell means are integer division
+    of nonnegative BIGINTs (values are nonnegative by schema, so
+    Spark's truncating `div` and DuckDB's flooring `//` agree); the
+    DiD estimate is subtraction of those exact means. Parallel-trends
+    is the analyst's assumption, not the engine's — this key computes
+    the estimator, bit-stable.
+
+    Scale shape: ONE global conditional aggregation — every cell
+    count/sum partial-aggregates map-side, the final shuffle carries
+    ONE row (8 numbers), nothing else moves. The cheapest possible
+    shape for a 10^12-event table: exactly one scan, no join, no
+    window, no distinct.
+
+    Reference analog: octopy's train/val split readout compares the
+    same metric across two fixed populations (reference
+    src/octopy/cli/train.py validation cadence) — a two-group
+    compare with the split boundary chosen up front."""
+    e = load_table(spark, sf, "events")
+    cut = F.lit(_DID_CUT).cast("timestamp")
+    treat = F.col("user_id") % 2 == 1
+    post = F.col("ts") >= cut
+    micro = F.floor(F.col("value") * F.lit(1000000.0)).cast("long")
+
+    def cell(cond, tag):
+        return [
+            F.count(F.when(cond, 1)).alias(f"n_{tag}"),
+            F.coalesce(
+                F.sum(F.when(cond, micro)), F.lit(0).cast("long")
+            ).alias(f"sum_{tag}"),
+        ]
+
+    g = e.agg(
+        *cell(treat & ~post, "t_pre"),
+        *cell(treat & post, "t_post"),
+        *cell(~treat & ~post, "c_pre"),
+        *cell(~treat & post, "c_post"),
+    )
+    m = {
+        t: F.expr(f"sum_{t} div n_{t}").alias(f"mean_{t}")
+        for t in ("t_pre", "t_post", "c_pre", "c_post")
+    }
+    return g.select(
+        "n_t_pre", "n_t_post", "n_c_pre", "n_c_post",
+        m["t_pre"], m["t_post"], m["c_pre"], m["c_post"],
+        (
+            (F.expr("sum_t_post div n_t_post")
+             - F.expr("sum_t_pre div n_t_pre"))
+            - (F.expr("sum_c_post div n_c_post")
+               - F.expr("sum_c_pre div n_c_pre"))
+        ).alias("did_micros"),
+    )
+
+
+# --------------------------------------------------------------------------
+# table_bloom_index — per-file Bloom index for point-predicate skipping
+# --------------------------------------------------------------------------
+
+_BLOOM_FILE_ROWS = 1000          # file_id = o_orderkey div 1000
+_BLOOM_HOT = 490000.0            # index only high-value orders (~2 %)
+_BLOOM_BITS = 61                 # bits per word (1<<60 max, sign-safe)
+_BLOOM_WORDS = 2                 # 122-bit blocked bloom per file
+_BLOOM_M1, _BLOOM_M2A, _BLOOM_M2B = 2654435761, 40503, 17
+
+
+def _bloom_pos(key: int) -> tuple[tuple[int, int], tuple[int, int]]:
+    """(word, bit) positions of a key's two hash functions."""
+    g1 = (key * _BLOOM_M1) % (_BLOOM_BITS * _BLOOM_WORDS)
+    g2 = (key * _BLOOM_M2A + _BLOOM_M2B) % (_BLOOM_BITS * _BLOOM_WORDS)
+    return (
+        (g1 // _BLOOM_BITS, g1 % _BLOOM_BITS),
+        (g2 // _BLOOM_BITS, g2 % _BLOOM_BITS),
+    )
+
+
+_BLOOM_P1, _BLOOM_P2 = 7, 999983  # present / absent probe custkeys
+
+
+def _bloom_word_sql(word: int) -> str:
+    """SQL: per-row bloom contribution to one word (0 if neither hash
+    of this row's custkey lands in the word)."""
+    tot = _BLOOM_BITS * _BLOOM_WORDS
+    g1 = f"(o_custkey * {_BLOOM_M1}) % {tot}"
+    g2 = f"(o_custkey * {_BLOOM_M2A} + {_BLOOM_M2B}) % {tot}"
+    return (
+        f"(CASE WHEN o_totalprice > {_BLOOM_HOT}"
+        f" AND {g1} // {_BLOOM_BITS} = {word}"
+        f" THEN (CAST(1 AS BIGINT) << ({g1} % {_BLOOM_BITS}))"
+        f" ELSE 0 END"
+        f" | CASE WHEN o_totalprice > {_BLOOM_HOT}"
+        f" AND {g2} // {_BLOOM_BITS} = {word}"
+        f" THEN (CAST(1 AS BIGINT) << ({g2} % {_BLOOM_BITS}))"
+        f" ELSE 0 END)"
+    )
+
+
+def _bloom_may_sql(probe: int) -> str:
+    (w1, b1), (w2, b2) = _bloom_pos(probe)
+    return (
+        f"(bloom_w{w1} & {1 << b1}) != 0"
+        f" AND (bloom_w{w2} & {1 << b2}) != 0"
+    )
+
+
+_BLOOM_SQL = f"""
+    SELECT CAST(o_orderkey // {_BLOOM_FILE_ROWS} AS BIGINT) AS file_id,
+           count(*) AS n_rows,
+           count(*) FILTER (o_totalprice > {_BLOOM_HOT}) AS n_hot,
+           COALESCE(bit_or({_bloom_word_sql(0)}), 0) AS bloom_w0,
+           COALESCE(bit_or({_bloom_word_sql(1)}), 0) AS bloom_w1,
+           count(*) FILTER (o_totalprice > {_BLOOM_HOT}
+               AND o_custkey = {_BLOOM_P1}) > 0 AS has_p1,
+           count(*) FILTER (o_totalprice > {_BLOOM_HOT}
+               AND o_custkey = {_BLOOM_P2}) > 0 AS has_p2
+    FROM orders GROUP BY 1
+    """
+
+_BLOOM_WRAP_SQL = f"""
+    SELECT file_id, n_rows, n_hot, bloom_w0, bloom_w1,
+           {_bloom_may_sql(_BLOOM_P1)} AS may_p1, has_p1,
+           {_bloom_may_sql(_BLOOM_P2)} AS may_p2, has_p2
+    FROM ({_BLOOM_SQL})
+    """
+
+
+@register("table_bloom_index", _BLOOM_WRAP_SQL)
+def table_bloom_index(spark, sf):
+    """Per-file blocked Bloom index for POINT-predicate file skipping
+    — the equality-lookup complement of the range planners
+    (table_zonemap_skip / table_manifest_prune cover `BETWEEN`; a
+    min/max envelope is useless for `custkey = X` on an unclustered
+    column, which is exactly where Parquet/Iceberg attach bloom
+    filters): each file publishes a 122-bit two-hash blocked Bloom
+    over the custkeys of its HOT rows (totalprice above a threshold —
+    the partial-index pattern: index the 2 % of rows point lookups
+    target, keep the filter sparse enough to discriminate), and a
+    probe key may skip every file whose filter misses either bit.
+
+    The output carries the audit triple per (file, probe): the filter
+    verdict may_pX, and the ground truth has_pX, witnessing the Bloom
+    contract in the rows themselves — no-false-negative (has implies
+    may, pinned in tests) while false positives are the accepted
+    price. Hashes are Knuth multiplicative mod 122 mapped to
+    (word, bit); all arithmetic is nonnegative BIGINT multiply/mod/
+    shift, bit-identical across engines; 61 bits per word keeps
+    1 << bit inside the BIGINT sign bit on both.
+
+    Scale shape: ONE partial-agg groupBy on file_id — bit_or combines
+    map-side like any sum, so the shuffle carries two BIGINT words +
+    four counters per FILE, never rows. Probe evaluation is a
+    constant-folded expression over the manifest-sized result. At
+    10^12 rows this is the same metadata-only discipline as the zone
+    maps: build once at write time, plan every query against the
+    tiny index table.
+
+    Reference analog: octopy's inspect -s per-block stat summaries
+    (reference src/octopy/cli/inspect.py) — precomputed per-container
+    summaries that answer membership questions without opening the
+    container."""
+    o = load_table(spark, sf, "orders")
+    hot = F.col("o_totalprice") > F.lit(_BLOOM_HOT)
+    tot = _BLOOM_BITS * _BLOOM_WORDS
+
+    # per-row word contribution: Spark's F.shiftleft takes a Python
+    # int for the shift amount, so column-amount shifts go via expr
+    def contrib(w):
+        e1 = (
+            f"CASE WHEN o_totalprice > {_BLOOM_HOT}"
+            f" AND ((o_custkey * {_BLOOM_M1}) % {tot})"
+            f" div {_BLOOM_BITS} = {w}"
+            f" THEN shiftleft(CAST(1 AS BIGINT),"
+            f" CAST(((o_custkey * {_BLOOM_M1}) % {tot})"
+            f" % {_BLOOM_BITS} AS INT)) ELSE CAST(0 AS BIGINT) END"
+        )
+        e2 = (
+            f"CASE WHEN o_totalprice > {_BLOOM_HOT}"
+            f" AND ((o_custkey * {_BLOOM_M2A} + {_BLOOM_M2B}) % {tot})"
+            f" div {_BLOOM_BITS} = {w}"
+            f" THEN shiftleft(CAST(1 AS BIGINT),"
+            f" CAST(((o_custkey * {_BLOOM_M2A} + {_BLOOM_M2B})"
+            f" % {tot}) % {_BLOOM_BITS} AS INT))"
+            f" ELSE CAST(0 AS BIGINT) END"
+        )
+        return F.expr(f"({e1} | {e2})")
+
+    g = o.groupBy(
+        F.expr(f"o_orderkey div {_BLOOM_FILE_ROWS}").alias("file_id")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(hot, 1)).alias("n_hot"),
+        F.coalesce(F.bit_or(contrib(0)), F.lit(0).cast("long")).alias(
+            "bloom_w0"
+        ),
+        F.coalesce(F.bit_or(contrib(1)), F.lit(0).cast("long")).alias(
+            "bloom_w1"
+        ),
+        (
+            F.count(
+                F.when(hot & (F.col("o_custkey") == _BLOOM_P1), 1)
+            ) > 0
+        ).alias("has_p1"),
+        (
+            F.count(
+                F.when(hot & (F.col("o_custkey") == _BLOOM_P2), 1)
+            ) > 0
+        ).alias("has_p2"),
+    )
+
+    def may(probe):
+        (w1, b1), (w2, b2) = _bloom_pos(probe)
+        return (
+            F.col(f"bloom_w{w1}").bitwiseAND(F.lit(1 << b1)) != 0
+        ) & (F.col(f"bloom_w{w2}").bitwiseAND(F.lit(1 << b2)) != 0)
+
+    return g.select(
+        "file_id", "n_rows", "n_hot", "bloom_w0", "bloom_w1",
+        may(_BLOOM_P1).alias("may_p1"), "has_p1",
+        may(_BLOOM_P2).alias("may_p2"), "has_p2",
     )
