@@ -5540,3 +5540,257 @@ def table_bloom_index(spark, sf):
         may(_BLOOM_P1).alias("may_p1"), "has_p1",
         may(_BLOOM_P2).alias("may_p2"), "has_p2",
     )
+
+
+# --------------------------------------------------------------------------
+# events_alert_debounce — consecutive-hours alarm debouncing
+# --------------------------------------------------------------------------
+
+_DEBOUNCE_MIN = 3  # consecutive raw-alarm hours before the alert fires
+
+_DEBOUNCE_SQL = f"""
+    WITH {_DENSE_HOURLY_CTE},
+    k AS (
+      SELECT event_type, sum(n) // count(*) AS k
+      FROM d GROUP BY 1),
+    r AS (
+      SELECT d.event_type, d.win_start, d.n, k.k,
+             d.n > 2 * k.k AS raw
+      FROM d JOIN k ON d.event_type = k.event_type),
+    g AS (
+      SELECT event_type, win_start, n, k, raw,
+             sum(CASE WHEN raw THEN 0 ELSE 1 END) OVER (
+               PARTITION BY event_type ORDER BY win_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS grp
+      FROM r)
+    SELECT event_type, win_start, n, k, raw,
+           sum(CASE WHEN raw THEN 1 ELSE 0 END) OVER (
+             PARTITION BY event_type, grp ORDER BY win_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS streak,
+           sum(CASE WHEN raw THEN 1 ELSE 0 END) OVER (
+             PARTITION BY event_type, grp ORDER BY win_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) >= {_DEBOUNCE_MIN} AS alert
+    FROM g
+    """
+
+
+@register(
+    "events_alert_debounce",
+    _DEBOUNCE_SQL.format(hourly=_HOURLY_COUNTS_CTE),
+)
+def events_alert_debounce(spark, sf):
+    """Alarm debouncing (flap suppression) — the paging-hygiene layer
+    every detector in the anomaly family needs in front of a pager: a
+    single hot hour (raw = n > 2k, k the type's floored mean hourly
+    count) is noise; the ALERT fires only after the raw condition
+    holds for >= 3 CONSECUTIVE hours. Run-length is computed without
+    any sequential fold: a running count of raw=false hours assigns
+    each row a streak group (every false hour opens a new group), and
+    the within-group running count of raw hours IS the consecutive
+    streak — the classic gaps-and-islands reduction, two stacked
+    windows, no UDF.
+
+    Densified series (CUSUM rule): a silent hour is raw=false DATA
+    that breaks a streak — on the sparse raw rollup a 10-hour gap
+    between two hot hours would read as 'consecutive'.
+
+    Integer determinism: counts, k (floor-div of nonnegatives), and
+    streaks are all BIGINT; the raw flag is an integer compare.
+
+    Scale shape: events collapse to the (type, hour) rollup in ONE
+    partial-agg shuffle; both windows cluster on event_type (the
+    second on (event_type, grp), a refinement of the first), so
+    Catalyst reuses one hashpartitioning exchange and the collapsed
+    table is sorted at most twice. Rows = types x hours, never
+    events.
+
+    Reference analog: octopy's per-document tolerance loop
+    (reference src/octopy/cli/segment.py try/except per page)
+    suppresses one-off failures and only surfaces repeated ones —
+    debouncing at the operational layer."""
+    dense = _densified_hourly(spark, sf)
+    k = dense.groupBy("event_type").agg(
+        F.expr("sum(n) div count(*)").alias("k")
+    )
+    r = dense.join(F.broadcast(k), "event_type").withColumn(
+        "raw", F.col("n") > 2 * F.col("k")
+    )
+    w1 = (
+        Window.partitionBy("event_type")
+        .orderBy("win_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = r.withColumn(
+        "grp",
+        F.sum(F.when(F.col("raw"), 0).otherwise(1)).over(w1),
+    )
+    w2 = (
+        Window.partitionBy("event_type", "grp")
+        .orderBy("win_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    streak = F.sum(F.when(F.col("raw"), 1).otherwise(0)).over(w2)
+    return g.select(
+        "event_type",
+        "win_start",
+        "n",
+        "k",
+        "raw",
+        streak.alias("streak"),
+        (streak >= _DEBOUNCE_MIN).alias("alert"),
+    )
+
+
+# --------------------------------------------------------------------------
+# table_analyze_histogram — equi-width column histogram (CBO stats)
+# --------------------------------------------------------------------------
+
+_HIST_WIDTH = 10.0  # value-bucket width
+
+_HIST_SQL = f"""
+    SELECT CAST(floor(value / {_HIST_WIDTH}) AS BIGINT) AS bucket,
+           floor(value / {_HIST_WIDTH}) * {_HIST_WIDTH} AS bucket_lo,
+           count(*) AS n_rows,
+           count(DISTINCT user_id) AS n_users,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """
+
+
+@register("table_analyze_histogram", _HIST_SQL)
+def table_analyze_histogram(spark, sf):
+    """Equi-width column histogram — the ANALYZE TABLE ... FOR COLUMNS
+    statistic the cost-based optimizer consumes (Spark's own CBO and
+    every warehouse keep exactly this shape per column): per-bucket
+    row count, distinct-user NDV, and the true min/max inside the
+    bucket, so the planner can estimate selectivity of range and
+    equality predicates without scanning data. Complements the
+    physical-layout planners (zone maps and Bloom filters answer
+    "which FILES"; the histogram answers "how MANY rows" — the
+    cardinality estimate that picks broadcast vs shuffle joins).
+
+    Determinism: the bucket key is floor of one IEEE divide (identical
+    both engines); bucket_lo round-trips the same arithmetic; min/max
+    of doubles are order-free; counts and the two-level distinct are
+    exact integers.
+
+    Scale shape: ONE partial-agg groupBy on the derived bucket key —
+    count/min/max combine map-side, the distinct NDV is Spark's
+    expand-then-agg (both levels partial-aggregate), and the shuffle
+    carries one row per BUCKET. At 10^12 rows swap the exact NDV for
+    approx_count_distinct (agg_approx_count_distinct is the
+    registered sketch tier); the histogram frame stays identical.
+
+    Reference analog: octopy's inspect -s per-layer weight stats
+    (reference src/octopy/cli/inspect.py) — summary statistics
+    precomputed so downstream decisions never touch the raw tensor."""
+    e = load_table(spark, sf, "events")
+    b = F.floor(F.col("value") / F.lit(_HIST_WIDTH))
+    return e.groupBy(
+        b.cast("long").alias("bucket"),
+        (b * F.lit(_HIST_WIDTH)).alias("bucket_lo"),
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# table_ivm_merge — incremental materialized-view maintenance witness
+# --------------------------------------------------------------------------
+
+_IVM_CUT = "1998-06-01 00:00:00"
+
+_IVM_SQL = f"""
+    SELECT o_custkey,
+           count(*) FILTER (o_orderdate < TIMESTAMP '{_IVM_CUT}')
+             AS n_base,
+           COALESCE(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+             FILTER (o_orderdate < TIMESTAMP '{_IVM_CUT}'), 0)
+             AS sum_base_cents,
+           count(*) FILTER (o_orderdate >= TIMESTAMP '{_IVM_CUT}')
+             AS n_delta,
+           COALESCE(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+             FILTER (o_orderdate >= TIMESTAMP '{_IVM_CUT}'), 0)
+             AS sum_delta_cents,
+           count(*) AS n_merged,
+           sum(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+             AS sum_merged_cents,
+           CASE WHEN count(*) FILTER (
+                    o_orderdate < TIMESTAMP '{_IVM_CUT}') = 0
+                THEN 'delta_only'
+                WHEN count(*) FILTER (
+                    o_orderdate >= TIMESTAMP '{_IVM_CUT}') = 0
+                THEN 'base_only'
+                ELSE 'both' END AS ivm_status
+    FROM orders GROUP BY 1
+    """
+
+
+@register("table_ivm_merge", _IVM_SQL)
+def table_ivm_merge(spark, sf):
+    """Incremental materialized-view maintenance (IVM) — the refresh
+    mechanic behind every warehouse's fast MV REFRESH: a stored
+    per-customer revenue aggregate (the BASE, rows before the
+    snapshot cutoff) is brought current by combining the DELTA
+    (changelog rows since the cutoff) WITHOUT recomputing history —
+    legal because count/sum are commutative monoids, so
+    merged = base (+) delta key-wise. The output carries base, delta,
+    and merged per key plus the ivm_status provenance
+    (base_only / delta_only / both), so the rows themselves witness
+    the merge law n_merged = n_base + n_delta and
+    sum_merged = sum_base + sum_delta (pinned in tests) — the exact
+    invariant a production refresh job asserts before swapping the MV
+    snapshot (and the mechanics table_merge_upsert applies on the
+    key-upsert side).
+
+    Both legs here derive from one orders scan via conditional
+    aggregation — ONE shuffle produces base, delta, AND merged, which
+    is precisely what makes the witness trustworthy: all three come
+    from the same rows, so any divergence is an engine bug, not a
+    snapshot race. In production the base leg is a stored table and
+    only the delta is scanned; the combine step (a key-wise full
+    outer join + monoid merge) is what this key's schema freezes.
+
+    Determinism: revenue in exact floored cents (one IEEE multiply
+    shared bitwise); counts/sums BIGINT; status from integer
+    emptiness tests.
+
+    Scale shape: one partial-agg groupBy on custkey — every
+    base/delta/merged cell combines map-side; the shuffle carries one
+    row per customer. Refresh cost at 10^12 rows is driven by the
+    DELTA's size only, which is the entire point of IVM.
+
+    Reference analog: octopy resumes training from the last
+    checkpoint and folds only NEW batches into the running metrics
+    (reference src/octopy/cli/train.py:76-97) — base state plus
+    delta, never recompute-from-scratch."""
+    o = load_table(spark, sf, "orders")
+    cut = F.lit(_IVM_CUT).cast("timestamp")
+    base = F.col("o_orderdate") < cut
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    zero = F.lit(0).cast("long")
+    n_base = F.count(F.when(base, 1))
+    n_delta = F.count(F.when(~base, 1))
+    return o.groupBy("o_custkey").agg(
+        n_base.alias("n_base"),
+        F.coalesce(F.sum(F.when(base, cents)), zero).alias(
+            "sum_base_cents"
+        ),
+        n_delta.alias("n_delta"),
+        F.coalesce(F.sum(F.when(~base, cents)), zero).alias(
+            "sum_delta_cents"
+        ),
+        F.count("*").alias("n_merged"),
+        F.sum(cents).alias("sum_merged_cents"),
+        F.when(n_base == 0, "delta_only")
+        .when(n_delta == 0, "base_only")
+        .otherwise("both")
+        .alias("ivm_status"),
+    )

@@ -7508,8 +7508,15 @@ def graph_hostgraph_collapse(spark, sf):
     many-to-one-then-aggregate shape over graph endpoints."""
     docs = load_table(spark, sf, "documents")
     n = docs.count()
-    hosts = docs.select("doc_id", F.col("source").alias("host"))
-    e = _modular_edges(docs.select("doc_id"), n)
+    # one column-pruned (doc_id, source) scan feeds all three plan
+    # branches (edge generation + both endpoint joins): materialize
+    # it once — at 10^12 pages even the pruned projection is worth
+    # scanning exactly once
+    hosts = (
+        docs.select("doc_id", F.col("source").alias("host"))
+        .localCheckpoint(eager=True)
+    )
+    e = _modular_edges(hosts.select("doc_id"), n)
     he = (
         e.join(
             hosts.select(
@@ -7624,37 +7631,77 @@ def text_safety_wordlist(spark, sf):
 _BFS_ITERS = 4
 
 
+def _bfs_cte_chain(
+    p: str, src: str, dst: str, seed_where: str, iters: int
+) -> list[str]:
+    """Unrolled frontier-BFS CTE chain (prefix `p` namespaces the CTEs
+    so two chains — e.g. forward and backward — compose in one WITH).
+    Traverses edges from `src` to `dst`; pass them swapped for the
+    reverse graph. Final reached set is d{p}{iters}(node, hop)."""
+    ctes = [
+        (f"d{p}0 AS (SELECT doc_id AS node, CAST(0 AS BIGINT) AS hop "
+         f"FROM documents WHERE {seed_where})"),
+        f"f{p}0 AS (SELECT node FROM d{p}0)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""n{p}{i} AS (
+          SELECT DISTINCT e.{dst} AS node
+          FROM edges e JOIN f{p}{i - 1} f ON e.{src} = f.node)"""
+        )
+        ctes.append(
+            f"""f{p}{i} AS (
+          SELECT n{p}{i}.node FROM n{p}{i}
+          LEFT JOIN d{p}{i - 1} d ON n{p}{i}.node = d.node
+          WHERE d.node IS NULL)"""
+        )
+        ctes.append(
+            f"""d{p}{i} AS (
+          SELECT node, hop FROM d{p}{i - 1}
+          UNION ALL
+          SELECT node, CAST({i} AS BIGINT) AS hop FROM f{p}{i})"""
+        )
+    return ctes
+
+
 def _bfs_sql(iters: int) -> str:
     """Unrolled multi-source BFS oracle (see graph_bfs_layers)."""
     ctes = [
         *_MODULAR_EDGES_CTES,
-        ("d0 AS (SELECT doc_id AS node, CAST(0 AS BIGINT) AS hop "
-         "FROM documents WHERE doc_id % 97 = 0)"),
-        "f0 AS (SELECT node FROM d0)",
+        *_bfs_cte_chain("", "src", "dst", "doc_id % 97 = 0", iters),
     ]
-    for i in range(1, iters + 1):
-        ctes.append(
-            f"""n{i} AS (
-          SELECT DISTINCT e.dst AS node
-          FROM edges e JOIN f{i - 1} f ON e.src = f.node)"""
-        )
-        ctes.append(
-            f"""f{i} AS (
-          SELECT n{i}.node FROM n{i}
-          LEFT JOIN d{i - 1} d ON n{i}.node = d.node
-          WHERE d.node IS NULL)"""
-        )
-        ctes.append(
-            f"""d{i} AS (
-          SELECT node, hop FROM d{i - 1}
-          UNION ALL
-          SELECT node, CAST({i} AS BIGINT) AS hop FROM f{i})"""
-        )
     return (
         "WITH " + ",\n".join(ctes)
         + f""" SELECT doc.doc_id, d.hop
         FROM documents doc LEFT JOIN d{iters} d ON doc.doc_id = d.node"""
     )
+
+
+def _bfs_hops(edges, seeds, iters: int):
+    """Spark twin of _bfs_cte_chain: frontier BFS returning
+    dist(node, hop). `edges` must already be repartitioned on src and
+    checkpointed (every round reuses that partitioning); `seeds` is a
+    doc_id DataFrame at hop 0."""
+    dist = (
+        seeds.select(
+            F.col("doc_id").alias("node"),
+            F.lit(0).cast("long").alias("hop"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for i in range(1, iters + 1):
+        nxt = (
+            edges.join(frontier, edges["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(i).cast("long").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return dist
 
 
 @register("graph_bfs_layers", _bfs_sql(_BFS_ITERS))
@@ -7701,26 +7748,425 @@ def graph_bfs_layers(spark, sf):
         .repartition(par, "src")
         .localCheckpoint(eager=True)
     )
-    dist = (
-        docs.filter(F.col("doc_id") % 97 == 0)
-        .select(
-            F.col("doc_id").alias("node"),
-            F.lit(0).cast("long").alias("hop"),
-        )
-        .localCheckpoint(eager=True)
+    dist = _bfs_hops(
+        edges, docs.filter(F.col("doc_id") % 97 == 0), _BFS_ITERS
     )
-    frontier = dist.select("node")
-    for i in range(1, _BFS_ITERS + 1):
-        nxt = (
-            edges.join(frontier, edges["src"] == frontier["node"])
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(dist, "node", "left_anti")
-            .select("node", F.lit(i).cast("long").alias("hop"))
-            .localCheckpoint(eager=True)
-        )
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt.select("node")
     return docs.join(
         dist, docs["doc_id"] == dist["node"], "left"
     ).select("doc_id", "hop")
+
+
+# --------------------------------------------------------------------------
+# corpus_ingest_drift — per-source length-distribution drift monitor
+# --------------------------------------------------------------------------
+
+_DRIFT_BUCKET = 64        # n_chars bucket width
+_DRIFT_TV_PPM = 300000    # total-variation alarm threshold (x2e6)
+
+_DRIFT_SQL = f"""
+    WITH b AS (
+      SELECT source, n_chars // {_DRIFT_BUCKET} AS bucket
+      FROM documents),
+    per_src AS (
+      SELECT source, bucket, count(*) AS o FROM b GROUP BY 1, 2),
+    tot_src AS (
+      SELECT source, count(*) AS total_s FROM b GROUP BY 1),
+    ref AS (
+      SELECT bucket, count(*) AS n_b FROM b GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM b),
+    grid AS (
+      SELECT t.source, r.bucket, t.total_s, r.n_b, n.n,
+             COALESCE(p.o, 0) AS o
+      FROM tot_src t CROSS JOIN ref r CROSS JOIN n
+      LEFT JOIN per_src p
+        ON p.source = t.source AND p.bucket = r.bucket),
+    dev AS (
+      SELECT source, bucket, o,
+             1000000 * o // total_s AS o_ppm,
+             1000000 * n_b // n AS ref_ppm,
+             1000000 * o // total_s - 1000000 * n_b // n AS dev_ppm
+      FROM grid),
+    tv AS (
+      SELECT source, sum(abs(dev_ppm)) AS tv_ppm
+      FROM dev GROUP BY 1)
+    SELECT dev.source, dev.bucket, dev.o, dev.o_ppm, dev.ref_ppm,
+           dev.dev_ppm, tv.tv_ppm,
+           tv.tv_ppm > {_DRIFT_TV_PPM} AS drifted
+    FROM dev JOIN tv ON dev.source = tv.source
+    """
+
+
+@register("corpus_ingest_drift", _DRIFT_SQL)
+def corpus_ingest_drift(spark, sf):
+    """Per-source ingest drift monitor — the ops check a corpus
+    pipeline runs on every new crawl dump: does each source's length
+    distribution still look like the corpus, or did an upstream
+    change (extractor regression, encoding break, spam flood) shift
+    it? Per (source, length-bucket) the observed share is compared
+    against the corpus-wide reference share; the per-source drift
+    score is the total-variation distance (sum of |share deltas|),
+    the standard distribution-shift metric that, unlike chi-square,
+    needs NO division by expected counts — so it is overflow-proof
+    and integer-exact at any scale (shares in floor-ppm, deltas and
+    their sum are bounded BIGINTs by construction: tv_ppm <= 2e6).
+
+    The grid is densified (every source x every corpus bucket, zero
+    observed where the source is silent) — a source that MISSES a
+    bucket the corpus has is drift, and sparse-grid joins would hide
+    exactly that.
+
+    Scale shape: three partial-agg rollups of the one documents scan
+    (per-source-bucket, per-source, per-bucket — the scan is shared
+    via one shuffle on (source, bucket) whose result feeds the two
+    coarser rollups map-side); the grid cross join multiplies two
+    PLANNING-sized tables (sources x buckets) and broadcasts; the TV
+    rollup runs on the grid. The corpus is scanned once, everything
+    downstream is metadata-sized.
+
+    Reference analog: octopy's validation-cadence re-checks (reference
+    src/octopy/cli/train.py --validate-every) — the periodic
+    distribution check that catches silent upstream regressions."""
+    docs = load_table(spark, sf, "documents")
+    b = docs.select(
+        "source",
+        F.expr(f"n_chars div {_DRIFT_BUCKET}").alias("bucket"),
+    )
+    per_sb = b.groupBy("source", "bucket").agg(
+        F.count("*").alias("o")
+    )
+    # one (source, bucket) shuffle feeds all three rollups: the two
+    # coarser aggregations partial-agg from the checkpointed rollup,
+    # so the 100 TB documents table is scanned exactly once
+    per_sb = per_sb.localCheckpoint(eager=True)
+    tot_src = per_sb.groupBy("source").agg(
+        F.sum("o").alias("total_s")
+    )
+    ref = per_sb.groupBy("bucket").agg(F.sum("o").alias("n_b"))
+    n = per_sb.agg(F.sum("o").alias("n"))
+    grid = (
+        tot_src.crossJoin(F.broadcast(ref))
+        .crossJoin(F.broadcast(n))
+        .join(per_sb, ["source", "bucket"], "left")
+        .select(
+            "source",
+            "bucket",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            "total_s",
+            "n_b",
+            "n",
+        )
+    )
+    dev = grid.select(
+        "source",
+        "bucket",
+        "o",
+        F.expr("1000000 * o div total_s").alias("o_ppm"),
+        F.expr("1000000 * n_b div n").alias("ref_ppm"),
+        F.expr(
+            "1000000 * o div total_s - 1000000 * n_b div n"
+        ).alias("dev_ppm"),
+    )
+    # the grid (sources x buckets) feeds the TV rollup AND the final
+    # join — materialize once so the upstream join pipeline (and its
+    # shuffles) runs once, not twice
+    dev = dev.localCheckpoint(eager=True)
+    tv = dev.groupBy("source").agg(
+        F.sum(F.abs(F.col("dev_ppm"))).alias("tv_ppm")
+    )
+    return dev.join(F.broadcast(tv), "source").select(
+        "source", "bucket", "o", "o_ppm", "ref_ppm", "dev_ppm",
+        "tv_ppm",
+        (F.col("tv_ppm") > _DRIFT_TV_PPM).alias("drifted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus_shard_skew_audit — shard load-balance detector
+# --------------------------------------------------------------------------
+
+_SKEW_SHARDS = 64
+_SKEW_KNUTH = 2654435761
+
+_SKEW_SQL = f"""
+    WITH s AS (
+      SELECT (doc_id * {_SKEW_KNUTH}) % 4294967296 % {_SKEW_SHARDS}
+               AS shard,
+             count(*) AS n_docs,
+             sum(n_chars) AS n_bytes
+      FROM documents GROUP BY 1),
+    g AS (
+      SELECT sum(n_bytes) AS total_bytes, max(n_bytes) AS max_bytes
+      FROM s)
+    SELECT s.shard, s.n_docs, s.n_bytes,
+           1000000 * s.n_bytes * {_SKEW_SHARDS} // g.total_bytes
+             AS load_ppm,
+           1000000 * g.max_bytes * {_SKEW_SHARDS} // g.total_bytes
+             AS max_load_ppm,
+           s.n_bytes * {_SKEW_SHARDS} > 2 * g.total_bytes AS is_hot
+    FROM s CROSS JOIN g
+    """
+
+
+@register("corpus_shard_skew_audit", _SKEW_SQL)
+def corpus_shard_skew_audit(spark, sf):
+    """Shard load-balance audit — the DETECTOR in front of the
+    mitigations the engine already carries (repartition_salted,
+    join_skew_salted, the pipeline's giant-host salting): before a
+    100 TB write, audit the planned hash-sharding for hot shards, in
+    BYTES not rows (a shard of few huge documents is the one that
+    straggles). Per shard: doc count, byte load, load share vs the
+    uniform ideal in floor-ppm (1e6 = exactly ideal), and a hot flag
+    at >2x ideal — the same threshold the AQE skew-join split uses
+    by default.
+
+    Determinism: the shard key is the Knuth multiplicative hash mod
+    2^32 mod S — pure BIGINT arithmetic both engines share bitwise
+    (the corpus_epoch_shuffle recipe); loads and shares are exact
+    integer sums and floor divisions of nonnegatives.
+
+    Scale shape: ONE partial-agg groupBy on the derived shard key
+    (the shuffle carries one row per shard); the global total/max
+    fold over S rows broadcasts back. The corpus is scanned once.
+
+    Reference analog: octopy batches pages into fixed worker queues
+    (reference src/octopy/cli/segment.py --threads fan-out) — this
+    is the pre-flight check that those queues will drain evenly."""
+    docs = load_table(spark, sf, "documents")
+    s = docs.groupBy(
+        F.expr(
+            f"(doc_id * {_SKEW_KNUTH}) % 4294967296"
+            f" % {_SKEW_SHARDS}"
+        ).alias("shard")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_bytes"),
+    )
+    # the S-row shard rollup feeds the global fold AND the final
+    # join — materialize it once so the corpus is scanned once
+    s = s.localCheckpoint(eager=True)
+    g = s.agg(
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+    )
+    return s.crossJoin(F.broadcast(g)).select(
+        "shard",
+        "n_docs",
+        "n_bytes",
+        F.expr(
+            f"1000000 * n_bytes * {_SKEW_SHARDS} div total_bytes"
+        ).alias("load_ppm"),
+        F.expr(
+            f"1000000 * max_bytes * {_SKEW_SHARDS} div total_bytes"
+        ).alias("max_load_ppm"),
+        (
+            F.col("n_bytes") * _SKEW_SHARDS
+            > 2 * F.col("total_bytes")
+        ).alias("is_hot"),
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_scc_pivot — mutual-reachability SCC certificate of the pivot
+# --------------------------------------------------------------------------
+
+def _scc_sql(iters: int) -> str:
+    ctes = [
+        *_MODULAR_EDGES_CTES,
+        *_bfs_cte_chain("a", "src", "dst", "doc_id = 0", iters),
+        *_bfs_cte_chain("b", "dst", "src", "doc_id = 0", iters),
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""" SELECT doc.doc_id, fa.hop AS fw_hop, fb.hop AS bw_hop,
+               fa.hop IS NOT NULL AND fb.hop IS NOT NULL AS in_scc
+        FROM documents doc
+        LEFT JOIN d{'a'}{iters} fa ON doc.doc_id = fa.node
+        LEFT JOIN d{'b'}{iters} fb ON doc.doc_id = fb.node"""
+    )
+
+
+@register("graph_scc_pivot", _scc_sql(_BFS_ITERS))
+def graph_scc_pivot(spark, sf):
+    """Strongly-connected-component membership certificate for a
+    pivot page (node 0) — the FW-BW primitive (Fleischer et al.) that
+    distributed SCC decompositions recurse on, and the web-graph
+    question behind it: which pages are in the pivot's mutual-link
+    core (the "main SCC" of the bow-tie model — Broder et al.'s IN /
+    OUT / CORE decomposition)? A node belongs iff the pivot reaches
+    it AND it reaches the pivot: fw_hop from BFS over the edges,
+    bw_hop from the SAME BFS over the reversed edges, in_scc = both
+    non-null. Radius-bounded rounds make the flag a sound CERTIFICATE
+    (mutual reachability within K hops implies same SCC — the
+    triangle of the two witnesses), never a false positive; members
+    farther than K hops show as fw/bw-partial, which is itself the
+    IN/OUT-set readout of the bow-tie.
+
+    Both directions reuse ONE edge table: the backward pass just
+    swaps the join side (dst->src), so the reversed graph is never
+    materialized. Exact integer hops; set semantics are
+    partitioning-independent; the DuckDB oracle unrolls the
+    identical forward and backward rounds from a shared CTE builder,
+    so the value-hash compare proves both traversals round by round.
+
+    Scale shape: two frontier BFS runs (see graph_bfs_layers for the
+    per-round shape — frontier-only expansion, anti-join, lineage
+    truncation) over an edge list repartitioned once per direction;
+    the final flags are two node-keyed left joins onto documents.
+
+    Reference analog: octopy's polygon ordering walks the page graph
+    forward then validates backward reachability of the baseline
+    chain (reference src/octopy/segment.py) — the same
+    two-direction certificate idea."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    n = docs.count()  # single scalar, bounded driver read
+    e = _modular_edges(docs, n).localCheckpoint(eager=True)
+    fwd = e.repartition(par, "src").localCheckpoint(eager=True)
+    bwd = (
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        .repartition(par, "src")
+        .localCheckpoint(eager=True)
+    )
+    seeds = docs.filter(F.col("doc_id") == 0)
+    fa = _bfs_hops(fwd, seeds, _BFS_ITERS).withColumnRenamed(
+        "hop", "fw_hop"
+    )
+    fb = _bfs_hops(bwd, seeds, _BFS_ITERS).withColumnRenamed(
+        "hop", "bw_hop"
+    )
+    return (
+        docs.join(fa, docs["doc_id"] == fa["node"], "left")
+        .drop("node")
+        .join(fb, F.col("doc_id") == fb["node"], "left")
+        .drop("node")
+        .select(
+            "doc_id",
+            "fw_hop",
+            "bw_hop",
+            (
+                F.col("fw_hop").isNotNull()
+                & F.col("bw_hop").isNotNull()
+            ).alias("in_scc"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# web_spam_farm_score — host-level link-spam heuristics
+# --------------------------------------------------------------------------
+
+_SPAM_SELF_PPM = 500000   # intra-host link share alarm (> 50 %)
+_SPAM_CONC_PPM = 800000   # single-target concentration alarm (> 80 %)
+
+_SPAM_SQL = f"""
+    WITH {', '.join(_MODULAR_EDGES_CTES)},
+    hosts AS (SELECT doc_id, source AS host FROM documents),
+    he AS (
+      SELECT hs.host AS src_host, hd.host AS dst_host,
+             count(*) AS w
+      FROM edges e
+      JOIN hosts hs ON e.src = hs.doc_id
+      JOIN hosts hd ON e.dst = hd.doc_id
+      GROUP BY 1, 2),
+    per AS (
+      SELECT src_host AS host,
+             sum(w) AS n_out,
+             COALESCE(sum(w) FILTER (src_host = dst_host), 0)
+               AS n_self,
+             max(CASE WHEN src_host != dst_host THEN w ELSE 0 END)
+               AS top_ext
+      FROM he GROUP BY 1)
+    SELECT host, n_out, n_self,
+           1000000 * n_self // n_out AS self_ppm,
+           1000000 * top_ext // greatest(n_out - n_self, 1)
+             AS conc_ppm,
+           1000000 * n_self // n_out > {_SPAM_SELF_PPM}
+           OR 1000000 * top_ext // greatest(n_out - n_self, 1)
+              > {_SPAM_CONC_PPM} AS is_spam
+    FROM per
+    """
+
+
+@register("web_spam_farm_score", _SPAM_SQL)
+def web_spam_farm_score(spark, sf):
+    """Host-level link-spam heuristics over the collapsed host graph
+    — the ranking-hygiene pass (Gyongyi & Garcia-Molina's link-spam
+    alliances) that runs before host PageRank trusts any link: a spam
+    farm shows as (a) self-link inflation — most of a host's
+    out-links stay inside the host — and (b) target concentration —
+    its external links funnel into one boosted target. Per host:
+    out-link mass, self-link mass, self share, top-external-target
+    concentration (share of external mass on the single heaviest
+    target), and the alarm at >50 % self or >80 % concentration.
+
+    All shares in exact floor-ppm over BIGINT counts; the
+    concentration denominator is clamped with greatest(..., 1) so an
+    all-self host (external mass 0) stays defined and identical in
+    both engines.
+
+    Scale shape: graph_hostgraph_collapse's compression discipline —
+    two doc-keyed joins map endpoints to hosts (a url projection at
+    production scale), ONE partial-agg groupBy on the host pair
+    (Zipf-head pairs combine map-side), then the per-host rollup and
+    verdict run on the 10^7-row host-pair table, never page edges.
+
+    Reference analog: octopy drops degenerate all-self polygon chains
+    before recognition (reference src/octopy/segment.py filtering) —
+    reject the structurally self-referential unit early."""
+    docs = load_table(spark, sf, "documents")
+    n = docs.count()
+    # one column-pruned (doc_id, source) scan feeds all three plan
+    # branches (edge generation + both endpoint joins): materialize
+    # it once — at 10^12 pages even the pruned projection is worth
+    # scanning exactly once
+    hosts = (
+        docs.select("doc_id", F.col("source").alias("host"))
+        .localCheckpoint(eager=True)
+    )
+    e = _modular_edges(hosts.select("doc_id"), n)
+    he = (
+        e.join(
+            hosts.select(
+                F.col("doc_id").alias("src"),
+                F.col("host").alias("src_host"),
+            ),
+            "src",
+        )
+        .join(
+            hosts.select(
+                F.col("doc_id").alias("dst"),
+                F.col("host").alias("dst_host"),
+            ),
+            "dst",
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("w"))
+    )
+    per = he.groupBy(F.col("src_host").alias("host")).agg(
+        F.sum("w").alias("n_out"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("src_host") == F.col("dst_host"), F.col("w"))
+            ),
+            F.lit(0),
+        ).cast("long").alias("n_self"),
+        F.max(
+            F.when(
+                F.col("src_host") != F.col("dst_host"), F.col("w")
+            ).otherwise(0)
+        ).alias("top_ext"),
+    )
+    self_ppm = F.expr("1000000 * n_self div n_out")
+    conc_ppm = F.expr(
+        "1000000 * top_ext div greatest(n_out - n_self, 1)"
+    )
+    return per.select(
+        "host",
+        "n_out",
+        "n_self",
+        self_ppm.alias("self_ppm"),
+        conc_ppm.alias("conc_ppm"),
+        (
+            (self_ppm > _SPAM_SELF_PPM) | (conc_ppm > _SPAM_CONC_PPM)
+        ).alias("is_spam"),
+    )
