@@ -5794,3 +5794,205 @@ def table_ivm_merge(spark, sf):
         .otherwise("both")
         .alias("ivm_status"),
     )
+
+
+# --------------------------------------------------------------------------
+# join_asof_nearest — bidirectional nearest-in-time as-of join
+# --------------------------------------------------------------------------
+
+_ASOF_NEAR_SQL = """
+    WITH e AS (
+      SELECT event_id, user_id, ts, event_type,
+             epoch_us(ts) AS us
+      FROM events),
+    w AS (
+      SELECT event_id, user_id, ts, us, event_type,
+             max(CASE WHEN event_type = 'purchase' THEN us END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_us,
+             min(CASE WHEN event_type = 'purchase' THEN us END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_us
+      FROM e)
+    SELECT event_id, user_id, us,
+           CASE
+             WHEN prev_us IS NULL AND next_us IS NULL THEN NULL
+             WHEN next_us IS NULL THEN prev_us
+             WHEN prev_us IS NULL THEN next_us
+             WHEN us - prev_us <= next_us - us THEN prev_us
+             ELSE next_us END AS nearest_purchase_us,
+           CASE
+             WHEN prev_us IS NULL AND next_us IS NULL THEN 'none'
+             WHEN next_us IS NULL THEN 'prev'
+             WHEN prev_us IS NULL THEN 'next'
+             WHEN us - prev_us <= next_us - us THEN 'prev'
+             ELSE 'next' END AS direction,
+           CASE
+             WHEN prev_us IS NULL AND next_us IS NULL THEN NULL
+             WHEN next_us IS NULL THEN us - prev_us
+             WHEN prev_us IS NULL THEN next_us - us
+             WHEN us - prev_us <= next_us - us THEN us - prev_us
+             ELSE next_us - us END AS gap_us
+    FROM w WHERE event_type = 'view'
+    """
+
+
+@register("join_asof_nearest", _ASOF_NEAR_SQL)
+def join_asof_nearest(spark, sf):
+    """Bidirectional nearest-in-time as-of join — completes the as-of
+    family (latest = backward, next = forward, tolerance = bounded
+    backward; this one answers "the CLOSEST match in either
+    direction", the sensor-alignment / nearest-label join pandas
+    calls merge_asof(direction='nearest')): for each view event, the
+    user's nearest purchase by absolute time distance, with the
+    deterministic tie-break BACKWARD on equal gaps (pandas' rule),
+    plus the chosen direction and the exact gap.
+
+    Mechanics: the union+window kernel of the family run both ways in
+    ONE pass — a running conditional max over preceding purchases and
+    a running conditional min over following ones, both riding the
+    SAME (user, time, event_id) window sort, then a pure-codegen CASE
+    picks the closer side. No self-join, no range explosion on active
+    users; every event is read once. Times compared in exact epoch
+    microseconds (never interval arithmetic), so the pick and the
+    gap are integer-identical across engines.
+
+    Scale shape: one user-keyed shuffle + one sort carries both
+    window frames; the view filter runs after the windows so the
+    purchase stream is seen exactly once.
+
+    Reference analog: R11's line-to-region resolve takes the nearest
+    baseline above OR below a line box (reference
+    src/octopy/segment.py ordering) — nearest-neighbor matching on
+    one axis, exactly this join's geometry."""
+    e = load_table(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    base = Window.partitionBy("user_id").orderBy(
+        F.col("us").asc(), F.col("event_id").asc()
+    )
+    is_p = F.when(
+        F.col("event_type") == "purchase", F.col("us")
+    )
+    prev_us = F.max(is_p).over(
+        base.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    next_us = F.min(is_p).over(
+        base.rowsBetween(1, Window.unboundedFollowing)
+    )
+    w = (
+        e.withColumn("prev_us", prev_us)
+        .withColumn("next_us", next_us)
+        .filter(F.col("event_type") == "view")
+    )
+    both = F.col("prev_us").isNotNull() & F.col("next_us").isNotNull()
+    prev_closer = (
+        F.col("us") - F.col("prev_us")
+        <= F.col("next_us") - F.col("us")
+    )
+    pick_prev = F.col("next_us").isNull() | (both & prev_closer)
+    return w.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.when(pick_prev, F.col("prev_us"))
+        .otherwise(F.col("next_us"))
+        .alias("nearest_purchase_us"),
+        F.when(
+            F.col("prev_us").isNull() & F.col("next_us").isNull(),
+            "none",
+        )
+        .when(pick_prev, "prev")
+        .otherwise("next")
+        .alias("direction"),
+        F.when(pick_prev, F.col("us") - F.col("prev_us"))
+        .otherwise(F.col("next_us") - F.col("us"))
+        .alias("gap_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_weighted_median — byte-mass-weighted median document length
+# --------------------------------------------------------------------------
+
+_WMED_SQL = """
+    WITH c AS (
+      SELECT lang, doc_id, n_chars,
+             sum(n_chars) OVER (
+               PARTITION BY lang ORDER BY n_chars, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cumw
+      FROM documents),
+    t AS (
+      SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+      FROM documents GROUP BY 1)
+    SELECT t.lang, t.n_docs, t.total_chars,
+           min(c.n_chars) AS wmedian_chars
+    FROM c JOIN t ON c.lang = t.lang
+    WHERE 2 * c.cumw >= t.total_chars
+    GROUP BY 1, 2, 3
+    """
+
+
+@register("agg_weighted_median", _WMED_SQL)
+def agg_weighted_median(spark, sf):
+    """Byte-mass-weighted median document length per language — the
+    planning pivot the UNweighted median gets wrong at web scale: half
+    the DOCUMENTS are short, but half the BYTES (= half the storage,
+    shuffle, and tokenization cost) live above a much longer length.
+    The weighted median (weight = the doc's own byte count) is the
+    length below which half the corpus MASS sits — the number that
+    sizes split thresholds, packing targets, and per-partition byte
+    budgets (corpus_shard_pack / corpus_pack_sequences consume
+    exactly this statistic).
+
+    Exact by construction: a lang-keyed cumulative BIGINT sum in the
+    deterministic (n_chars, doc_id) order, then the smallest value
+    whose cumulative weight crosses half the total — the crossing
+    test is the integer cross-multiplication 2*cumw >= total, and
+    min() over qualifying rows needs no tie-break (values equal ⇒
+    min equal). No interpolation, no floats, identical both engines.
+
+    Scale shape: one lang-keyed window (partitioned — never a global
+    sort) + a lang rollup broadcast back; the filter+min collapse is
+    partial-aggregable. At 10^12 docs swap the exact crossing scan
+    for the approx_percentile weighted sketch if the per-lang sort
+    is the bottleneck; the output contract stays identical.
+
+    Reference analog: octopy sizes its batch padding by the char-mass
+    distribution of line widths, not line counts (reference
+    src/octopy/train.py batch assembly) — mass-weighted, not
+    count-weighted."""
+    docs = load_table(spark, sf, "documents")
+    # running frame and full frame share the same partitioning+sort,
+    # so the per-lang totals cost no second scan and no join: one
+    # exchange, one sort, three window aggregates
+    run = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+        .rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    c = docs.select(
+        "lang",
+        "n_chars",
+        F.sum("n_chars").over(run).alias("cumw"),
+        F.count("*").over(full).alias("n_docs"),
+        F.sum("n_chars").over(full).alias("total_chars"),
+    )
+    return (
+        c.filter(2 * F.col("cumw") >= F.col("total_chars"))
+        .groupBy("lang", "n_docs", "total_chars")
+        .agg(F.min("n_chars").alias("wmedian_chars"))
+    )

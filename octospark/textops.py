@@ -8170,3 +8170,65 @@ def web_spam_farm_score(spark, sf):
             (self_ppm > _SPAM_SELF_PPM) | (conc_ppm > _SPAM_CONC_PPM)
         ).alias("is_spam"),
     )
+
+
+# --------------------------------------------------------------------------
+# graph_bowtie_census — CORE/IN/OUT/DISC decomposition census
+# --------------------------------------------------------------------------
+
+_BOWTIE_CASE = """CASE
+        WHEN fw_hop IS NOT NULL AND bw_hop IS NOT NULL THEN 'core'
+        WHEN bw_hop IS NOT NULL THEN 'in'
+        WHEN fw_hop IS NOT NULL THEN 'out'
+        ELSE 'disc' END"""
+
+
+def _bowtie_sql(iters: int) -> str:
+    return f"""
+    WITH scc AS ({_scc_sql(iters)})
+    SELECT {_BOWTIE_CASE} AS component,
+           count(*) AS n_nodes,
+           min(doc_id) AS min_doc_id
+    FROM scc GROUP BY 1
+    """
+
+
+@register("graph_bowtie_census", _bowtie_sql(_BFS_ITERS))
+def graph_bowtie_census(spark, sf):
+    """Bow-tie decomposition census (Broder et al. 2000, "Graph
+    structure in the Web") — the macro-shape readout every web-graph
+    audit starts with: how much of the crawl is in the pivot's mutual
+    CORE, how much is IN (reaches the core but is unreachable from
+    it — typically new or fringe pages), how much is OUT (reachable
+    but dead-ends — often content sinks), and how much is
+    disconnected at this radius. Crawl planners read the IN share as
+    seed-list debt and the DISC share as discovery debt.
+
+    Deliberately COMPOSED from the registered graph_scc_pivot
+    operator (the sim_ann_recall_eval discipline): the census is a
+    pure rollup of that key's output, so any drift in the underlying
+    FW-BW traversal fails this oracle too — the census is a second,
+    coarser witness of the same mechanics. min_doc_id per class pins
+    membership, not just size.
+
+    Scale shape: the SCC certificate's cost (two frontier BFS runs)
+    plus ONE partial-agg groupBy over four classes — the census
+    shuffle carries four rows.
+
+    Reference analog: octopy's label_stats rollup (R27) counts pages
+    per resolved class after the merge chain — the same
+    classify-then-census closure."""
+    scc = QUERIES["graph_scc_pivot"](spark, sf)
+    component = (
+        F.when(
+            F.col("fw_hop").isNotNull() & F.col("bw_hop").isNotNull(),
+            "core",
+        )
+        .when(F.col("bw_hop").isNotNull(), "in")
+        .when(F.col("fw_hop").isNotNull(), "out")
+        .otherwise("disc")
+    )
+    return scc.groupBy(component.alias("component")).agg(
+        F.count("*").alias("n_nodes"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
