@@ -5996,3 +5996,131 @@ def agg_weighted_median(spark, sf):
         .groupBy("lang", "n_docs", "total_chars")
         .agg(F.min("n_chars").alias("wmedian_chars"))
     )
+
+
+# --------------------------------------------------------------------------
+# scan_csv_malformed_permissive — partial-parse-tolerant CSV landing
+# --------------------------------------------------------------------------
+
+_BADCSV_SQL = """
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 13 = 0 THEN NULL ELSE n_chars END
+             AS n_chars,
+           doc_id % 13 = 0 AS is_corrupt
+    FROM documents
+    """
+
+
+@register("scan_csv_malformed_permissive", _BADCSV_SQL)
+def scan_csv_malformed_permissive(spark, sf):
+    """Permissive CSV scan with PARTIAL parse recovery — the R2/R17
+    never-drop discipline at the FIELD grain (scan_jsonl_corrupt_
+    tolerant covers the line grain): a mangled numeric field must not
+    cost the row, only the field. Spark's PERMISSIVE mode keeps the
+    parseable columns (doc_id, lang), nulls the malformed one
+    (n_chars), and preserves the raw line in the corrupt-record
+    column — here surfaced as the is_corrupt flag, so downstream can
+    route the row to repair instead of losing the document (the WARC
+    world's reality: third-party exports mangle numerics constantly,
+    and DROPMALFORMED silently deletes data).
+
+    The corruption is deterministic (stage_malformed_csv mangles
+    every 13th row), so the oracle reconstructs the exact
+    partial-parse outcome from the clean documents view — proving not
+    just the row count but WHICH fields survived on WHICH rows.
+
+    Scale shape: scan-only, embarrassingly parallel, one file here
+    and many files at a real landing (corruption handling is
+    per-line either way); no shuffle at all.
+
+    Reference analog: octopy's per-page try/except keeps a failed
+    page's id and error in the output run (reference
+    src/octopy/cli/segment.py:134-145) — keep the unit, null the
+    damage, never drop."""
+    from octospark.sources import stage_malformed_csv
+
+    dest = stage_malformed_csv(sf)
+    df = (
+        spark.read.schema(
+            "doc_id long, lang string, n_chars long,"
+            " _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(dest)
+    )
+    return df.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+    )
+
+
+# --------------------------------------------------------------------------
+# events_gini_user_concentration — traffic-inequality scalar per type
+# --------------------------------------------------------------------------
+
+_GINI_SQL = """
+    WITH u AS (
+      SELECT event_type, user_id, count(*) AS x
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT event_type, x,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY x, user_id
+             ) AS i
+      FROM u)
+    SELECT event_type,
+           count(*) AS n_users,
+           sum(x) AS total_events,
+           1000000 * (2 * sum(i * x) - (count(*) + 1) * sum(x))
+             // (count(*) * sum(x)) AS gini_ppm
+    FROM r GROUP BY 1
+    """
+
+
+@register("events_gini_user_concentration", _GINI_SQL)
+def events_gini_user_concentration(spark, sf):
+    """Gini coefficient of per-user traffic per event type — the
+    SCALAR the Pareto curve (events_power_pareto) plots: one number
+    per surface answering "how concentrated is this activity on few
+    users" (0 = perfectly even, →1e6 ppm = one user is everything).
+    Capacity planners read it as cache-skew risk; abuse teams read a
+    jump as bot concentration; the experimentation keys read it as
+    variance inflation (heavy users dominate naive lift estimates —
+    the reason events_cuped_lift exists).
+
+    Exact integer form of the rank formula:
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over counts
+    sorted ascending with the deterministic (x, user_id) tie-break;
+    reported as floor-ppm — numerator and denominator are bounded
+    BIGINT products (rank <= n_users, so i*x sums stay far under
+    2^63 for any real user census), no floats anywhere.
+
+    Scale shape: ONE partial-agg (type, user) rollup collapses the
+    event stream; the rank window partitions by type over the
+    collapsed user-grain table (never the events); the final rollup
+    is type-cardinality-sized. The window sort is the one real cost
+    and it runs on users, not events — at 10^9 users per type swap
+    in the bucketed-percentile approximation; the contract stays.
+
+    Reference analog: octopy's label_stats (R27) reads class
+    imbalance before training — the same one-scalar-per-class
+    concentration readout."""
+    e = load_table(spark, sf, "events")
+    u = e.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("x").asc(), F.col("user_id").asc()
+    )
+    r = u.withColumn("i", F.row_number().over(w))
+    return r.groupBy("event_type").agg(
+        F.count("*").alias("n_users"),
+        F.sum("x").alias("total_events"),
+        F.expr(
+            "1000000 * (2 * sum(i * x) - (count(*) + 1) * sum(x))"
+            " div (count(*) * sum(x))"
+        ).alias("gini_ppm"),
+    )

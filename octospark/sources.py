@@ -267,3 +267,34 @@ def stage_evolved_copy(spark: SparkSession, sf_dir: str) -> str:
     return _staged_dir(
         sf_dir, "customer", "octospark_evo", "customer", "_STAGED", write
     )
+
+
+def stage_malformed_csv(sf_dir: str) -> str:
+    """Materialize documents as a CSV landing where every 13th row
+    (doc_id % 13 == 0) carries an unparseable n_chars field — the
+    mangled-numeric reality of third-party exports. Deterministic, so
+    the permissive scan's partial-parse split (good columns kept, bad
+    column nulled, raw line preserved) is oracle-reconstructable.
+    Same staging contract as stage_corrupt_jsonl (see _staged_dir)."""
+
+    def write(dest: str) -> None:
+        import duckdb
+
+        os.makedirs(dest, exist_ok=True)
+        rows = duckdb.sql(
+            "SELECT doc_id, lang, n_chars FROM "
+            f"'{os.path.join(sf_dir, 'documents.parquet')}' "
+            "ORDER BY doc_id"
+        ).fetchall()
+        with open(os.path.join(dest, "part-0.csv"), "w") as f:
+            for doc_id, lang, n_chars in rows:
+                bad = doc_id % 13 == 0
+                val = f"#{n_chars}#" if bad else str(n_chars)
+                f.write(f"{doc_id},{lang},{val}\n")
+        with open(os.path.join(dest, "_STAGED"), "w") as f:
+            f.write("ok")
+
+    return _staged_dir(
+        sf_dir, "documents", "octospark_badcsv", "corrupt", "_STAGED",
+        write,
+    )
