@@ -6124,3 +6124,102 @@ def events_gini_user_concentration(spark, sf):
             " div (count(*) * sum(x))"
         ).alias("gini_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_user_overlap_jaccard — audience overlap matrix between surfaces
+# --------------------------------------------------------------------------
+
+_OVERLAP_SQL = """
+    WITH d AS (
+      SELECT DISTINCT user_id, event_type FROM events),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_inter
+      FROM d a JOIN d b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, count(*) AS n FROM d GROUP BY 1)
+    SELECT p.type_a, p.type_b, p.n_inter,
+           sa.n AS n_a, sb.n AS n_b,
+           1000000 * p.n_inter
+             // (sa.n + sb.n - p.n_inter) AS jaccard_ppm
+    FROM p
+    JOIN s sa ON p.type_a = sa.event_type
+    JOIN s sb ON p.type_b = sb.event_type
+    """
+
+
+@register("events_user_overlap_jaccard", _OVERLAP_SQL)
+def events_user_overlap_jaccard(spark, sf):
+    """Audience-overlap (Jaccard) matrix between event surfaces — the
+    product-analytics readout behind funnel design and cross-sell
+    targeting: which surfaces share their users (near-1 overlap means
+    one funnel), which are disjoint audiences (separate growth
+    loops)? Per unordered type pair: shared users, each side's
+    audience, and Jaccard in floor-ppm via inclusion-exclusion on the
+    exact distinct counts (|A∪B| = |A|+|B|−|A∩B| — the union is
+    never materialized). Pairs no user co-occurs in are omitted
+    (their Jaccard is 0 by definition; the output is the sparse
+    upper triangle).
+
+    Scale shape: ONE distinct (user, type) shuffle collapses the
+    event stream to the user-grain membership table; each user's
+    type set (bounded by the type vocabulary, k <= 5 here) expands to
+    its k(k-1)/2 pairs MAP-SIDE via a double explode over the
+    collected set — never a user-keyed self-join of the membership
+    table — and the pair counts partial-aggregate into a
+    vocabulary²-sized rollup; audience sizes broadcast back. The
+    same shape at 10^9 users: cost = the one distinct shuffle.
+
+    Reference analog: octopy's class-merge planning reads which label
+    pairs co-occur on the same pages before merging them (reference
+    src/octopy/train.py:199-240) — the co-membership census that
+    justifies a merge."""
+    e = load_table(spark, sf, "events")
+    # ONE user shuffle feeds both the pair expansion and the audience
+    # sizes (each user lists a type once, so exploded counts ARE the
+    # distinct-user counts) — events scanned exactly once
+    u = e.groupBy("user_id").agg(
+        F.collect_set("event_type").alias("ts")
+    ).localCheckpoint(eager=True)
+    pairs = (
+        u.select(F.explode("ts").alias("type_a"), "ts")
+        .select("type_a", F.explode("ts").alias("type_b"))
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    s = (
+        u.select(F.explode("ts").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                s.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("n").alias("n_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                s.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("n").alias("n_b"),
+                )
+            ),
+            "type_b",
+        )
+        .select(
+            "type_a", "type_b", "n_inter", "n_a", "n_b",
+            F.expr(
+                "1000000 * n_inter div (n_a + n_b - n_inter)"
+            ).alias("jaccard_ppm"),
+        )
+    )

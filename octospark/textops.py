@@ -8232,3 +8232,66 @@ def graph_bowtie_census(spark, sf):
         F.count("*").alias("n_nodes"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# text_ttr_diversity — type-token ratio lexical-diversity gate
+# --------------------------------------------------------------------------
+
+_TTR_MIN_PPM = 450000  # keep docs with TTR > 45 % (boilerplate gate)
+
+_TTR_SQL = f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           len(list_distinct(string_split(text, ' ')))
+             AS n_distinct_words,
+           1000000 * len(list_distinct(string_split(text, ' ')))
+             // len(string_split(text, ' ')) AS ttr_ppm,
+           1000000 * len(list_distinct(string_split(text, ' ')))
+             // len(string_split(text, ' ')) > {_TTR_MIN_PPM} AS keep
+    FROM documents
+    """
+
+
+@register("text_ttr_diversity", _TTR_SQL)
+def text_ttr_diversity(spark, sf):
+    """Type-token ratio (lexical diversity) per document — the
+    quality-family member the length/stopword features miss:
+    machine-generated boilerplate, keyword stuffing, and template
+    spam repeat a tiny vocabulary, so their distinct-to-total word
+    ratio collapses even when length and stopword ratios look human
+    (the Gopher repetition gate's cousin at the vocabulary grain —
+    text_repetition_filter catches repeated LINES/n-grams, this
+    catches a starved lexicon with no repeats at all). Keep gate at
+    TTR > 45 % in floor-ppm (sited at this corpus's median band).
+
+    Exact: distinct and total word counts are integers from the same
+    whitespace split both engines share (string_split / F.split),
+    the ratio is one integer floor-division — no floats, identical
+    verdicts everywhere. (TTR is length-sensitive — longer docs
+    trend lower — so the production policy applies it per length
+    band; the banding column is documents.n_chars, already there.)
+
+    Scale shape: scan-only, embarrassingly parallel, whole-stage
+    codegen (array distinct on the in-row token array, never an
+    explode-shuffle); zero shuffles.
+
+    Reference analog: octopy's block classifier uses char-class
+    HISTOGRAM diversity as a text-vs-noise feature (reference
+    src/octopy/segment.py feature block) — diversity of the symbol
+    distribution as a quality prior."""
+    d = load_table(spark, sf, "documents")
+    w = _words(F.col("text"))
+    n = F.size(w).cast("long")
+    nd = F.size(F.array_distinct(w)).cast("long")
+    ttr = F.expr(
+        "1000000 * size(array_distinct(split(text, ' ')))"
+        " div size(split(text, ' '))"
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_words"),
+        nd.alias("n_distinct_words"),
+        ttr.alias("ttr_ppm"),
+        (ttr > _TTR_MIN_PPM).alias("keep"),
+    )
