@@ -6223,3 +6223,167 @@ def events_user_overlap_jaccard(spark, sf):
             ).alias("jaccard_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# table_gdpr_erasure_plan — right-to-be-forgotten deletion planning
+# --------------------------------------------------------------------------
+
+_GDPR_MOD, _GDPR_REM = 50, 7  # erasure cohort: key % 50 == 7
+
+_GDPR_SQL = f"""
+    WITH ev AS (
+      SELECT 'events' AS table_name,
+             event_id // 1000 AS file_id,
+             count(*) AS n_delete,
+             count(DISTINCT user_id) AS n_subjects
+      FROM events WHERE user_id % {_GDPR_MOD} = {_GDPR_REM}
+      GROUP BY 1, 2),
+    o AS (
+      SELECT 'orders' AS table_name,
+             o_orderkey // 1000 AS file_id,
+             count(*) AS n_delete,
+             count(DISTINCT o_custkey) AS n_subjects
+      FROM orders WHERE o_custkey % {_GDPR_MOD} = {_GDPR_REM}
+      GROUP BY 1, 2)
+    SELECT * FROM ev UNION ALL SELECT * FROM o
+    """
+
+
+@register("table_gdpr_erasure_plan", _GDPR_SQL)
+def table_gdpr_erasure_plan(spark, sf):
+    """Right-to-be-forgotten erasure PLAN across tables — the
+    compliance twin of the maintenance family: before any data is
+    touched, enumerate per (table, file) how many rows belong to the
+    erasure cohort (here the deterministic user/customer cohort
+    key % 50 == 7, standing in for the subject list a DSR batch
+    carries), so the deletion service can (a) skip untouched files
+    entirely, (b) write deletion vectors for lightly-hit files
+    (table_deletion_vectors' mechanic), and (c) rewrite heavily-hit
+    ones (table_compaction_plan's). n_subjects per file audits blast
+    radius. Plan-first-act-later is the same discipline as
+    table_vacuum_orphans; the plan is metadata-sized and idempotent,
+    so a crashed erasure job re-plans and resumes (R22-R24).
+
+    Scale shape: per table ONE partial-agg groupBy on the derived
+    file key over the cohort-filtered scan (the filter pushes to the
+    scan; the shuffle carries one row per touched file); the
+    cross-table union is planning-sized. At 10^12 rows the subject
+    list becomes a broadcast semi-join instead of a modulus — plan
+    shape unchanged.
+
+    Reference analog: octopy's inspect enumerates which container
+    members a pending operation will touch before running it
+    (reference src/octopy/cli/inspect.py) — plan the blast radius
+    first."""
+    ev = load_table(spark, sf, "events")
+    o = load_table(spark, sf, "orders")
+    ev_p = (
+        ev.filter(F.col("user_id") % _GDPR_MOD == _GDPR_REM)
+        .groupBy(F.expr("event_id div 1000").alias("file_id"))
+        .agg(
+            F.count("*").alias("n_delete"),
+            F.count_distinct("user_id").alias("n_subjects"),
+        )
+        .select(
+            F.lit("events").alias("table_name"),
+            "file_id",
+            "n_delete",
+            "n_subjects",
+        )
+    )
+    o_p = (
+        o.filter(F.col("o_custkey") % _GDPR_MOD == _GDPR_REM)
+        .groupBy(F.expr("o_orderkey div 1000").alias("file_id"))
+        .agg(
+            F.count("*").alias("n_delete"),
+            F.count_distinct("o_custkey").alias("n_subjects"),
+        )
+        .select(
+            F.lit("orders").alias("table_name"),
+            "file_id",
+            "n_delete",
+            "n_subjects",
+        )
+    )
+    return ev_p.unionByName(o_p)
+
+
+# --------------------------------------------------------------------------
+# sql_tpch_q3_like — shipping-priority flagship multi-join query
+# --------------------------------------------------------------------------
+
+_Q3_SQL = """
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(8,4)))
+                AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """
+
+
+@register("sql_tpch_q3_like", _Q3_SQL)
+def sql_tpch_q3_like(spark, sf):
+    """TPC-H Q3 (shipping priority) — the flagship three-table
+    join-aggregate-topk every warehouse is judged on, included as the
+    end-to-end witness that the relational core composes: a selective
+    dimension filter (market segment), a fact-fact join
+    (orders x lineitem), a date anti-window (ordered before the
+    cutoff, shipped after), a decimal-exact revenue rollup, and a
+    deterministic top-10 (revenue DESC, orderkey tiebreak — TakeOrdered,
+    never a global sort).
+
+    Determinism: revenue accumulates in DECIMAL (the agg_hash_groupby
+    discipline — float summation order differs between engines) and
+    casts to double once; dates compared as timestamps, emitted as
+    strings; the tie-broken LIMIT is engine-independent.
+
+    Scale shape: Catalyst broadcasts the filtered customer dimension
+    (segment filter cuts it 5x before the join — predicate pushdown
+    visible in the scan), shuffles the two facts on their join keys
+    once each, partial-aggregates revenue map-side, and top-10 rides
+    TakeOrderedAndProject (per-partition heaps + driver merge of
+    10 x n_partitions rows). The classic plan a 100 TB warehouse
+    wants for exactly this query.
+
+    Reference analog: none single — this is the composition witness
+    for R11-R13 (join/order/clamp) at once."""
+    c = load_table(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    j = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+    )
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (1 - F.col("l_discount")).cast("decimal(8,4)")
+    ).cast("double")
+    return (
+        j.groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias(
+                "o_orderdate"
+            ),
+            "o_orderpriority",
+        )
+        .agg(rev.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )

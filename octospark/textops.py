@@ -5529,8 +5529,9 @@ def text_ngram_novelty(spark, sf):
 # cycle in 3 steps), so the triangle key ADDS the i->i+2 ring chord:
 # every (i, i+1, i+2) then closes, giving a dense known triangle set
 # on top of whatever the affine edges contribute.
-_TRIANGLE_SQL = """
-    WITH """ + ",\n    ".join(_MODULAR_EDGES_CTES) + """,
+_UND_CTES = (
+    ",\n    ".join(_MODULAR_EDGES_CTES)
+    + """,
     edges2 AS (
       SELECT src, dst FROM edges
       UNION
@@ -5538,7 +5539,33 @@ _TRIANGLE_SQL = """
       FROM documents, n),
     und AS MATERIALIZED (
       SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-      FROM edges2 WHERE src <> dst),
+      FROM edges2 WHERE src <> dst)"""
+)
+
+
+def _und_edges(docs, n: int):
+    """Spark twin of _UND_CTES: canonical a<b undirected edge list of
+    the modular graph plus the triangle-closing i->i+2 ring chord,
+    materialized once for its multiple join consumers."""
+    chord = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") + 2) % n).alias("dst"),
+    )
+    return (
+        _modular_edges(docs, n)
+        .unionByName(chord)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+_TRIANGLE_SQL = """
+    WITH """ + _UND_CTES + """,
     tri AS (
       SELECT e1.a AS x, e1.b AS y, e2.b AS z
       FROM und e1
@@ -5575,23 +5602,7 @@ def graph_triangle_count(spark, sf):
     stats over the link graph."""
     docs = load_table(spark, sf, "documents").select("doc_id")
     n = docs.count()
-    chord = docs.select(
-        F.col("doc_id").alias("src"),
-        ((F.col("doc_id") + 2) % n).alias("dst"),
-    )
-    edges = (
-        _modular_edges(docs, n)
-        .unionByName(chord)
-        .filter(F.col("src") != F.col("dst"))
-    )
-    und = (
-        edges.select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    und = _und_edges(docs, n)
     e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
@@ -8294,4 +8305,116 @@ def text_ttr_diversity(spark, sf):
         nd.alias("n_distinct_words"),
         ttr.alias("ttr_ppm"),
         (ttr > _TTR_MIN_PPM).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_clustering_coefficient — local clustering per node + degrees
+# --------------------------------------------------------------------------
+
+_CC_COEF_SQL = """
+    WITH """ + _UND_CTES + """,
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+    m AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri),
+    t AS (SELECT node, count(*) AS n FROM m GROUP BY node),
+    degm AS (
+      SELECT a AS node FROM und
+      UNION ALL SELECT b FROM und),
+    deg AS (SELECT node, count(*) AS degree FROM degm GROUP BY node)
+    SELECT d.doc_id AS node,
+           CAST(COALESCE(g.degree, 0) AS BIGINT) AS degree,
+           CAST(COALESCE(t.n, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN COALESCE(g.degree, 0) >= 2
+                THEN 1000000 * 2 * CAST(COALESCE(t.n, 0) AS BIGINT)
+                     // (g.degree * (g.degree - 1))
+                ELSE CAST(0 AS BIGINT) END AS local_cc_ppm
+    FROM documents d
+    LEFT JOIN t ON d.doc_id = t.node
+    LEFT JOIN deg g ON d.doc_id = g.node
+    """
+
+
+@register("graph_clustering_coefficient", _CC_COEF_SQL)
+def graph_clustering_coefficient(spark, sf):
+    """Local clustering coefficient per node — the normalized form of
+    the triangle signal (Watts-Strogatz): triangles through a node
+    divided by its wedge capacity d(d-1)/2, in floor-ppm. The raw
+    triangle count (graph_triangle_count) flags dense neighborhoods
+    but scales with degree; the coefficient separates a genuinely
+    clique-ish small neighborhood (high cc — mirror rings, link
+    farms) from a big hub that incidentally closes many triangles
+    (low cc — portals, navigation pages). The spam lens: farms
+    maximize cc, organic hubs minimize it.
+
+    Shares the exact triangle-enumeration kernel and the canonical
+    a<b edge list with graph_triangle_count via the factored
+    _und_edges/_UND_CTES (one materialization feeds the two
+    enumeration joins AND the degree census), so the two keys cannot
+    drift apart. Degrees are endpoint counts over the canonical
+    list; the coefficient is one integer cross-multiplied floor
+    division — no floats.
+
+    Scale shape: the triangle joins dominate (see
+    graph_triangle_count's hub note); the degree census is one
+    partial-agg rollup of the same edge table; final assembly is two
+    node-keyed left joins onto documents.
+
+    Reference analog: octopy normalizes block link counts by block
+    size before classifying (reference src/octopy/segment.py feature
+    normalization) — raw count vs capacity-normalized ratio."""
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    n = docs.count()
+    und = _und_edges(docs, n)
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    t = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n"))
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    out = (
+        docs.join(t, docs["doc_id"] == t["node"], "left")
+        .drop("node")
+        .join(deg, F.col("doc_id") == deg["node"], "left")
+        .drop("node")
+        .select(
+            F.col("doc_id").alias("node"),
+            F.coalesce(F.col("degree"), F.lit(0))
+            .cast("long")
+            .alias("degree"),
+            F.coalesce(F.col("n"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+        )
+    )
+    return out.select(
+        "node",
+        "degree",
+        "n_triangles",
+        F.when(
+            F.col("degree") >= 2,
+            F.expr(
+                "1000000 * 2 * n_triangles"
+                " div (degree * (degree - 1))"
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("local_cc_ppm"),
     )
