@@ -1985,3 +1985,101 @@ def crawl_sitemap_coverage(spark, sf):
             "CAST(n_both * 1000000L DIV greatest(n_sitemap, 1L) AS LONG)"
         ).alias("coverage_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_pack_nosplit_audit — next-fit no-split packing + fill audit
+# --------------------------------------------------------------------------
+
+_NOSPLIT_BIG = 1 << 20  # state encoding: pack * BIG + fill (fill < BIG)
+
+_NOSPLIT_SQL = f"""
+    WITH c AS (
+      SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    w AS (
+      SELECT shard, doc_id, n_tok,
+             list(n_tok) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS hist
+      FROM c),
+    a AS (
+      SELECT shard, doc_id, n_tok,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT), hist),
+               (acc, x) -> CASE
+                 WHEN acc % {_NOSPLIT_BIG} + x > {_PACK_BUDGET}
+                 THEN (acc // {_NOSPLIT_BIG} + 1) * {_NOSPLIT_BIG} + x
+                 ELSE acc + x END
+             ) AS state
+      FROM w)
+    SELECT shard, state // {_NOSPLIT_BIG} AS pack,
+           count(*) AS n_docs,
+           sum(n_tok) AS tok,
+           1000000 * sum(n_tok) // {_PACK_BUDGET} AS fill_ppm,
+           {_PACK_BUDGET} - sum(n_tok) AS waste_tok
+    FROM a GROUP BY 1, 2
+    """
+
+
+@register("corpus_pack_nosplit_audit", _NOSPLIT_SQL)
+def corpus_pack_nosplit_audit(spark, sf):
+    """Next-fit NO-SPLIT sequence packing with its fill audit — the
+    packing variant production pipelines actually prefer when
+    documents must stay contiguous (no attention-mask surgery across
+    pack boundaries): a document that would overflow the current
+    context window opens a new one, so windows are under-filled and
+    the audit (fill ratio, wasted tokens per pack) IS the price tag
+    this key reports — the number teams weigh against
+    corpus_pack_sequences' zero-waste concat-and-split regime.
+
+    The packing recurrence is inherently sequential (each doc's pack
+    depends on the running fill), so it rides the CUSUM fold
+    discipline with the state ENCODED in one BIGINT
+    (pack * 2^20 + fill; fill < 2^20 by construction): one CASE per
+    step, pure integer arithmetic, bit-identical in both engines —
+    no struct-state lambda portability risk. A doc longer than the
+    budget still opens its own window (fill may exceed the budget for
+    that pack alone; waste_tok goes negative, flagging the oversize
+    — the never-drop analog for packing).
+
+    Scale shape: per-shard prefix folds over the SAME shard window
+    as corpus_pack_sequences (shards bound the O(H^2) fold — the
+    shard count is the knob that trades fold depth for parallelism,
+    documented there), then ONE partial-agg (shard, pack) rollup.
+
+    Reference analog: R16's batch assembly pads rather than splits a
+    line across batches (reference src/octopy/train.py batching) —
+    the same keep-the-unit-whole packing trade."""
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    zero = F.lit(0).cast("long")
+    big, budget = _NOSPLIT_BIG, _PACK_BUDGET
+    state = F.aggregate(
+        F.collect_list("n_tok").over(w),
+        zero,
+        lambda acc, x: F.when(
+            acc % big + x > budget, (acc / big).cast("long") * big + big + x
+        ).otherwise(acc + x),
+    )
+    a = d.withColumn("state", state)
+    return a.groupBy(
+        "shard", (F.col("state") / big).cast("long").alias("pack")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("tok"),
+        F.expr(f"1000000 * sum(n_tok) div {budget}").alias(
+            "fill_ppm"
+        ),
+        (F.lit(budget) - F.sum("n_tok")).alias("waste_tok"),
+    )
