@@ -6536,3 +6536,89 @@ def join_scd2_asof(spark, sf):
         F.date_format("ts", "yyyy-MM-dd").alias("ship_date"),
         "status_asof",
     )
+
+
+# --------------------------------------------------------------------------
+# agg_correlation_pearson — decimal-exact bivariate correlation
+# --------------------------------------------------------------------------
+
+_CORR_SQL = """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(28,6)))
+                  AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6)))
+                  AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy) / (n - 1) / n AS covar_samp_scaled,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS pearson_r
+    FROM s
+    """
+
+
+@register("agg_correlation_pearson", _CORR_SQL)
+def agg_correlation_pearson(spark, sf):
+    """Bivariate Pearson correlation (quantity vs line revenue per
+    return flag) — the pairwise statistic CBOs keep as multi-column
+    stats (correlated predicates break independent-selectivity
+    estimates) and analysts read as effect direction; completes the
+    moments family (agg_stats_moments owns the univariate ones).
+
+    Built on the decimal-exact accumulation discipline: all five
+    sums (x, y, x², y², xy) accumulate in DECIMAL (shuffle-order
+    float addition is engine-divergent; fixed-point inputs make the
+    products exact), cast to double ONCE, then the closed-form r is
+    a short fixed shape of IEEE ops identical on both engines.
+    Spark's built-in corr() is exactly the fold-order trap this
+    avoids — documented here rather than used.
+
+    Scale shape: ONE partial-agg groupBy — the five sums and count
+    all combine map-side, the shuffle carries one row per flag, the
+    closed form runs on the rollup. The cheapest possible bivariate
+    statistic at 10^12 rows.
+
+    Reference analog: octopy's train summary correlates per-class
+    confidence with sample count before trusting class metrics
+    (reference src/octopy/cli/train.py reporting) — same
+    paired-moments readout."""
+    li = load_table(spark, sf, "lineitem")
+    d28 = lambda c: F.col(c).cast("decimal(28,6)")  # noqa: E731
+    d18 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(d28("l_quantity")).cast("double").alias("sx"),
+        F.sum(d28("l_extendedprice")).cast("double").alias("sy"),
+        F.sum(d18("l_quantity") * d18("l_quantity"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(d18("l_extendedprice") * d18("l_extendedprice"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(d18("l_quantity") * d18("l_extendedprice"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.expr("(n * sxy - sx * sy) / (n - 1) / n").alias(
+            "covar_samp_scaled"
+        ),
+        F.expr(
+            "(n * sxy - sx * sy)"
+            " / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+        ).alias("pearson_r"),
+    )

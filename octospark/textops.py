@@ -8418,3 +8418,127 @@ def graph_clustering_coefficient(spark, sf):
         .otherwise(F.lit(0).cast("long"))
         .alias("local_cc_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# graph_walk_sample — deterministic random-walk corpus for embeddings
+# --------------------------------------------------------------------------
+
+_WALK_STEPS = 4
+_WALK_M1, _WALK_M2, _WALK_P = 2654435761, 40503, 1000003
+
+
+def _walk_sql(steps: int) -> str:
+    ctes = [
+        *_MODULAR_EDGES_CTES,
+        ("nb AS (SELECT src, dst, row_number() OVER "
+         "(PARTITION BY src ORDER BY dst) AS idx FROM edges)"),
+        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1)",
+        "w0 AS (SELECT doc_id AS start, doc_id AS pos FROM documents)",
+    ]
+    for t in range(1, steps + 1):
+        ctes.append(
+            f"""w{t} AS (
+          SELECT w.start, nb.dst AS pos
+          FROM w{t - 1} w
+          JOIN deg ON deg.src = w.pos
+          JOIN nb ON nb.src = w.pos
+           AND nb.idx = (w.start * {_WALK_M1} + {t} * {_WALK_M2})
+                        % {_WALK_P} % deg.d + 1)"""
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT start, CAST({t} AS BIGINT) AS step, pos AS node "
+        f"FROM w{t}"
+        for t in range(steps + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + " " + sel
+
+
+@register("graph_walk_sample", _walk_sql(_WALK_STEPS))
+def graph_walk_sample(spark, sf):
+    """Deterministic random-walk sampling over the link graph — the
+    DeepWalk/node2vec corpus generator (Perozzi et al.): one
+    fixed-length walk per start node whose per-step neighbor choice
+    is a keyed Knuth hash of (start, step) reduced mod the current
+    node's degree — a seeded PRNG both engines replay bitwise, which
+    is exactly how a production sampler must behave anyway
+    (resumable, partition-independent, re-runnable to the same walk
+    corpus; ambient RNG is the non-reproducibility bug). The emitted
+    (start, step, node) rows are the skip-gram training pairs'
+    source stream.
+
+    Mechanics per step: the current frontier joins the degree table
+    (to reduce the hash mod d) and the indexed neighbor table
+    (row_number over each node's sorted adjacency) to hop — two hash
+    joins on the node key, the same partitioning every step, with
+    lineage truncation per hop (the BFS discipline). Walk state is
+    one row per walker; the frontier never grows.
+
+    Scale shape: the adjacency index and degree table are built once
+    from one edge shuffle and reused by all K steps; each step is
+    two node-keyed joins of a walker-sized table. At 10^12 edges the
+    walker table is |V|-sized, and K is a small constant — the
+    standard trade that makes walk corpora generable at web scale.
+
+    Reference analog: octopy's deterministic seed-42 augmentation
+    sampling during training (reference src/octopy/cli/train.py
+    --seed) — reproducible pseudo-randomness as a feature."""
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    n = docs.count()
+    par = spark.sparkContext.defaultParallelism
+    edges = (
+        _modular_edges(docs, n)
+        .repartition(par, "src")
+        .localCheckpoint(eager=True)
+    )
+    wnb = Window.partitionBy("src").orderBy("dst")
+    nb = edges.withColumn("idx", F.row_number().over(wnb))
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    nb = nb.localCheckpoint(eager=True)
+    deg = deg.localCheckpoint(eager=True)
+    cur = docs.select(
+        F.col("doc_id").alias("start"), F.col("doc_id").alias("pos")
+    ).localCheckpoint(eager=True)
+    parts = [
+        cur.select(
+            "start",
+            F.lit(0).cast("long").alias("step"),
+            F.col("pos").alias("node"),
+        )
+    ]
+    deg_p = deg.withColumnRenamed("src", "pos")
+    for t in range(1, _WALK_STEPS + 1):
+        nxt = (
+            cur.join(deg_p, "pos")
+            .withColumn(
+                "nidx",
+                (
+                    (F.col("start") * _WALK_M1 + t * _WALK_M2)
+                    % _WALK_P
+                )
+                % F.col("d")
+                + 1,
+            )
+            .join(
+                nb.select(
+                    F.col("src").alias("pos"),
+                    F.col("idx").alias("nidx"),
+                    F.col("dst").alias("npos"),
+                ),
+                ["pos", "nidx"],
+            )
+            .select("start", F.col("npos").alias("pos"))
+            .localCheckpoint(eager=True)
+        )
+        parts.append(
+            nxt.select(
+                "start",
+                F.lit(t).cast("long").alias("step"),
+                F.col("pos").alias("node"),
+            )
+        )
+        cur = nxt
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
