@@ -6622,3 +6622,189 @@ def agg_correlation_pearson(spark, sf):
             " / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
         ).alias("pearson_r"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_dow_hod_heatmap — day-of-week x hour-of-day traffic matrix
+# --------------------------------------------------------------------------
+
+_HEATMAP_SQL = """
+    WITH c AS (
+      SELECT event_type,
+             (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+             CAST(hour(ts) AS BIGINT) AS hod,
+             count(*) AS n
+      FROM events GROUP BY 1, 2, 3),
+    t AS (
+      SELECT event_type, sum(n) AS total FROM c GROUP BY 1)
+    SELECT c.event_type, c.dow, c.hod, c.n,
+           1000000 * c.n // t.total AS share_ppm
+    FROM c JOIN t ON c.event_type = t.event_type
+    """
+
+
+@register("events_dow_hod_heatmap", _HEATMAP_SQL)
+def events_dow_hod_heatmap(spark, sf):
+    """Day-of-week x hour-of-day traffic heatmap per event type — the
+    capacity-planning matrix (the 7x24 grid every on-call dashboard
+    opens with), and the weekly-seasonality readout
+    events_seasonal_baseline's hour-of-day strata deliberately pool
+    away (a Monday 9 a.m. and a Sunday 9 a.m. are different cells
+    here). Cell shares in floor-ppm of the type's total.
+
+    Day-of-week is computed ARITHMETICALLY — (epoch_days + 4) % 7
+    with 0 = Sunday (1970-01-01 was a Thursday) — instead of each
+    engine's dayofweek() function, because their numbering
+    conventions differ (Spark 1=Sunday, DuckDB 0=Sunday) and the
+    integer form is the one both replay bitwise; hours come from the
+    shared truncation.
+
+    Scale shape: ONE partial-agg groupBy on the derived (type, dow,
+    hod) key collapses the event stream to at most types x 168
+    cells; the per-type totals fold over that rollup and broadcast
+    back. Nothing after the first shuffle touches events.
+
+    Reference analog: octopy's inspect -s layer grids (reference
+    src/octopy/cli/inspect.py) — the at-a-glance matrix summary."""
+    e = load_table(spark, sf, "events")
+    c = e.groupBy(
+        "event_type",
+        (
+            (
+                (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    / 86400000000
+                ).cast("long")
+                + 4
+            )
+            % 7
+        ).alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count("*").alias("n"))
+    c = c.localCheckpoint(eager=True)
+    t = c.groupBy("event_type").agg(F.sum("n").alias("total"))
+    return c.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "dow",
+        "hod",
+        "n",
+        F.expr("1000000 * n div total").alias("share_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# join_interval_overlap — binned interval-overlap join
+# --------------------------------------------------------------------------
+
+_PROMO_EPOCH = "1995-01-01"
+_PROMO_EVERY_D, _PROMO_LEN_D, _PROMO_N = 30, 14, 81
+_ORDER_LEN_D = 7
+_OVL_BIN_D = 30  # bin width >= max interval length on either side
+
+
+_OVL_SQL = f"""
+    WITH o AS (
+      SELECT o_orderkey,
+             epoch_us(o_orderdate) // 86400000000 AS lo,
+             epoch_us(o_orderdate) // 86400000000
+               + {_ORDER_LEN_D} AS hi
+      FROM orders),
+    p AS (
+      SELECT i AS promo_id,
+             epoch_us(TIMESTAMP '{_PROMO_EPOCH} 00:00:00')
+               // 86400000000 + i * {_PROMO_EVERY_D} AS lo,
+             epoch_us(TIMESTAMP '{_PROMO_EPOCH} 00:00:00')
+               // 86400000000 + i * {_PROMO_EVERY_D}
+               + {_PROMO_LEN_D} AS hi
+      FROM unnest(generate_series(0, {_PROMO_N - 1})) AS t(i)),
+    ob AS (
+      SELECT o.*, unnest([lo // {_OVL_BIN_D}, hi // {_OVL_BIN_D}])
+               AS bin
+      FROM o),
+    pb AS (
+      SELECT p.*, unnest([lo // {_OVL_BIN_D}, hi // {_OVL_BIN_D}])
+               AS bin
+      FROM p)
+    SELECT DISTINCT ob.o_orderkey, pb.promo_id,
+           least(ob.hi, pb.hi) - greatest(ob.lo, pb.lo)
+             AS overlap_days
+    FROM ob JOIN pb ON ob.bin = pb.bin
+     AND ob.lo < pb.hi AND pb.lo < ob.hi
+    """
+
+
+@register("join_interval_overlap", _OVL_SQL)
+def join_interval_overlap(spark, sf):
+    """Interval-OVERLAP join — the two-sided generalization of the
+    point-in-interval join (join_interval_binned): every order's
+    7-day fulfillment window matched to every 14-day promo window it
+    intersects, with the exact overlap length. The naive form is a
+    range-theta join (quadratic on hot ranges); the scalable form
+    used here is the textbook binning reduction: with bin width >=
+    the max interval length on EITHER side, an interval touches at
+    most 2 bins, so emitting each interval into its endpoint bins
+    and equi-joining on bin finds every overlapping pair (a pair
+    overlapping anywhere must share the bin of the later start),
+    with DISTINCT collapsing the pairs found in both bins.
+
+    All arithmetic in exact epoch DAYS (integer floor-division of
+    epoch microseconds); the promo dimension is generated, not
+    stored — sequence/generate_series both engines share. The bound
+    'at most 2 bins' is structural: expansion is exactly 2x each
+    side, never data-dependent.
+
+    Scale shape: one bin-keyed shuffle join of two 2x-expanded
+    interval tables; the overlap predicate and length run as codegen
+    on join output. At 10^12 intervals the bin key IS the partition
+    key, and skew only appears if intervals pile into one bin —
+    whereupon the standard salting keys (join_skew_salted) apply
+    unchanged.
+
+    Reference analog: R11's line-to-region assignment intersects
+    line boxes with region boxes on the vertical axis (reference
+    src/octopy/segment.py) — 1-D interval overlap, same reduction."""
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey",
+        (
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            / 86400000000
+        ).cast("long").alias("lo"),
+    ).withColumn("hi", F.col("lo") + _ORDER_LEN_D)
+    epoch_day = F.unix_micros(
+        F.lit(f"{_PROMO_EPOCH} 00:00:00").cast("timestamp")
+    ).cast("long") / F.lit(86400000000)
+    p = spark.range(_PROMO_N).select(
+        F.col("id").alias("promo_id"),
+        (
+            epoch_day.cast("long")
+            + F.col("id") * _PROMO_EVERY_D
+        ).alias("lo"),
+    ).withColumn("hi", F.col("lo") + _PROMO_LEN_D)
+    binize = lambda df: df.select(  # noqa: E731
+        "*",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(f"lo div {_OVL_BIN_D}"),
+                    F.expr(f"hi div {_OVL_BIN_D}"),
+                )
+            )
+        ).alias("bin"),
+    )
+    ob = binize(o)
+    pb = binize(p).select(
+        "bin",
+        F.col("promo_id"),
+        F.col("lo").alias("plo"),
+        F.col("hi").alias("phi"),
+    )
+    j = ob.join(pb, "bin").filter(
+        (F.col("lo") < F.col("phi")) & (F.col("plo") < F.col("hi"))
+    )
+    return j.select(
+        "o_orderkey",
+        "promo_id",
+        (
+            F.least("hi", "phi") - F.greatest("lo", "plo")
+        ).alias("overlap_days"),
+    ).distinct()
