@@ -6808,3 +6808,198 @@ def join_interval_overlap(spark, sf):
             F.least("hi", "phi") - F.greatest("lo", "plo")
         ).alias("overlap_days"),
     ).distinct()
+
+
+# --------------------------------------------------------------------------
+# events_feature_backfill — multi-horizon rolling features per user-day
+# --------------------------------------------------------------------------
+
+_FB_SQL = """
+    WITH d AS (
+      SELECT user_id,
+             epoch_us(ts) // 86400000000 AS day,
+             count(*) AS n_1d
+      FROM events GROUP BY 1, 2)
+    SELECT user_id, day, n_1d,
+           sum(n_1d) OVER (
+             PARTITION BY user_id ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_7d,
+           sum(n_1d) OVER (
+             PARTITION BY user_id ORDER BY day
+             RANGE BETWEEN 27 PRECEDING AND CURRENT ROW) AS n_28d
+    FROM d
+    """
+
+
+@register("events_feature_backfill", _FB_SQL)
+def events_feature_backfill(spark, sf):
+    """Multi-horizon rolling-count feature backfill per (user, day) —
+    the feature-store materialization job behind every behavioral
+    model: daily activity plus its 7-day and 28-day rolling windows,
+    computed for every active day at once (the training-set backfill
+    shape; join_asof_latest/join_scd2_asof then serve them
+    point-in-time-correctly). RANGE frames over the integer day key
+    — not ROWS — so gaps in a user's activity shorten the window's
+    CONTENTS, not its span: a user active on days 1 and 9 must not
+    see day 1 inside the day 9 weekly window, which a ROWS frame
+    would get wrong without densification.
+
+    Exact: the day key is integer floor-division of epoch micros;
+    counts are BIGINTs; both RANGE frames are value-bounded on the
+    same key in both engines.
+
+    Scale shape: ONE partial-agg (user, day) rollup collapses the
+    event stream, then BOTH horizon frames ride a single user-keyed
+    sort of the collapsed table (Catalyst evaluates same-window-spec
+    frames in one Window operator pass). Adding horizons costs one
+    aggregate each, never a new shuffle — the property that makes
+    50-feature backfills affordable at 10^12 events.
+
+    Reference analog: octopy's train loop folds per-batch metrics
+    into running short- and long-horizon averages (reference
+    src/octopy/cli/train.py metric smoothing) — same multi-horizon
+    rollup, materialized tablewide."""
+    e = load_table(spark, sf, "events")
+    d = e.groupBy(
+        "user_id",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            / 86400000000
+        ).cast("long").alias("day"),
+    ).agg(F.count("*").alias("n_1d"))
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    w28 = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rangeBetween(-27, Window.currentRow)
+    )
+    return d.select(
+        "user_id",
+        "day",
+        "n_1d",
+        F.sum("n_1d").over(w7).alias("n_7d"),
+        F.sum("n_1d").over(w28).alias("n_28d"),
+    )
+
+
+# --------------------------------------------------------------------------
+# table_expectations_report — data-quality assertion suite as data
+# --------------------------------------------------------------------------
+
+_EXP_SQL = """
+    WITH row_exps AS (
+      SELECT count(*) AS n_checked,
+             count(*) FILTER (o_orderkey IS NULL) AS v_null_key,
+             count(*) FILTER (o_totalprice <= 0
+                              OR o_totalprice > 1000000) AS v_price,
+             count(*) FILTER (o_orderdate < TIMESTAMP '1990-01-01'
+                              OR o_orderdate >= TIMESTAMP '2030-01-01')
+               AS v_date,
+             count(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P'))
+               AS v_status
+      FROM orders),
+    ref AS (
+      SELECT count(*) AS v_ref
+      FROM orders o
+      LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey IS NULL)
+    SELECT e.name, r.n_checked, e.n_violations,
+           e.n_violations = 0 AS pass,
+           1000000 * e.n_violations // r.n_checked AS viol_ppm
+    FROM row_exps r, ref, (
+      VALUES ('orderkey_not_null', (SELECT v_null_key FROM row_exps)),
+             ('totalprice_in_range', (SELECT v_price FROM row_exps)),
+             ('orderdate_in_bounds', (SELECT v_date FROM row_exps)),
+             ('status_in_domain', (SELECT v_status FROM row_exps)),
+             ('custkey_ref_integrity', (SELECT v_ref FROM ref))
+    ) AS e(name, n_violations)
+    """
+
+
+@register("table_expectations_report", _EXP_SQL)
+def table_expectations_report(spark, sf):
+    """Data-quality expectation suite as a table — the
+    Great-Expectations / dbt-test contract check every ingest gate
+    runs before publishing a snapshot: not-null keys, value ranges,
+    date bounds, categorical domain membership, and referential
+    integrity against the dimension, each reported as (checked,
+    violations, pass, violation ppm) ROWS so the gate's verdict is
+    itself queryable, lineage-recordable (R18), and diffable across
+    runs. A failing expectation blocks the manifest commit in the
+    same way validation cadence (R25) blocks a bad checkpoint.
+
+    Scale shape: all four row-level expectations fold into ONE
+    conditional aggregation over a single orders scan (adding an
+    expectation costs one aggregate, not one pass — the property
+    that keeps 100-expectation suites one-scan); referential
+    integrity is one broadcast anti-join count against the
+    dimension. The report itself is expectation-count-sized.
+
+    Reference analog: octopy validates model/container invariants up
+    front and refuses to run on violation (reference
+    src/octopy/cli/segment.py input checks) — the same
+    check-then-proceed contract, materialized as data."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer").select("c_custkey")
+    row = o.agg(
+        F.count("*").alias("n_checked"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias(
+            "v_null_key"
+        ),
+        F.count(
+            F.when(
+                (F.col("o_totalprice") <= 0)
+                | (F.col("o_totalprice") > 1000000),
+                1,
+            )
+        ).alias("v_price"),
+        F.count(
+            F.when(
+                (
+                    F.col("o_orderdate")
+                    < F.lit("1990-01-01").cast("timestamp")
+                )
+                | (
+                    F.col("o_orderdate")
+                    >= F.lit("2030-01-01").cast("timestamp")
+                ),
+                1,
+            )
+        ).alias("v_date"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+        ).alias("v_status"),
+    ).localCheckpoint(eager=True)
+    ref = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count("*").alias("v_ref"))
+        .localCheckpoint(eager=True)
+    )
+    exps = [
+        ("orderkey_not_null", "v_null_key", row),
+        ("totalprice_in_range", "v_price", row),
+        ("orderdate_in_bounds", "v_date", row),
+        ("status_in_domain", "v_status", row),
+        ("custkey_ref_integrity", "v_ref", ref),
+    ]
+    out = None
+    for name, col, src in exps:
+        r = (
+            src.crossJoin(row.select("n_checked"))
+            if src is ref
+            else src
+        ).select(
+            F.lit(name).alias("name"),
+            "n_checked",
+            F.col(col).alias("n_violations"),
+            (F.col(col) == 0).alias("pass"),
+            F.expr(f"1000000 * {col} div n_checked").alias(
+                "viol_ppm"
+            ),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
