@@ -7003,3 +7003,139 @@ def table_expectations_report(spark, sf):
         )
         out = r if out is None else out.unionByName(r)
     return out
+
+
+# --------------------------------------------------------------------------
+# events_forecast_residual_alarm — forecast-vs-actual anomaly gate
+# --------------------------------------------------------------------------
+
+_FRA_SQL = f"""
+    WITH h AS ({{holt}}),
+    k AS (
+      SELECT event_type, sum(n) // count(*) AS k FROM h GROUP BY 1),
+    l AS (
+      SELECT h.event_type, h.win_start, h.n, k.k,
+             lag(h.forecast_next_x3) OVER (
+               PARTITION BY h.event_type ORDER BY h.win_start
+             ) AS pred_x3
+      FROM h JOIN k ON h.event_type = k.event_type)
+    SELECT event_type, win_start, n, pred_x3,
+           CASE WHEN pred_x3 IS NULL THEN NULL
+                ELSE abs(3 * n - pred_x3) END AS resid_x3,
+           CASE WHEN pred_x3 IS NULL THEN FALSE
+                ELSE abs(3 * n - pred_x3)
+                     > 3 * greatest(2 * k, CAST(4 AS BIGINT)) END
+             AS alarm
+    FROM l
+    """
+
+
+@register(
+    "events_forecast_residual_alarm",
+    _FRA_SQL.format(holt=_HOLT_SQL.format(hourly=_HOURLY_COUNTS_CTE)),
+)
+def events_forecast_residual_alarm(spark, sf):
+    """Forecast-residual anomaly gate — closes the forecasting loop
+    the anomaly family opened: events_forecast_holt EXTRAPOLATES each
+    hour's expected volume; this key alarms when the ACTUAL hour
+    misses that one-step-ahead prediction by more than a guard band
+    (|3n − pred_x3| > 3·max(2k, 4), everything in the x3 integer
+    units so nobody divides by 3). Unlike the static baselines
+    (z/MAD/seasonal), the forecast adapts to trends, so a steady ramp
+    never alarms here while a step change does — the complementary
+    failure mode to CUSUM's slow-drift detection.
+
+    Deliberately COMPOSED from the registered events_forecast_holt
+    operator (bowtie/recall_eval discipline): the alarm consumes that
+    key's exact output plus one lag window, so any drift in the
+    underlying double fold fails this oracle too. The first hour of
+    each type has no prediction and surfaces alarm = FALSE with NULL
+    residual (never-drop, visibly unjudged).
+
+    Scale shape: the Holt fold's cost (see there), plus one lag
+    window and the tiny per-type guard rollup on the collapsed
+    hourly table — both ride the same event_type clustering.
+
+    Reference analog: octopy's validation cadence compares actual
+    vs expected loss trajectory and stops on divergence (reference
+    src/octopy/cli/train.py) — forecast-gated alarming."""
+    h = events_forecast_holt(spark, sf).localCheckpoint(eager=True)
+    k = h.groupBy("event_type").agg(
+        F.expr("sum(n) div count(*)").alias("k")
+    )
+    w = Window.partitionBy("event_type").orderBy("win_start")
+    l_ = h.join(F.broadcast(k), "event_type").withColumn(
+        "pred_x3", F.lag("forecast_next_x3").over(w)
+    )
+    resid = F.abs(3 * F.col("n") - F.col("pred_x3"))
+    guard = 3 * F.greatest(2 * F.col("k"), F.lit(4).cast("long"))
+    return l_.select(
+        "event_type",
+        "win_start",
+        "n",
+        "pred_x3",
+        F.when(F.col("pred_x3").isNull(), None)
+        .otherwise(resid)
+        .alias("resid_x3"),
+        F.when(F.col("pred_x3").isNull(), F.lit(False))
+        .otherwise(resid > guard)
+        .alias("alarm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# table_analyze_equiheight — equi-height (ntile) histogram stats
+# --------------------------------------------------------------------------
+
+_EQH_TILES = 20
+
+_EQH_SQL = f"""
+    WITH t AS (
+      SELECT value, user_id,
+             ntile({_EQH_TILES}) OVER (
+               ORDER BY value, event_id) AS tile
+      FROM events)
+    SELECT tile, count(*) AS n_rows,
+           count(DISTINCT user_id) AS n_users,
+           min(value) AS min_value, max(value) AS max_value
+    FROM t GROUP BY 1
+    """
+
+
+@register("table_analyze_equiheight", _EQH_SQL)
+def table_analyze_equiheight(spark, sf):
+    """Equi-HEIGHT column histogram — the variant CBOs prefer over
+    equi-width (table_analyze_histogram) on skewed columns: every
+    bucket holds the same row count, so bucket BOUNDARIES encode the
+    distribution and no bucket is starved or flooded; selectivity of
+    any range predicate is then (buckets spanned)/k regardless of
+    skew. Per tile: count, NDV, and the true [min, max] boundary —
+    exactly Spark CBO's / Postgres' equi-height stats row.
+
+    Determinism: ntile over the total order (value, event_id) —
+    the unique-key tie-break makes tile assignment engine-exact
+    (agg_quartile_assign's discipline, generalized to k=20).
+
+    Scale shape: the ntile window is a GLOBAL sort — the honest cost
+    of exact equi-height boundaries, run on the column projection
+    only (two columns move). This is the documented
+    ALLOW_GLOBAL_WINDOW exception class (stats jobs run offline,
+    against samples, at ANALYZE time — not in query paths); at
+    10^12 rows production swaps approx_percentile boundaries +
+    width_bucket assignment, same output contract, no global sort
+    (the corpus_curriculum_order swap, documented there).
+
+    Reference analog: octopy's per-layer weight percentile summaries
+    (reference src/octopy/cli/inspect.py -s) — boundary-encoded
+    distribution stats."""
+    e = load_table(spark, sf, "events").select(
+        "value", "user_id", "event_id"
+    )
+    w = Window.orderBy(F.col("value").asc(), F.col("event_id").asc())
+    t = e.withColumn("tile", F.ntile(_EQH_TILES).over(w))
+    return t.groupBy("tile").agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )

@@ -8542,3 +8542,66 @@ def graph_walk_sample(spark, sf):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# graph_degree_histogram — log2-bucketed degree distribution census
+# --------------------------------------------------------------------------
+
+_DEGHIST_SQL = """
+    WITH """ + _UND_CTES + """,
+    degm AS (
+      SELECT a AS node FROM und
+      UNION ALL SELECT b FROM und),
+    deg AS (SELECT node, count(*) AS degree FROM degm GROUP BY node)
+    SELECT CAST(len(printf('%b', degree)) AS BIGINT) AS bucket,
+           count(*) AS n_nodes,
+           min(degree) AS min_degree,
+           max(degree) AS max_degree
+    FROM deg GROUP BY 1
+    """
+
+
+@register("graph_degree_histogram", _DEGHIST_SQL)
+def graph_degree_histogram(spark, sf):
+    """Degree-distribution census in log2 buckets — the first plot of
+    every web-graph audit (is the out-link distribution the power law
+    the crawl planner assumes? did a link-farm flood fatten the
+    tail?), and the sizing input for the hub mitigations the engine
+    documents (triangle orientation caps, salting thresholds): bucket
+    b holds nodes with degree in [2^(b-1), 2^b), so a heavy tail is
+    a long flat histogram and a bot flood is a new bucket appearing
+    at the top.
+
+    The bucket is the BIT LENGTH of the degree on both engines
+    (Spark conv-to-binary length, DuckDB printf %b — the
+    events_interarrival_log2 recipe), integer-exact by construction
+    vs the floor(log2(double)) rounding hazard. Degrees come from
+    the same canonical a<b edge list as the triangle/coefficient
+    keys (shared _und_edges / _UND_CTES).
+
+    Scale shape: one endpoint-rollup of the edge list (partial-agg),
+    then a ~64-bucket second rollup — nothing after the first
+    shuffle is bigger than the node count.
+
+    Reference analog: octopy's inspect -s bins layer weights into
+    magnitude buckets (reference src/octopy/cli/inspect.py) — the
+    same order-of-magnitude census."""
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    n = docs.count()
+    und = _und_edges(docs, n)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy(
+        F.length(F.conv(F.col("degree"), 10, 2)).cast("long").alias(
+            "bucket"
+        )
+    ).agg(
+        F.count("*").alias("n_nodes"),
+        F.min("degree").alias("min_degree"),
+        F.max("degree").alias("max_degree"),
+    )
