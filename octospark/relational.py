@@ -7139,3 +7139,175 @@ def table_analyze_equiheight(spark, sf):
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_survival_curve — discrete-time user-lifetime survival table
+# --------------------------------------------------------------------------
+
+_HOUR_US = 3600 * 1_000_000
+
+
+@register(
+    "events_survival_curve",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             (max(epoch_us(ts)) - min(epoch_us(ts))) // {_HOUR_US}
+               AS lt_hours
+      FROM events GROUP BY user_id),
+    n AS (SELECT count(*) AS n_total FROM u),
+    d AS (SELECT lt_hours, count(*) AS n_churned
+          FROM u GROUP BY lt_hours),
+    c AS (
+      SELECT lt_hours, n_churned,
+             sum(n_churned) OVER (ORDER BY lt_hours DESC
+                                  ROWS UNBOUNDED PRECEDING) AS n_at_risk
+      FROM d)
+    SELECT c.lt_hours, c.n_churned, c.n_at_risk,
+           1000000 * c.n_churned // c.n_at_risk AS hazard_ppm,
+           1000000 * (c.n_at_risk - c.n_churned) // n.n_total AS surv_ppm
+    FROM c CROSS JOIN n
+    """,
+)
+def events_survival_curve(spark, sf):
+    """Discrete-time survival/hazard table of user lifetimes — the
+    churn curve behind every retention model: lifetime = hours
+    between a user's first and last event; for each observed
+    lifetime k, n_at_risk = users surviving AT LEAST k hours,
+    n_churned = users whose lifetime is exactly k, hazard = d/n at
+    risk and S(k) = P(lifetime > k).  With no censoring the
+    Kaplan-Meier product estimator collapses to the empirical
+    survival function, so BOTH curves are single integer ratios —
+    no float product fold at all: hazard_ppm = 1e6*d div n_risk and
+    surv_ppm = 1e6*(n_risk - d) div N are exact integer division in
+    both engines (events_ab_lift_test's ppm discipline).
+
+    Scale shape: one partial-agg groupBy(user_id) collapses the
+    event stream to one row per user, a second groupBy(lt_hours)
+    collapses users to the lifetime histogram (bounded by the
+    observation window in hours — thousands of rows at ANY corpus
+    size), and the descending running sum rides that collapsed
+    histogram: the documented ALLOW_GLOBAL_WINDOW exception class
+    (window input bounded by the calendar, never the event count —
+    events_new_vs_returning's discipline).  N_total is a scalar
+    broadcast back.
+
+    Reference analog: octopy's training monitor summarizes how long
+    runs survive before early exit (reference src/octopy/cli/train.py
+    duration accounting) — the same at-risk/exit rollup, per user."""
+    e = load_table(spark, sf, "events")
+    u = e.groupBy("user_id").agg(
+        F.expr(
+            f"(max(unix_micros(cast(ts as timestamp)))"
+            f" - min(unix_micros(cast(ts as timestamp)))) div {_HOUR_US}"
+        ).alias("lt_hours")
+    )
+    d = u.groupBy("lt_hours").agg(F.count("*").alias("n_churned"))
+    w = (
+        Window.orderBy(F.col("lt_hours").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("n_at_risk", F.sum("n_churned").over(w))
+    n = u.agg(F.count("*").alias("n_total"))
+    return c.crossJoin(F.broadcast(n)).select(
+        "lt_hours",
+        "n_churned",
+        "n_at_risk",
+        F.expr("1000000 * n_churned div n_at_risk").alias("hazard_ppm"),
+        F.expr(
+            "1000000 * (n_at_risk - n_churned) div n_total"
+        ).alias("surv_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# events_gap_fill_locf — densified hourly series with carry-forward
+# --------------------------------------------------------------------------
+
+@register(
+    "events_gap_fill_locf",
+    f"""
+    WITH h AS (
+      SELECT event_type, epoch_us(ts) // {_HOUR_US} AS hr,
+             count(*) AS n, max(value) AS mx
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT event_type, min(hr) AS lo, max(hr) AS hi
+          FROM h GROUP BY 1),
+    g AS (SELECT event_type, unnest(generate_series(lo, hi)) AS hr
+          FROM b),
+    j AS (
+      SELECT g.event_type, g.hr,
+             coalesce(h.n, 0) AS n, h.mx, h.hr AS obs_hr
+      FROM g LEFT JOIN h
+        ON g.event_type = h.event_type AND g.hr = h.hr)
+    SELECT event_type, hr, n,
+           last_value(mx IGNORE NULLS) OVER w AS locf_max_value,
+           hr - last_value(obs_hr IGNORE NULLS) OVER w
+             AS staleness_hours
+    FROM j
+    WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def events_gap_fill_locf(spark, sf):
+    """Gap-filled hourly feature series with last-observation-carried-
+    forward — the feature-STALENESS view the serving layer needs:
+    events_ewma_hourly densifies to smooth, events_feature_backfill
+    windows over active days, but a model serving "latest max value"
+    per type must also know HOW STALE that value is at any hour.
+    Every hour in each type's [first, last] range gets a row: the
+    hour's count (0 when silent), the carried-forward max value from
+    the most recent active hour, and staleness = hours since that
+    observation (0 on active hours, monotonically climbing through a
+    gap — the alerting signal for a dead upstream).
+
+    Exact by construction: the carried value is COPIED, never
+    recombined (no arithmetic on the double at all), the hour key is
+    integer epoch-microsecond division, and last_value(... IGNORE
+    NULLS) over ROWS UNBOUNDED PRECEDING is the same deterministic
+    scan in both engines because the (event_type, hr) order is unique.
+
+    Scale shape: one partial-agg (type, hour) rollup collapses the
+    stream, the per-type hour range generates one row per type-hour
+    (calendar-bounded), and the LOCF window rides the type-keyed
+    sort of the collapsed table — the raw events shuffle once, into
+    the rollup.
+
+    Reference analog: octopy's recognizer carries the last confident
+    baseline forward across empty line bands (reference
+    src/octopy/segment.py gap handling) — LOCF across silent spans."""
+    e = load_table(spark, sf, "events")
+    h = e.groupBy(
+        "event_type",
+        F.expr(
+            f"unix_micros(cast(ts as timestamp)) div {_HOUR_US}"
+        ).alias("hr"),
+    ).agg(F.count("*").alias("n_obs"), F.max("value").alias("mx"))
+    b = h.groupBy("event_type").agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    g = b.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("hr")
+    )
+    j = g.join(h, ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        F.coalesce("n_obs", F.lit(0)).cast("long").alias("n"),
+        "mx",
+        F.when(F.col("n_obs").isNotNull(), F.col("hr")).alias("obs_hr"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        "hr",
+        "n",
+        F.last("mx", ignorenulls=True).over(w).alias("locf_max_value"),
+        (
+            F.col("hr") - F.last("obs_hr", ignorenulls=True).over(w)
+        ).alias("staleness_hours"),
+    )

@@ -8605,3 +8605,126 @@ def graph_degree_histogram(spark, sf):
         F.min("degree").alias("min_degree"),
         F.max("degree").alias("max_degree"),
     )
+
+
+# --------------------------------------------------------------------------
+# sim_maxsim_colbert — late-interaction (MaxSim) retrieval scoring
+# --------------------------------------------------------------------------
+
+_MAXSIM_QUERIES = 4  # vec_id < 4 play the query role
+_MAXSIM_TOKS = 4     # token vectors per item: 4 chunks of the 64-dim
+_MAXSIM_DIM = 16     # embedding, 16 dims each
+_MAXSIM_SCALE = 1024  # exact power-of-two quantization step
+_MAXSIM_TOPK = 5
+
+
+@register(
+    "sim_maxsim_colbert",
+    f"""
+    WITH t AS (
+      SELECT vec_id, tok,
+             [CAST(floor(CAST(embedding[{_MAXSIM_DIM} * tok + i]
+                              AS DOUBLE) * {_MAXSIM_SCALE}) AS BIGINT)
+              FOR i IN range(1, {_MAXSIM_DIM} + 1)] AS tv
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(range(0, {_MAXSIM_TOKS})) AS tok)),
+    p AS (
+      SELECT q.vec_id AS query_id, d.vec_id AS doc_id, q.tok AS qtok,
+             max(CAST(list_sum(
+               [q.tv[i] * d.tv[i]
+                FOR i IN range(1, {_MAXSIM_DIM} + 1)]) AS BIGINT))
+               AS best_dot
+      FROM t q, t d
+      WHERE q.vec_id < {_MAXSIM_QUERIES}
+        AND d.vec_id >= {_MAXSIM_QUERIES}
+      GROUP BY 1, 2, 3),
+    s AS (
+      SELECT query_id, doc_id,
+             CAST(sum(best_dot) AS BIGINT) AS maxsim
+      FROM p GROUP BY 1, 2),
+    r AS (
+      SELECT query_id, doc_id, maxsim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY maxsim DESC, doc_id)
+               AS rank
+      FROM s)
+    SELECT query_id, rank, doc_id, maxsim
+    FROM r WHERE rank <= {_MAXSIM_TOPK}
+    """,
+)
+def sim_maxsim_colbert(spark, sf):
+    """Late-interaction (ColBERT-style MaxSim) retrieval scoring —
+    the multi-vector tier between single-vector ANN (sim_ann_topk)
+    and full cross-encoding: each item is a BAG of token vectors
+    (here: the 64-dim embedding sliced into 4 contiguous 16-dim
+    chunks — the deterministic stand-in for per-token encoder
+    output), and score(q, d) = sum over query tokens of the MAX dot
+    product against any doc token (Khattab & Zaharia 2020, public).
+    Per query: top-5 docs by MaxSim, rank ties broken by doc_id.
+
+    Integer-exact across engines: components quantize by floor(x *
+    1024) — a power-of-two scale, so the multiply is exact in
+    binary64 and floor kills the only rounding — then every dot,
+    max, and sum is int64 arithmetic (the sim_ann_topk_int8
+    discipline applied to multi-vector scoring); no float compare
+    anywhere, so rank order is engine- and partitioning-independent.
+
+    Scale shape: the query side (queries x tokens = 16 rows) is
+    BROADCAST against the doc-token table — the same
+    BroadcastNestedLoopJoin shape as sim_ann_topk_batch, linear in
+    collection size; the two groupBys are partial-agg on (query,
+    doc[, qtok]) keys whose cardinality is queries x docs, and the
+    top-k window partitions BY QUERY (never a global sort).  At
+    10^12 docs the doc-token table is the IVF/LSH-pruned candidate
+    set (sim_ann_ivf / sim_ann_lsh_bucketed feed it), with MaxSim as
+    the rerank stage — exactly how late-interaction engines deploy.
+
+    Reference analog: octopy's recognizer scores a line against
+    every model in the ensemble and keeps the best per segment
+    (reference src/octopy/cli/recognize.py model dispatch) —
+    max-over-alternatives inside a summed sequence score."""
+    e = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    chunks = F.array(
+        *[
+            F.transform(
+                F.slice("embedding", _MAXSIM_DIM * tok + 1, _MAXSIM_DIM),
+                lambda x: F.floor(
+                    x.cast("double") * _MAXSIM_SCALE
+                ).cast("long"),
+            )
+            for tok in range(_MAXSIM_TOKS)
+        ]
+    )
+    t = e.select(
+        "vec_id", F.posexplode(chunks).alias("tok", "tv")
+    )
+    q = t.filter(F.col("vec_id") < _MAXSIM_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("tok").alias("qtok"),
+        F.col("tv").alias("qv"),
+    )
+    d = t.filter(F.col("vec_id") >= _MAXSIM_QUERIES).select(
+        F.col("vec_id").alias("doc_id"), F.col("tv").alias("dv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("dv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    p = (
+        d.crossJoin(F.broadcast(q))
+        .select("query_id", "doc_id", "qtok", dot.alias("dot"))
+        .groupBy("query_id", "doc_id", "qtok")
+        .agg(F.max("dot").alias("best_dot"))
+    )
+    s = p.groupBy("query_id", "doc_id").agg(
+        F.sum("best_dot").alias("maxsim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), F.col("doc_id")
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _MAXSIM_TOPK)
+        .select("query_id", "rank", "doc_id", "maxsim")
+    )

@@ -348,6 +348,11 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         # the collapsed per-USER rollup (bounded by user cardinality,
         # never the event count); see the key's docstring
         "events_power_pareto",
+        # same exception class: descending at-risk running sum over
+        # the collapsed lifetime HISTOGRAM (bounded by the observation
+        # window in hours, never the event count); see the key's
+        # docstring
+        "events_survival_curve",
         # detector false positive, not a global window: the plan's
         # Exchange SinglePartition feeds the SCALAR corpus-count N
         # (one row, broadcast back); the Window node itself is
