@@ -8728,3 +8728,234 @@ def sim_maxsim_colbert(spark, sf):
         .filter(F.col("rank") <= _MAXSIM_TOPK)
         .select("query_id", "rank", "doc_id", "maxsim")
     )
+
+
+# --------------------------------------------------------------------------
+# multimodal_image_histogram — per-image luminance histogram (16 bins)
+# --------------------------------------------------------------------------
+
+_IMGHIST_BINS = 16  # 256 levels / 16 per bin
+
+_IMGHIST_SCHEMA = "doc_id long, bin long, n_px long, error string"
+
+
+def image_hist_batches(batches):
+    """mapInPandas body: decode ramp-OIMG -> vectorized 16-bin
+    luminance histogram (np.bincount over px >> 4); emits one row per
+    NON-EMPTY bin. Row-level try/except: malformed blobs yield an
+    error row, never a task failure (R8)."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+            try:
+                if blob is None:
+                    raise ValueError("null media")
+                b = bytes(blob)
+                if b[:4] != _IMG_MAGIC:
+                    raise ValueError("bad image magic")
+                w = int.from_bytes(b[4:6], "big")
+                h = int.from_bytes(b[6:8], "big")
+                px = np.frombuffer(b[9 : 9 + w * h], dtype=np.uint8)
+                if px.size != w * h:
+                    raise ValueError("truncated image")
+                hist = np.bincount(
+                    px >> 4, minlength=_IMGHIST_BINS
+                )
+                rows.extend(
+                    (int(doc_id), int(bin_), int(n), None)
+                    for bin_, n in enumerate(hist)
+                    if n > 0
+                )
+            except Exception as exc:  # never-drop fallback (R8)
+                rows.append((int(doc_id), None, None, str(exc)))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "bin", "n_px", "error"]
+        )
+
+
+@register(
+    "multimodal_image_histogram",
+    f"""
+    WITH dims AS (
+      SELECT doc_id, 16 + doc_id % 48 AS w, 16 + (doc_id * 7) % 32 AS h,
+             doc_id % 256 AS base, 1 + doc_id % 97 AS xstep,
+             doc_id % 5 AS ystep
+      FROM documents),
+    xs AS (
+      SELECT doc_id, base, xstep, ystep, h,
+             unnest(range(0, w)) AS i
+      FROM dims),
+    ys AS (
+      SELECT doc_id, base, xstep, ystep, i,
+             unnest(range(0, h)) AS j
+      FROM xs)
+    SELECT doc_id,
+           ((base + i * xstep + j * ystep) % 256)
+             // {256 // _IMGHIST_BINS} AS bin,
+           CAST(count(*) AS BIGINT) AS n_px
+    FROM ys GROUP BY 1, 2
+    """,
+)
+def multimodal_image_histogram(spark, sf):
+    """Per-image luminance HISTOGRAM (16 bins over the 256 gray
+    levels) — the exposure/contrast statistics pass every vision
+    corpus runs before training: all-dark, all-bright, and
+    low-dynamic-range images are curation rejects, and the histogram
+    is the input to contrast normalization and quality scoring
+    (the image twin of text_zipf_histogram's shape census).  Emits
+    (doc_id, bin, n_px) for non-empty bins only.
+
+    Decode is the ramp-OIMG codec (dedup_image_phash's media): the
+    fill px[y][x] = (base + x*xstep + y*ystep) mod 256 makes every
+    pixel SQL-reconstructable from doc_id alone, so the DuckDB twin
+    regenerates the pixel grid with two correlated unnest(range())
+    levels and aggregates the identical integer bins — the
+    multimodal_scene_cut oracle discipline.  The binning is integer
+    shift (px >> 4 == px // 16): no float anywhere.
+
+    Scale shape: ONE Arrow-batched mapInPandas (decode + vectorized
+    np.bincount — the only Python stage, embarrassingly parallel,
+    emitting at most 16 rows per image regardless of resolution), and
+    that's it: the histogram is computed inside the UDF, so NOTHING
+    per-pixel ever crosses a shuffle — at 10^12 images the job moves
+    16 longs per image, not megapixels.
+
+    Reference analog: octopy's segmentation computes per-region
+    char-class/intensity histograms as stage-1 features (reference
+    src/octopy/segment.py feature extraction) — the same binned
+    density census, per image."""
+    media = _fake_media(spark, sf, "image_ramp")
+    return (
+        media.mapInPandas(image_hist_batches, _IMGHIST_SCHEMA)
+        .filter(F.col("error").isNull())
+        .select("doc_id", "bin", "n_px")
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_harmonic_closeness — per-seed harmonic centrality (sampled)
+# --------------------------------------------------------------------------
+
+_HARM_SEED_MOD = 181  # doc_id % 181 = 0 are the sampled sources
+_HARM_ITERS = 4
+
+
+def _harmonic_sql(iters: int) -> str:
+    """Unrolled per-seed BFS -> harmonic sum oracle (see
+    graph_harmonic_closeness). Same round mechanics as _bfs_cte_chain
+    but keyed (seed, node): each sampled source runs its own
+    frontier."""
+    ctes = [
+        *_MODULAR_EDGES_CTES,
+        (f"d0 AS (SELECT doc_id AS seed, doc_id AS node, "
+         f"CAST(0 AS BIGINT) AS hop FROM documents "
+         f"WHERE doc_id % {_HARM_SEED_MOD} = 0)"),
+        "f0 AS (SELECT seed, node FROM d0)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""n{i} AS (
+          SELECT DISTINCT f.seed, e.dst AS node
+          FROM edges e JOIN f{i - 1} f ON e.src = f.node)"""
+        )
+        ctes.append(
+            f"""f{i} AS (
+          SELECT n{i}.seed, n{i}.node FROM n{i}
+          LEFT JOIN d{i - 1} d
+            ON d.seed = n{i}.seed AND d.node = n{i}.node
+          WHERE d.node IS NULL)"""
+        )
+        ctes.append(
+            f"""d{i} AS (
+          SELECT seed, node, hop FROM d{i - 1}
+          UNION ALL
+          SELECT seed, node, CAST({i} AS BIGINT) AS hop FROM f{i})"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT seed, CAST(count(*) - 1 AS BIGINT) AS n_reached,
+               CAST(sum(hop) AS BIGINT) AS sum_hops,
+               CAST(sum(CASE WHEN hop > 0 THEN 1000000 // hop
+                             ELSE 0 END) AS BIGINT) AS harmonic_x1e6
+        FROM d{iters} GROUP BY seed"""
+    )
+
+
+@register("graph_harmonic_closeness", _harmonic_sql(_HARM_ITERS))
+def graph_harmonic_closeness(spark, sf):
+    """Sampled harmonic centrality — THE page-importance metric Common
+    Crawl actually publishes for its host ranks (Boldi & Vigna 2014,
+    public): C_H(s) = sum over reachable u != s of 1/d(s, u), here for
+    the sampled source set doc_id % 181 = 0, truncated at 4 hops (the
+    standard sampled-truncated estimator: beyond-horizon nodes
+    contribute < 1/5 each and are dropped by design, same cutoff both
+    engines).  Per seed: nodes reached, total hop mass, and the
+    harmonic sum in exact 1e-6 units — 1/d becomes 1000000 div d,
+    floored PER TERM identically in both engines, so the sum is pure
+    int64 (graph_pagerank's integer-unit discipline).
+
+    Unlike graph_bfs_layers (ONE multi-source frontier: hop = distance
+    to the NEAREST seed), this runs an independent frontier PER seed —
+    the frontier key is (seed, node) — because closeness needs each
+    source's own distance distribution, not the pointwise min.
+
+    Scale shape per round: one src-keyed shuffle join of the edge list
+    against the (seed, node) frontier (edges repartitioned on src ONCE,
+    localCheckpointed, reused every round), a distinct and an anti-join
+    both keyed (seed, node), lineage truncation per round.  Cost is
+    |seeds| x the single-BFS cost — the sampling knob (_HARM_SEED_MOD)
+    IS the budget control, exactly how WebGraph's HyperBall samples at
+    web scale; the final rollup is a partial-agg groupBy(seed) over the
+    reached sets.
+
+    Reference analog: octopy orders segmented lines by distance from
+    the page origin across ALL detected baselines (reference
+    src/octopy/segment.py reading-order assignment) — per-anchor
+    distance aggregation over a traversal."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    n = docs.count()  # single scalar, bounded driver read
+    edges = (
+        _modular_edges(docs, n)
+        .repartition(par, "src")
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        docs.filter(F.col("doc_id") % _HARM_SEED_MOD == 0)
+        .select(
+            F.col("doc_id").alias("seed"),
+            F.col("doc_id").alias("node"),
+            F.lit(0).cast("long").alias("hop"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("seed", "node")
+    for i in range(1, _HARM_ITERS + 1):
+        nxt = (
+            edges.join(frontier, edges["src"] == frontier["node"])
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, ["seed", "node"], "left_anti")
+            .select(
+                "seed", "node", F.lit(i).cast("long").alias("hop")
+            )
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("seed", "node")
+    return dist.groupBy("seed").agg(
+        (F.count("*") - 1).cast("long").alias("n_reached"),
+        F.sum("hop").cast("long").alias("sum_hops"),
+        F.sum(
+            F.when(
+                F.col("hop") > 0,
+                F.expr("1000000 div hop"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("harmonic_x1e6"),
+    )

@@ -303,6 +303,9 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         "multimodal_frame_sample", "multimodal_audio_stats",
         "multimodal_scene_cut", "multimodal_audio_vad",
         "dedup_image_phash",  # decode+dHash is the one Python stage
+        # decode + np.bincount is the one Python stage (same ramp-OIMG
+        # codec class as dedup_image_phash)
+        "multimodal_image_histogram",
         # decode + line-band segmentation + cell-ink recognition is the
         # one Python stage (same OIMG codec class as dedup_image_phash)
         "multimodal_ocr_lines",
