@@ -7311,3 +7311,120 @@ def events_gap_fill_locf(spark, sf):
             F.col("hr") - F.last("obs_hr", ignorenulls=True).over(w)
         ).alias("staleness_hours"),
     )
+
+
+# --------------------------------------------------------------------------
+# events_top_paths — most common session-opening event paths
+# --------------------------------------------------------------------------
+
+_PATH_LEN = 3
+_PATH_TOPK = 10
+
+
+@register(
+    "events_top_paths",
+    f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    b AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN prev_ts IS NULL
+                    OR epoch_us(ts) - epoch_us(prev_ts)
+                       > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM b),
+    r AS (
+      SELECT user_id, session_id, event_type,
+             row_number() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS rn
+      FROM s),
+    p AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, ' > ' ORDER BY rn) AS path
+      FROM r WHERE rn <= {_PATH_LEN} GROUP BY 1, 2),
+    c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+          FROM p GROUP BY 1)
+    SELECT path, n_sessions,
+           row_number() OVER (ORDER BY n_sessions DESC, path) AS rank
+    FROM c QUALIFY rank <= {_PATH_TOPK}
+    """,
+)
+def events_top_paths(spark, sf):
+    """Top session-opening PATHS — the "user journeys" census product
+    analytics runs beside the Markov transition matrix
+    (events_markov_transitions gives pairwise flow probabilities;
+    this gives the most common CONCRETE openings): sessionize by the
+    30-minute gap (events_sessionize_gap's exact boundary logic),
+    take each session's first 3 event types in time order, join them
+    into a path string, count sessions per path, keep the top 10.
+
+    Deterministic end to end: session numbering and within-session
+    rank both order by the unique (ts, event_id); the path join
+    order is pinned by that rank (string_agg ORDER BY rn / sorted
+    struct array); top-k rank ties break on the path string itself.
+    Everything is integers and strings — nothing float anywhere.
+
+    Scale shape: the sessionize windows and the first groupBy all
+    cluster by user_id, so the raw events shuffle ONCE into
+    hashpartitioning(user_id) and every pass reuses it; sessions
+    then collapse to a path-census table bounded by |event_types|^3
+    rows, and the final top-k window rides THAT collapsed census —
+    the documented ALLOW_GLOBAL_WINDOW exception class
+    (events_survival_curve's discipline).
+
+    Reference analog: octopy's inspect surface tallies the most
+    common block-class sequences per page head (reference
+    src/octopy/cli/inspect.py) — a leading-k-gram census over
+    ordered segments."""
+    e = load_table(spark, sf, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.unix_micros(
+        F.lag("ts").over(w_ord).cast("timestamp")
+    )
+    b = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w_run = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = b.withColumn("session_id", F.sum("is_new").over(w_run))
+    w_rn = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    r = s.withColumn("rn", F.row_number().over(w_rn)).filter(
+        F.col("rn") <= _PATH_LEN
+    )
+    p = r.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            " > ",
+        ).alias("path")
+    )
+    c = p.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    w_top = Window.orderBy(F.col("n_sessions").desc(), F.col("path"))
+    return (
+        c.withColumn("rank", F.row_number().over(w_top).cast("long"))
+        .filter(F.col("rank") <= _PATH_TOPK)
+        .select("path", "n_sessions", "rank")
+    )

@@ -2083,3 +2083,91 @@ def corpus_pack_nosplit_audit(spark, sf):
         ),
         (F.lit(budget) - F.sum("n_tok")).alias("waste_tok"),
     )
+
+
+# --------------------------------------------------------------------------
+# crawl_cdx_index — SURT-keyed capture index (the CDX lookup table)
+# --------------------------------------------------------------------------
+
+@register(
+    "crawl_cdx_index",
+    """
+    WITH cap AS (
+      SELECT 'https://' || source || '.example.org/doc/' || doc_id
+               AS url,
+             source || '.example.org' AS host,
+             TIMESTAMP '2026-01-01 00:00:00'
+               + to_minutes(doc_id % 525600) AS ts,
+             doc_id, n_chars
+      FROM documents)
+    SELECT array_to_string(
+             list_reverse(string_split(host, '.')), ',')
+             || ')/doc/' || doc_id AS urlkey,
+           strftime(ts, '%Y%m%d%H%M%S') AS ts14,
+           url,
+           n_chars AS length,
+           row_number() OVER (
+             PARTITION BY host
+             ORDER BY doc_id) AS idx_in_host
+    FROM cap
+    """,
+)
+def crawl_cdx_index(spark, sf):
+    """SURT-keyed capture index — the CDX(J) lookup table every web
+    archive (and Common Crawl's cc-index) publishes next to its WARCs:
+    one row per capture with the SORT-friendly reversed-host url key
+    ("org,example,news)/doc/7"), the 14-digit capture timestamp, the
+    original url, and the record length.  Range-scanning this index by
+    urlkey prefix is how replay/lookup finds all captures of a host
+    or path without touching a single WARC byte.
+
+    The SURT transform is the generic algorithm (split host on dots,
+    reverse, comma-join — Internet Archive convention, public), not a
+    hardcode of the synthetic host shape; timestamps derive from the
+    same deterministic capture-time formula the pages synthesis uses
+    (epoch + doc_id % 525600 minutes, htmlgen.build_warc_ts), so the
+    index is reconstructable engine-exactly WITHOUT running the
+    Python synthesis stage — every column is string/integer ops.
+
+    Scale shape: pure per-row projection (no shuffle at all) plus ONE
+    host-partitioned window for the within-host capture sequence —
+    at 10^12 captures the real job writes the index range-partitioned
+    by urlkey (the CDX shard convention) and the window rides that
+    same clustering; nothing here is more than one shuffle.
+
+    Reference analog: octopy's inspect surface lists each container's
+    members with offsets for random access (reference
+    src/octopy/cli/inspect.py) — the archive-index role, applied to
+    web captures."""
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    cap = d.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.org/doc/"),
+            F.col("doc_id"),
+        ).alias("url"),
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
+        F.expr(
+            "timestamp'2026-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, 0, doc_id % 525600, 0)"
+        ).alias("ts"),
+    )
+    w = Window.partitionBy("host").orderBy("doc_id")
+    return cap.select(
+        F.concat(
+            F.array_join(
+                F.reverse(F.split(F.col("host"), "\\.")), ","
+            ),
+            F.lit(")/doc/"),
+            F.col("doc_id"),
+        ).alias("urlkey"),
+        F.date_format("ts", "yyyyMMddHHmmss").alias("ts14"),
+        "url",
+        F.col("n_chars").alias("length"),
+        F.row_number().over(w).cast("long").alias("idx_in_host"),
+    )

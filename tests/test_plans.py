@@ -356,6 +356,10 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         # window in hours, never the event count); see the key's
         # docstring
         "events_survival_curve",
+        # same exception class: top-k rank over the collapsed path
+        # CENSUS (bounded by |event_types|^3, never the event count);
+        # see the key's docstring
+        "events_top_paths",
         # detector false positive, not a global window: the plan's
         # Exchange SinglePartition feeds the SCALAR corpus-count N
         # (one row, broadcast back); the Window node itself is
