@@ -8959,3 +8959,274 @@ def graph_harmonic_closeness(spark, sf):
         .cast("long")
         .alias("harmonic_x1e6"),
     )
+
+
+# --------------------------------------------------------------------------
+# graph_modularity_score — partition quality of the LPA communities
+# --------------------------------------------------------------------------
+
+def _modularity_sql() -> str:
+    """Community-wise modularity terms over the LPA(2) labels (see
+    graph_modularity_score). Reuses _lpa_sql's CTE chain verbatim so
+    any drift in the propagation mechanics fails this oracle too."""
+    lpa = _lpa_sql(2)
+    body = lpa[: lpa.rindex(" SELECT node, lbl AS label FROM l2")]
+    return (
+        body
+        + """,
+    lab AS (SELECT node, lbl AS label FROM l2),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM und),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+            FROM und GROUP BY src),
+    cdeg AS (
+      SELECT l.label, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(coalesce(d.d, 0)) AS BIGINT) AS degree_sum
+      FROM lab l LEFT JOIN deg d ON d.node = l.node GROUP BY l.label),
+    intra AS (
+      SELECT la.label, CAST(count(*) AS BIGINT) AS in_pairs
+      FROM und u
+      JOIN lab la ON la.node = u.src
+      JOIN lab lb ON lb.node = u.dst
+      WHERE la.label = lb.label GROUP BY la.label)
+    SELECT c.label, c.n_nodes,
+           COALESCE(i.in_pairs, 0) AS in_pairs, c.degree_sum,
+           m.m2 * COALESCE(i.in_pairs, 0)
+             - c.degree_sum * c.degree_sum AS contribution_x4m2
+    FROM cdeg c LEFT JOIN intra i USING (label) CROSS JOIN mm m"""
+    )
+
+
+@register("graph_modularity_score", _modularity_sql())
+def graph_modularity_score(spark, sf):
+    """Newman MODULARITY of the label-propagation partition — the
+    quality score that tells you whether the communities the LPA key
+    found are real structure or noise: Q = sum_c [ in_c/2m -
+    (d_c/2m)^2 ] over the symmetrized link graph.  Emitted per
+    community in EXACT (2m)^2 units: contribution_x4m2 = 2m*in_c -
+    d_c^2, all int64 (graph_pagerank's integer-unit discipline —
+    sum(contribution)/(2m)^2 reconstructs float Q client-side), plus
+    the community size, intra-pair count, and degree mass that let a
+    curation job rank/threshold communities directly.
+
+    Conventions pinned identically in both engines: und is the
+    DISTINCT symmetrized edge list (each undirected edge appears as
+    both ordered pairs, self-loops once), m2 = |und| = 2m, in_c
+    counts ORDERED intra-community pairs, d_c = out-rows per node
+    summed over the community.  Labels are graph_label_propagation's
+    after the same 2 rounds — the Spark side CALLS the registered key
+    and the oracle INLINES its CTE chain (the
+    events_forecast_residual_alarm composition discipline), so any
+    drift in the propagation mechanics fails this oracle too.
+
+    Scale shape: one groupBy(src) degree rollup, one node-keyed
+    broadcast-or-shuffle join of labels onto edges from EACH side
+    (both cluster on the node id), two partial-agg groupBys on the
+    label key, and a scalar 2m broadcast.  int64 contribution
+    overflows once d_c exceeds ~3e9 (d_c^2 > 2^63): at true web
+    scale the same expression runs in decimal(38,0) — documented
+    swap, same plan shape.
+
+    Reference analog: octopy's merge pass reports per-merged-class
+    member counts to sanity-check a mapping before training
+    (reference src/octopy/mappings.py) — partition-quality QA over a
+    label assignment."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    n = docs.count()  # single scalar, bounded driver read
+    edges = _modular_edges(docs, n)
+    und = (
+        edges.union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .repartition(par, "src")
+        .localCheckpoint(eager=True)
+    )
+    lab = graph_label_propagation(spark, sf)
+    mm = und.agg(F.count("*").cast("long").alias("m2"))
+    deg = und.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    cdeg = (
+        lab.join(deg, lab["node"] == deg["src"], "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum(F.coalesce("d", F.lit(0)))
+            .cast("long")
+            .alias("degree_sum"),
+        )
+    )
+    la = lab.select(
+        F.col("node").alias("sa"), F.col("label").alias("label_a")
+    )
+    lb = lab.select(
+        F.col("node").alias("sb"), F.col("label").alias("label_b")
+    )
+    intra = (
+        und.join(la, und["src"] == la["sa"])
+        .join(lb, und["dst"] == lb["sb"])
+        .filter(F.col("label_a") == F.col("label_b"))
+        .groupBy(F.col("label_a").alias("label"))
+        .agg(F.count("*").cast("long").alias("in_pairs"))
+    )
+    return (
+        cdeg.join(intra, "label", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce("in_pairs", F.lit(0))
+            .cast("long")
+            .alias("in_pairs"),
+            "degree_sum",
+            (
+                F.col("m2") * F.coalesce("in_pairs", F.lit(0))
+                - F.col("degree_sum") * F.col("degree_sum")
+            )
+            .cast("long")
+            .alias("contribution_x4m2"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# sim_reciprocal_rank_fusion — hybrid retrieval via RRF
+# --------------------------------------------------------------------------
+
+_RRF_QUERIES = 8   # same query panel as sim_ann_topk_batch
+_RRF_LIST_K = 10   # depth of each input ranking
+_RRF_C = 60        # the canonical RRF damping constant
+_RRF_TOPK = 5
+
+
+@register(
+    "sim_reciprocal_rank_fusion",
+    f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+             AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM v
+          WHERE vec_id < {_RRF_QUERIES}),
+    s AS (
+      SELECT q.qid, v.vec_id,
+             list_reduce(list_transform(range(1, len(v.v) + 1),
+                         i -> v.v[i] * q.qv[i]), (a, b) -> a + b)
+               AS dot,
+             list_reduce(list_transform(v.v, x -> x * x),
+                         (a, b) -> a + b) AS n2,
+             list_reduce(list_transform(q.qv, x -> x * x),
+                         (a, b) -> a + b) AS q2
+      FROM v, q WHERE v.vec_id <> q.qid),
+    ranked AS (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dot / sqrt(n2 * q2) DESC,
+                                         vec_id) AS rank_cos,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dot DESC, vec_id) AS rank_dot
+      FROM s),
+    contrib AS (
+      SELECT qid, vec_id, rank_cos AS r FROM ranked
+      WHERE rank_cos <= {_RRF_LIST_K}
+      UNION ALL
+      SELECT qid, vec_id, rank_dot AS r FROM ranked
+      WHERE rank_dot <= {_RRF_LIST_K}),
+    fused AS (
+      SELECT qid, vec_id,
+             CAST(sum(1000000 // ({_RRF_C} + r)) AS BIGINT)
+               AS rrf_x1e6,
+             CAST(count(*) AS BIGINT) AS n_lists
+      FROM contrib GROUP BY 1, 2)
+    SELECT qid, rank, vec_id, rrf_x1e6, n_lists FROM (
+      SELECT qid, vec_id, rrf_x1e6, n_lists,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY rrf_x1e6 DESC, vec_id)
+               AS rank
+      FROM fused) WHERE rank <= {_RRF_TOPK}
+    """,
+)
+def sim_reciprocal_rank_fusion(spark, sf):
+    """Reciprocal-rank fusion of two retrievers — the standard hybrid-
+    search combiner (Cormack et al. 2009, public; every
+    lexical+vector stack ships it): two rankings over the same
+    collection — COSINE (angle: the sim_ann_topk_batch scorer) and
+    RAW DOT (magnitude-weighted: favors long vectors, a genuinely
+    different retriever on unnormalized embeddings) — each truncated
+    at depth 10, fused by score(d) = sum over lists of 1/(60 + rank).
+    Per query: top-5 fused docs plus how many lists surfaced each
+    (n_lists = 2 marks consensus hits, the RRF robustness property).
+
+    Determinism: both input rankings order by sequential-left-fold
+    doubles (bitwise identical across engines — _dot's discipline)
+    with vec_id tie-break; the fusion itself is pure int64
+    (1000000 div (60 + rank), floored per term, engine-exact) so the
+    fused order needs no float compare at all.
+
+    Scale shape: ONE broadcast of the query panel, ONE scored pass
+    over the collection computing dot/n2/q2 (both rankings derive
+    from the same pass — no second scan), two qid-PARTITIONED rank
+    windows riding one qid shuffle, a partial-agg fusion groupBy on
+    (qid, vec_id), and a final qid-partitioned top-k window.  Never
+    a global sort; at 10^12 vectors the scored pass is the
+    IVF/LSH-pruned candidate set exactly as in sim_maxsim_colbert.
+
+    Reference analog: octopy's recognizer merges multiple model
+    hypotheses per line into one consensus sequence (reference
+    src/octopy/cli/recognize.py ensemble dispatch) — rank-level
+    evidence combination across scorers."""
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", _as_double_arr("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < _RRF_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    s = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            _dot(F.col("v"), F.col("qv")).alias("dot"),
+            _dot(F.col("v"), F.col("v")).alias("n2"),
+            _dot(F.col("qv"), F.col("qv")).alias("q2"),
+        )
+    )
+    w_cos = Window.partitionBy("qid").orderBy(
+        (F.col("dot") / F.sqrt(F.col("n2") * F.col("q2"))).desc(),
+        F.col("vec_id"),
+    )
+    w_dot = Window.partitionBy("qid").orderBy(
+        F.col("dot").desc(), F.col("vec_id")
+    )
+    ranked = s.select(
+        "qid",
+        "vec_id",
+        F.row_number().over(w_cos).alias("rank_cos"),
+        F.row_number().over(w_dot).alias("rank_dot"),
+    )
+    contrib = (
+        ranked.filter(F.col("rank_cos") <= _RRF_LIST_K)
+        .select("qid", "vec_id", F.col("rank_cos").alias("r"))
+        .unionByName(
+            ranked.filter(F.col("rank_dot") <= _RRF_LIST_K).select(
+                "qid", "vec_id", F.col("rank_dot").alias("r")
+            )
+        )
+    )
+    fused = contrib.groupBy("qid", "vec_id").agg(
+        F.sum(F.expr(f"1000000 div ({_RRF_C} + r)"))
+        .cast("long")
+        .alias("rrf_x1e6"),
+        F.count("*").cast("long").alias("n_lists"),
+    )
+    w_top = Window.partitionBy("qid").orderBy(
+        F.col("rrf_x1e6").desc(), F.col("vec_id")
+    )
+    return (
+        fused.withColumn(
+            "rank", F.row_number().over(w_top).cast("long")
+        )
+        .filter(F.col("rank") <= _RRF_TOPK)
+        .select("qid", "rank", "vec_id", "rrf_x1e6", "n_lists")
+    )
