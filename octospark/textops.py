@@ -9230,3 +9230,257 @@ def sim_reciprocal_rank_fusion(spark, sf):
         .filter(F.col("rank") <= _RRF_TOPK)
         .select("qid", "rank", "vec_id", "rrf_x1e6", "n_lists")
     )
+
+
+# --------------------------------------------------------------------------
+# corpus_split_leakage_audit — near-dups straddling the train/val split
+# --------------------------------------------------------------------------
+
+_LEAK_ID_BOUND = 150  # same bounded pair range as dedup_cluster_cc
+_LEAK_J_NUM, _LEAK_J_DEN = 1, 20  # audit pairs with jaccard >= 1/20
+
+
+def _leakage_sql() -> str:
+    """Oracle for corpus_split_leakage_audit: the shared shingle-pair
+    CTEs + the split-assign hash formula, composed so drift in EITHER
+    underlying key fails this oracle too."""
+    from octospark.relational import _SPLIT_MULT, _SPLIT_REDUCE
+
+    bucket = f"((doc_id % {_SPLIT_REDUCE}) * {_SPLIT_MULT}) % 100"
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {_SHINGLE_SQL} AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE doc_id < {_LEAK_ID_BOUND})
+    ),
+    s AS (SELECT doc_id, unnest(sh) AS shingle FROM base),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    {_SHINGLE_CAP_SQL},
+    inter AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+      FROM s a JOIN s b USING (shingle) JOIN sc USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN {bucket} < 80 THEN 'train'
+                  WHEN {bucket} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents WHERE doc_id < {_LEAK_ID_BOUND}),
+    p AS (
+      SELECT least(a.split, b.split) AS split_a,
+             greatest(a.split, b.split) AS split_b,
+             (10 * n_inter) // (s1.n + s2.n - n_inter) AS j_bucket
+      FROM inter
+      JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+      JOIN sp a ON a.doc_id = id1 JOIN sp b ON b.doc_id = id2
+      WHERE {_LEAK_J_DEN} * n_inter
+            >= {_LEAK_J_NUM} * (s1.n + s2.n - n_inter))
+    SELECT split_a, split_b, j_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           split_a <> split_b AS leaky
+    FROM p GROUP BY 1, 2, 3
+    """
+
+
+@register("corpus_split_leakage_audit", _leakage_sql())
+def corpus_split_leakage_audit(spark, sf):
+    """Train/val/test LEAKAGE audit — the QA gate the dedup and split
+    families exist to serve but neither checks alone: a near-duplicate
+    pair that straddles the split boundary silently inflates eval
+    (the val copy is memorizable from its train twin — the
+    text_contamination_check failure mode arising INSIDE one corpus).
+    Near-dup edges are the word-3-gram Jaccard pairs (>= 1/20, the
+    shared _jaccard_pair_counts builder over the bounded id range,
+    hot-shingle df cap included); split labels are
+    corpus_split_assign's content-stable hash — both COMPOSED from
+    the registered operators (bowtie/recall_eval discipline) so
+    drift in either fails this oracle.  Output: pair census by
+    (split_a, split_b, jaccard decile), leaky = the cross-split rows
+    a release gate alarms on.
+
+    Exact: the threshold and the decile are integer cross-multiplies
+    (20*|∩| >= |∪| and (10*|∩|) div |∪|) — no float compare; the
+    split hash is pure int64; least/greatest canonicalize the
+    unordered pair.
+
+    Scale shape: the Jaccard edge builder's shape (shingle rows,
+    df-capped buckets, pair expansion — never all-pairs), two
+    broadcast-sized joins onto the tiny split table slice, one
+    partial-agg census groupBy.  At 10^12 docs the edge list is the
+    MinHash-LSH candidate set instead (same audit, pruned edges) —
+    the audit itself stays one census aggregation.
+
+    Reference analog: octopy's train/val split integrity depends on
+    its deterministic seed (reference src/octopy/cli/train.py
+    set-partitioning); this is the corpus-scale audit that the
+    partition actually SEPARATES near-identical content."""
+    from octospark.relational import corpus_split_assign
+
+    docs = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < _LEAK_ID_BOUND)
+        .select("doc_id", "text")
+    )
+    inter = _jaccard_pair_counts(docs)
+    union_sz = F.col("n1") + F.col("n2") - F.col("n_inter")
+    edges = inter.filter(
+        _LEAK_J_DEN * F.col("n_inter") >= _LEAK_J_NUM * union_sz
+    ).select(
+        "id1",
+        "id2",
+        F.expr("(10 * n_inter) div (n1 + n2 - n_inter)").alias(
+            "j_bucket"
+        ),
+    )
+    sp = (
+        corpus_split_assign(spark, sf)
+        .filter(F.col("doc_id") < _LEAK_ID_BOUND)
+        .select("doc_id", "split")
+    )
+    s1 = sp.select(
+        F.col("doc_id").alias("id1"), F.col("split").alias("sp1")
+    )
+    s2 = sp.select(
+        F.col("doc_id").alias("id2"), F.col("split").alias("sp2")
+    )
+    p = (
+        edges.join(F.broadcast(s1), "id1")
+        .join(F.broadcast(s2), "id2")
+        .select(
+            F.least("sp1", "sp2").alias("split_a"),
+            F.greatest("sp1", "sp2").alias("split_b"),
+            "j_bucket",
+        )
+    )
+    return (
+        p.groupBy("split_a", "split_b", "j_bucket")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .withColumn("leaky", F.col("split_a") != F.col("split_b"))
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_assortativity — degree-degree correlation over the link graph
+# --------------------------------------------------------------------------
+
+@register(
+    "graph_assortativity",
+    f"""
+    WITH {", ".join(_MODULAR_EDGES_CTES)},
+    und AS (
+      SELECT src, dst FROM edges
+      UNION SELECT dst AS src, src AS dst FROM edges),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+            FROM und GROUP BY src),
+    pairs AS (
+      SELECT da.d AS dx, db.d AS dy
+      FROM und u
+      JOIN deg da ON da.node = u.src
+      JOIN deg db ON db.node = u.dst),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dx) AS BIGINT) AS sx,
+             CAST(sum(dy) AS BIGINT) AS sy,
+             CAST(sum(dx * dx) AS BIGINT) AS sxx,
+             CAST(sum(dy * dy) AS BIGINT) AS syy,
+             CAST(sum(dx * dy) AS BIGINT) AS sxy
+      FROM pairs)
+    SELECT n, sx, sy, sxx, syy, sxy,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             AS assortativity_r
+    FROM m
+    """,
+)
+def graph_assortativity(spark, sf):
+    """Degree ASSORTATIVITY of the link graph (Newman 2002, public):
+    Pearson correlation of (deg(src), deg(dst)) over every ordered
+    edge of the symmetrized graph — positive = hubs link hubs
+    (social-network shape), negative = hubs link leaves (the
+    web/spam-farm shape), the single number that says which regime a
+    crawl's host graph is in (feeds the web_spam_farm_score /
+    graph_bowtie_census structural family).
+
+    Exactness: degrees are integers, so ALL five moment sums are
+    pure BIGINT (agg_correlation_pearson's decimal discipline,
+    degenerating to int64 because the inputs are counts); the
+    closed-form r is one fixed shape of IEEE double ops on the
+    six-scalar rollup — engine-exact.  int64 holds while
+    sum(d^2) < 2^63 (degree-squared mass ~ 3.7e9-degree hubs at
+    10^12 edges); past that the same expression runs in
+    decimal(38,0) — documented swap, same plan.
+
+    Scale shape: one groupBy(src) degree rollup, two node-keyed
+    joins of the degree table back onto the edge list (both sides
+    cluster on the join node — at corpus scale the degree table is
+    ALSO edge-partitioned, so this is the standard edge-attribute
+    join), and ONE global six-sum aggregate whose partials combine
+    map-side into a single row.  No window, no sort anywhere.
+
+    Reference analog: octopy's inspect correlates per-class sample
+    count against confidence before trusting metrics (reference
+    src/octopy/cli/inspect.py) — a paired-moments readout, here over
+    graph structure."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    n_docs = docs.count()  # single scalar, bounded driver read
+    edges = _modular_edges(docs, n_docs)
+    und = (
+        edges.union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .repartition(par, "src")
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    da = deg.select(
+        F.col("node").alias("na"), F.col("d").alias("dx")
+    )
+    db = deg.select(
+        F.col("node").alias("nb"), F.col("d").alias("dy")
+    )
+    pairs = und.join(da, und["src"] == da["na"]).join(
+        db, und["dst"] == db["nb"]
+    )
+    m = pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+    )
+    return m.select(
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        "syy",
+        "sxy",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / (
+                F.sqrt(
+                    (
+                        F.col("n") * F.col("sxx")
+                        - F.col("sx") * F.col("sx")
+                    ).cast("double")
+                )
+                * F.sqrt(
+                    (
+                        F.col("n") * F.col("syy")
+                        - F.col("sy") * F.col("sy")
+                    ).cast("double")
+                )
+            )
+        ).alias("assortativity_r"),
+    )
