@@ -7428,3 +7428,164 @@ def events_top_paths(spark, sf):
         .filter(F.col("rank") <= _PATH_TOPK)
         .select("path", "n_sessions", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# events_activity_streaks — gaps-and-islands consecutive-day streaks
+# --------------------------------------------------------------------------
+
+_DAY_US = 86400 * 1_000_000
+
+
+@register(
+    "events_activity_streaks",
+    f"""
+    WITH d AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day
+      FROM events),
+    r AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id
+                                      ORDER BY day) AS grp
+      FROM d),
+    s AS (
+      SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+             max(day) AS end_day
+      FROM r GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           max(len) AS longest_streak,
+           max(struct_pack(e := end_day, l := len)).l
+             AS latest_streak
+    FROM s GROUP BY user_id
+    """,
+)
+def events_activity_streaks(spark, sf):
+    """Consecutive-day activity STREAKS per user — the engagement
+    metric behind every habit loop (longest streak, current-run
+    length), and the canonical gaps-and-islands shape: distinct
+    active days, island id = day - row_number (constant within a
+    consecutive run, strictly changing across a gap), then one
+    rollup per island and one per user.  latest_streak picks the
+    island with the max end_day via the max(struct) argmax — the
+    table_merge_upsert discipline, no second window.
+
+    Exact: the day key is integer epoch-microsecond division; all
+    counts/lengths are BIGINT; the argmax struct compares (end_day,
+    len) integer pairs — engine-identical.
+
+    Scale shape: distinct + both windows + both groupBys ALL cluster
+    by user_id, so the raw events shuffle ONCE into
+    hashpartitioning(user_id) and every later pass reuses it
+    (events_sessionize_gap's exchange-reuse property); the per-user
+    output is bounded by user cardinality.
+
+    Reference analog: octopy's train loop tracks consecutive-epoch
+    improvement runs for its patience/early-stop accounting
+    (reference src/octopy/cli/train.py) — run-length bookkeeping
+    over an ordered activity sequence."""
+    e = load_table(spark, sf, "events")
+    d = (
+        e.select(
+            "user_id",
+            F.expr(
+                f"unix_micros(cast(ts as timestamp)) div {_DAY_US}"
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = d.withColumn(
+        "grp", F.col("day") - F.row_number().over(w)
+    )
+    s = r.groupBy("user_id", "grp").agg(
+        F.count("*").cast("long").alias("len"),
+        F.max("day").alias("end_day"),
+    )
+    return s.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_streaks"),
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.max("len").alias("longest_streak"),
+        F.max(
+            F.struct(
+                F.col("end_day").alias("e"), F.col("len").alias("l")
+            )
+        )["l"].alias("latest_streak"),
+    )
+
+
+# --------------------------------------------------------------------------
+# join_null_safe — null-safe equality join (<=> / IS NOT DISTINCT FROM)
+# --------------------------------------------------------------------------
+
+@register(
+    "join_null_safe",
+    """
+    WITH f AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderpriority LIKE '1-%' THEN NULL
+                  ELSE o_orderpriority END AS prio_key
+      FROM orders),
+    dim AS (
+      SELECT DISTINCT
+             CASE WHEN o_orderpriority LIKE '1-%' THEN NULL
+                  ELSE o_orderpriority END AS prio_key,
+             CASE WHEN o_orderpriority LIKE '1-%' THEN 'urgent-null'
+                  ELSE 'normal' END AS tier
+      FROM orders)
+    SELECT f.prio_key, d.tier,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           min(f.o_orderkey) AS min_orderkey
+    FROM f JOIN dim d ON f.prio_key IS NOT DISTINCT FROM d.prio_key
+    GROUP BY 1, 2
+    """,
+)
+def join_null_safe(spark, sf):
+    """NULL-SAFE equality join (Spark's <=>, SQL's IS NOT DISTINCT
+    FROM) — the join-semantics corner every dimension-lookup pipeline
+    hits once a key column is nullable: plain equality silently DROPS
+    every null-keyed fact row (NULL = NULL is NULL), while the
+    null-safe operator matches the null bucket like any other value.
+    The fixture derives a nullable key (urgent priorities → NULL) on
+    both the fact and the dim side; the null-keyed rows surviving
+    into the 'urgent-null' tier are exactly the rows a plain
+    equi-join would lose — the visible witness of the semantics.
+
+    Scale shape: a null-safe equi-join IS hash-joinable (both engines
+    hash the null bucket as a regular key — Spark plans
+    BroadcastHashJoin/SMJ on <=>, never a nested loop), so this costs
+    the same as the plain join; note the null bucket is a classic
+    SKEW key when nulls dominate — at scale it takes the
+    join_skew_salted treatment like any hot key.
+
+    Reference analog: octopy's class map sends unknown labels through
+    a catch-all bucket rather than dropping them (R8 never-drop,
+    reference src/octopy/mappings.py) — the null bucket joined, not
+    lost."""
+    o = load_table(spark, sf, "orders")
+    key = F.when(
+        F.col("o_orderpriority").like("1-%"), F.lit(None)
+    ).otherwise(F.col("o_orderpriority"))
+    f = o.select(
+        "o_orderkey", key.alias("prio_key")
+    )
+    dim = (
+        o.select(
+            key.alias("dprio_key"),
+            F.when(
+                F.col("o_orderpriority").like("1-%"), "urgent-null"
+            )
+            .otherwise("normal")
+            .alias("tier"),
+        )
+        .distinct()
+    )
+    j = f.join(
+        F.broadcast(dim),
+        f["prio_key"].eqNullSafe(dim["dprio_key"]),
+    )
+    return j.groupBy("prio_key", "tier").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.min("o_orderkey").alias("min_orderkey"),
+    )

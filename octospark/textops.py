@@ -9484,3 +9484,340 @@ def graph_assortativity(spark, sf):
             )
         ).alias("assortativity_r"),
     )
+
+
+# --------------------------------------------------------------------------
+# scan_parquet_rowgroup_stats — real parquet footer introspection
+# --------------------------------------------------------------------------
+
+_RG_ROWS = 128  # pinned row-group size of the staged files
+_SCATTER_RED = 100000007   # corpus_split_assign's overflow-safe reduce
+_SCATTER_MULT = 2654435761
+_SCATTER_MOD = 1000000007
+
+
+def _stage_rowgroup_parquet(spark, sf: str) -> str:
+    """Materialize the doc_id column as TWO single-file parquet
+    layouts with a pinned 128-row row-group size: 'sorted' (clustered
+    by doc_id — the post-OPTIMIZE layout) and 'scattered' (ordered by
+    a multiplicative hash — the as-ingested layout).  Deterministic:
+    same rows, same order, same writer chunking every time, so footer
+    stats are SQL-reconstructable.  Same idempotent staging contract
+    as _stage_image_blobs."""
+    import os
+
+    from octospark.sources import _staged_dir
+
+    def write(dest: str) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(dest, exist_ok=True)
+        df = pq.read_table(
+            os.path.join(sf, "documents.parquet"), columns=["doc_id"]
+        ).to_pandas()
+        ids = df["doc_id"].astype("int64")
+        # overflow-safe: reduced operand keeps the product < 2.7e17
+        df["k"] = (ids % _SCATTER_RED) * _SCATTER_MULT % _SCATTER_MOD
+        pq.write_table(
+            pa.Table.from_pandas(
+                df.sort_values("doc_id")[["doc_id"]],
+                preserve_index=False,
+            ),
+            os.path.join(dest, "layout_sorted.parquet"),
+            row_group_size=_RG_ROWS,
+        )
+        pq.write_table(
+            pa.Table.from_pandas(
+                df.sort_values(["k", "doc_id"])[["doc_id"]],
+                preserve_index=False,
+            ),
+            os.path.join(dest, "layout_scattered.parquet"),
+            row_group_size=_RG_ROWS,
+        )
+        open(os.path.join(dest, "_STAGED"), "w").close()
+
+    return _staged_dir(
+        sf, "documents", "octospark_rgstats", "pq", "_STAGED", write
+    )
+
+
+_RGSTATS_SCHEMA = (
+    "layout string, row_group_id long, n_rows long, min_doc_id long, "
+    "max_doc_id long, n_nulls long, error string"
+)
+
+
+def rowgroup_stats_batches(batches):
+    """mapInPandas body: parse each parquet FOOTER (pyarrow over the
+    binaryFile content — never deserializing a single data page) and
+    emit the doc_id column's per-row-group zone map. Row-level
+    try/except: a corrupt footer yields an error row, never a task
+    failure (R8)."""
+    import io
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    for pdf in batches:
+        rows = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            layout = str(path).rsplit("layout_", 1)[-1].split(".")[0]
+            try:
+                md = pq.ParquetFile(
+                    io.BytesIO(bytes(content))
+                ).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        if c.path_in_schema != "doc_id":
+                            continue
+                        s = c.statistics
+                        rows.append(
+                            (
+                                layout,
+                                rg,
+                                g.num_rows,
+                                int(s.min),
+                                int(s.max),
+                                int(s.null_count),
+                                None,
+                            )
+                        )
+            except Exception as exc:  # never-drop fallback (R8)
+                rows.append(
+                    (layout, None, None, None, None, None, str(exc))
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "layout",
+                "row_group_id",
+                "n_rows",
+                "min_doc_id",
+                "max_doc_id",
+                "n_nulls",
+                "error",
+            ],
+        )
+
+
+def _rg_assign_sql() -> str:
+    """Both layouts' (doc_id -> row group) assignment, reconstructed
+    in SQL from the pinned writer chunking (row_number // 128 over
+    the exact staging sort order)."""
+    scatter = (
+        f"((doc_id % {_SCATTER_RED}) * {_SCATTER_MULT})"
+        f" % {_SCATTER_MOD}"
+    )
+    return f"""r AS (
+      SELECT doc_id, 'sorted' AS layout,
+             (row_number() OVER (ORDER BY doc_id) - 1) // {_RG_ROWS}
+               AS rg
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'scattered' AS layout,
+             (row_number() OVER (ORDER BY {scatter}, doc_id) - 1)
+               // {_RG_ROWS} AS rg
+      FROM documents)"""
+
+
+@register(
+    "scan_parquet_rowgroup_stats",
+    f"""
+    WITH {_rg_assign_sql()}
+    SELECT layout, rg AS row_group_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+           CAST(0 AS BIGINT) AS n_nulls
+    FROM r GROUP BY 1, 2
+    """,
+)
+def scan_parquet_rowgroup_stats(spark, sf):
+    """REAL parquet footer introspection — the zone-map view scan
+    planners actually consult: every row group's (count, min, max,
+    null count) for the doc_id column, read from the file FOOTERS of
+    two deterministically staged layouts (clustered vs hash-
+    scattered) without touching one data page.  This is the physical
+    metadata behind scan_projection_pushdown's skipping and
+    table_zonemap_skip's synthetic model — here the stats come from
+    genuine parquet metadata via pyarrow, the R19 inspect analog for
+    the lake.
+
+    Oracle: the staging is deterministic (pinned sort orders, pinned
+    128-row writer chunking), so DuckDB reconstructs every footer
+    value from the documents table alone — row_number over the exact
+    staging order, grouped by rn//128.  A writer-chunking or sort
+    drift fails the hash compare.
+
+    Scale shape: binaryFile packs footers many-per-task; the pyarrow
+    parse is the ONE Python stage and reads ~kilobytes per file (the
+    footer), never the pages — at 10^12 rows this is exactly the
+    manifest-planning pass an Iceberg/Delta driver distributes, and
+    the output is bounded by row-group count, not row count.
+
+    Reference analog: octopy's inspect command dumps per-container
+    member inventories without loading page images (reference
+    src/octopy/cli/inspect.py)."""
+    d = spark.read.format("binaryFile").load(
+        _stage_rowgroup_parquet(spark, sf)
+    )
+    return (
+        d.mapInPandas(rowgroup_stats_batches, _RGSTATS_SCHEMA)
+        .filter(F.col("error").isNull())
+        .select(
+            "layout",
+            "row_group_id",
+            "n_rows",
+            "min_doc_id",
+            "max_doc_id",
+            "n_nulls",
+        )
+    )
+
+
+@register(
+    "table_clustering_depth",
+    f"""
+    WITH {_rg_assign_sql()},
+    g AS (
+      SELECT layout, rg, min(doc_id) AS mn, max(doc_id) AS mx,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM r GROUP BY 1, 2)
+    SELECT a.layout, a.rg AS row_group_id,
+           a.mn AS min_doc_id, a.mx AS max_doc_id, a.n_rows,
+           CAST(count(*) AS BIGINT) AS n_overlapping
+    FROM g a JOIN g b
+      ON a.layout = b.layout AND b.mn <= a.mx AND b.mx >= a.mn
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def table_clustering_depth(spark, sf):
+    """Clustering-DEPTH audit over real footer zone maps — the metric
+    that tells a lakehouse OPTIMIZE scheduler whether a table needs
+    re-clustering: for each row group, how many row groups' [min,max]
+    ranges overlap it (self included).  On the 'sorted' layout every
+    depth is 1 — a point predicate prunes to one group; on the
+    'scattered' layout depths approach the group COUNT — zone maps
+    prune nothing and every query reads everything (Databricks'
+    OPTIMIZE/clustering-depth metric, public concept).  COMPOSED from
+    scan_parquet_rowgroup_stats' footer pass (the
+    forecast_residual_alarm discipline), so stats drift fails here
+    too.
+
+    Scale shape: the footer pass (see there) collapses the table to
+    one zone-map row per group; the overlap join runs on THAT
+    collapsed table — layout-keyed equi-join with a range predicate,
+    broadcast-sized at any corpus scale (row-group count, never row
+    count).  Exact: all integers.
+
+    Reference analog: octopy's inspect warns when container members
+    interleave classes badly enough to hurt batch locality (reference
+    src/octopy/cli/inspect.py) — layout-quality QA from metadata."""
+    stats = scan_parquet_rowgroup_stats(spark, sf)
+    a = stats.select(
+        "layout",
+        F.col("row_group_id"),
+        F.col("min_doc_id").alias("mn"),
+        F.col("max_doc_id").alias("mx"),
+        "n_rows",
+    )
+    b = stats.select(
+        F.col("layout").alias("layout_b"),
+        F.col("min_doc_id").alias("mn_b"),
+        F.col("max_doc_id").alias("mx_b"),
+    )
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("layout") == F.col("layout_b"))
+            & (F.col("mn_b") <= F.col("mx"))
+            & (F.col("mx_b") >= F.col("mn")),
+        )
+        .groupBy(
+            "layout",
+            "row_group_id",
+            F.col("mn").alias("min_doc_id"),
+            F.col("mx").alias("max_doc_id"),
+            "n_rows",
+        )
+        .agg(F.count("*").cast("long").alias("n_overlapping"))
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_two_hop_reach — exact 2-hop neighborhood size per node
+# --------------------------------------------------------------------------
+
+@register(
+    "graph_two_hop_reach",
+    # the edge CTE is MATERIALIZED here: DuckDB's binder hits an
+    # internal error inlining the unnest-bearing edges CTE into its
+    # own self-join (Failed to bind column reference "dst");
+    # materializing the CTE sidesteps the inline and is also the
+    # honest plan (the edge list is read twice)
+    f"""
+    WITH {", ".join(_MODULAR_EDGES_CTES).replace(
+        "edges AS (", "edges AS MATERIALIZED (", 1)},
+    hop2 AS (
+      SELECT e1.src AS node, e2.dst AS reach
+      FROM edges e1 JOIN edges e2 ON e1.dst = e2.src),
+    hop1 AS (SELECT src AS node, dst AS reach FROM edges),
+    two AS (
+      SELECT node, reach FROM hop2
+      UNION
+      SELECT node, reach FROM hop1)
+    SELECT node, CAST(count(*) AS BIGINT) AS n_reach2
+    FROM two WHERE reach <> node GROUP BY node
+    """,
+)
+def graph_two_hop_reach(spark, sf):
+    """Exact 2-hop reach per node — |{u != v : d(v,u) <= 2}| over the
+    directed link graph, the "friend-of-follower" audience size that
+    prices a page's influence one step beyond out-degree (and the
+    exact ground truth HyperBall-style HLL ball estimates approximate
+    at web scale — agg_sketch_hll_two_level is the documented swap
+    when the distinct-set per node stops fitting an aggregation
+    buffer).  Self is excluded; 1-hop neighbors are unioned in so a
+    node's count is its full radius-2 ball minus itself.
+
+    Exact set semantics: the edges⋈edges self-join on the shared
+    middle node, UNION (dedup) with the 1-hop list, self filtered,
+    one partial-agg count per node — partitioning-independent.
+
+    Scale shape: ONE shuffle join of the edge list with itself keyed
+    on the middle node (dst = src — both sides cluster on it), and
+    the dedup + count cluster on the origin node; out-degree d makes
+    the expansion Σd² rows, which is exactly why the production swap
+    at hub-heavy 10^12-edge graphs is the HLL ball (same join, fixed
+    2 KB state per node instead of the distinct set).
+
+    Reference analog: octopy's segmentation considers second-order
+    neighbor context when merging line regions (reference
+    src/octopy/segment.py neighborhood checks) — radius-2 structure
+    over adjacency."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    n = docs.count()  # single scalar, bounded driver read
+    edges = (
+        _modular_edges(docs, n)
+        .repartition(par, "dst")
+        .localCheckpoint(eager=True)
+    )
+    e2 = edges.select(
+        F.col("src").alias("mid"), F.col("dst").alias("reach")
+    )
+    two = (
+        edges.join(e2, edges["dst"] == e2["mid"])
+        .select("src", "reach")
+        .unionByName(
+            edges.select("src", F.col("dst").alias("reach"))
+        )
+        .distinct()
+    )
+    return (
+        two.filter(F.col("reach") != F.col("src"))
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("long").alias("n_reach2"))
+    )

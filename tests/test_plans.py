@@ -306,6 +306,10 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         # decode + np.bincount is the one Python stage (same ramp-OIMG
         # codec class as dedup_image_phash)
         "multimodal_image_histogram",
+        # pyarrow FOOTER parse over binaryFile rows is the one Python
+        # stage (no parquet-metadata reader in Spark SQL builtins);
+        # table_clustering_depth composes the same pass
+        "scan_parquet_rowgroup_stats", "table_clustering_depth",
         # decode + line-band segmentation + cell-ink recognition is the
         # one Python stage (same OIMG codec class as dedup_image_phash)
         "multimodal_ocr_lines",
