@@ -7589,3 +7589,64 @@ def join_null_safe(spark, sf):
         F.count("*").cast("long").alias("n_orders"),
         F.min("o_orderkey").alias("min_orderkey"),
     )
+
+
+# --------------------------------------------------------------------------
+# join_exists_flag — mark join (EXISTS as a column, all rows kept)
+# --------------------------------------------------------------------------
+
+@register(
+    "join_exists_flag",
+    """
+    SELECT o.o_orderkey, o.o_orderstatus,
+           EXISTS (
+             SELECT 1 FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey
+               AND l.l_returnflag = 'R'
+           ) AS has_return
+    FROM orders o
+    """,
+)
+def join_exists_flag(spark, sf):
+    """MARK join — EXISTS as a COLUMN with every probe row kept: the
+    third member of the semi-join family (left_semi keeps matches,
+    left_anti keeps non-matches; the mark join keeps BOTH and says
+    which), the shape every feature pipeline uses for boolean
+    lookup features ("has a return", "seen in blocklist") because
+    dropping rows is not an option mid-featurization (R8 never-drop
+    applied to join semantics — DuckDB plans this as its MARK join,
+    Spark as ExistenceJoin).
+
+    Expressed as a correlated EXISTS in both engines; Spark compiles
+    the same shape from a left join + null-probe flag — here written
+    as EXISTS inside when(), which Catalyst plans as an
+    ExistenceJoin(exists#) hash join: ONE build of the filtered
+    lineitem side, no duplication of probe rows when the build side
+    has multiple matches (the bug a naive left-join+distinct flag
+    implementation hits), and no second scan.
+
+    Scale shape: one hash join keyed on the order key — the filter
+    pushes into the build-side scan; partial-agg-free, no shuffle
+    beyond the join's own.  Exact: a boolean per row.
+
+    Reference analog: octopy's segment records WHETHER a region got
+    a recognized line rather than dropping silent regions (reference
+    src/octopy/segment.py) — presence as a flag, never a filter."""
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    o.createOrReplaceTempView("_mark_orders")
+    load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    ).createOrReplaceTempView("_mark_lineitem")
+    return o.sparkSession.sql(
+        """
+        SELECT o_orderkey, o_orderstatus,
+               EXISTS (
+                 SELECT 1 FROM _mark_lineitem l
+                 WHERE l.l_orderkey = _mark_orders.o_orderkey
+                   AND l.l_returnflag = 'R'
+               ) AS has_return
+        FROM _mark_orders
+        """
+    )
