@@ -9821,3 +9821,183 @@ def graph_two_hop_reach(spark, sf):
         .groupBy(F.col("src").alias("node"))
         .agg(F.count("*").cast("long").alias("n_reach2"))
     )
+
+
+# --------------------------------------------------------------------------
+# graph_pagerank_personalized — seed-teleport quality propagation
+# --------------------------------------------------------------------------
+
+_PPR_SEED_MOD = 97   # the BFS/seed-list family's sampled seed set
+_PPR_ITERS = 4
+
+
+def _ppr_sql(iters: int) -> str:
+    """Unrolled integer-unit PERSONALIZED PageRank oracle (see
+    graph_pagerank_personalized): identical round mechanics to
+    _pagerank_sql, but the teleport mass lands ONLY on the seed set."""
+    seed = f"doc_id % {_PPR_SEED_MOD} = 0"
+    ctes = [
+        *_MODULAR_EDGES_CTES,
+        "deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src)",
+        (f"p0 AS (SELECT doc_id AS node, CAST(CASE WHEN {seed} "
+         "THEN 1000000 ELSE 0 END AS BIGINT) AS ppr_units "
+         "FROM documents)"),
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""p{i} AS (
+          SELECT d.doc_id AS node,
+                 CASE WHEN d.doc_id % {_PPR_SEED_MOD} = 0
+                      THEN 150000 ELSE 0 END
+                 + 85 * COALESCE(SUM(
+                     r.ppr_units // g.out_deg), 0) // 100 AS ppr_units
+          FROM documents d
+          LEFT JOIN (edges e JOIN deg g ON e.src = g.src
+                     JOIN p{i - 1} r ON r.node = e.src)
+            ON d.doc_id = e.dst
+          GROUP BY d.doc_id)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""" SELECT node, ppr_units,
+               node % {_PPR_SEED_MOD} = 0 AS is_seed
+        FROM p{iters}"""
+    )
+
+
+@register("graph_pagerank_personalized", _ppr_sql(_PPR_ITERS))
+def graph_pagerank_personalized(spark, sf):
+    """PERSONALIZED PageRank from a trusted seed set — the quality-
+    propagation operator web curation actually runs (TrustRank /
+    Gyöngyi et al. 2004; seed-expanded quality in Common-Crawl-scale
+    corpus filtering): teleport mass lands ONLY on the seed list
+    (doc_id % 97 = 0 — the crawl family's seed convention), so rank
+    flows outward from trusted pages and a page's score measures its
+    link-proximity to the seeds, not global popularity.  Pages far
+    from every seed decay toward 0 — exactly the spam-demotion
+    behavior uniform graph_pagerank cannot express (there, teleport
+    props every node up uniformly).
+
+    Same integer micro-unit discipline as graph_pagerank (seeded
+    1e6 on seeds / 0 elsewhere; update = seed-teleport 150000 + 85 *
+    sum(rank div out_deg) div 100): integer addition is exactly
+    associative, so the fixed point is bit-identical at any
+    partitioning and the unrolled DuckDB oracle replays it round by
+    round.
+
+    Scale shape per iteration: identical to graph_pagerank — the
+    src-partitioned edges+degree table is materialized ONCE and every
+    round reuses it; one partial-agg groupBy(dst); lineage truncated
+    per round.  Seed-set size only changes the r0 vector, never the
+    plan.
+
+    Reference analog: octopy's recognizer seeds beam search from
+    high-confidence anchors and propagates outward (reference
+    src/octopy/cli/recognize.py) — trust radiating from a seeded
+    frontier."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    n = docs.count()  # single scalar, bounded driver read
+    edges = _modular_edges(docs, n)
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ed = (
+        edges.join(deg, "src")
+        .repartition(par, "src")
+        .localCheckpoint(eager=True)
+    )
+    is_seed = F.col("doc_id") % _PPR_SEED_MOD == 0
+    ranks = docs.select(
+        F.col("doc_id").alias("node"),
+        F.when(is_seed, F.lit(1_000_000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ppr_units"),
+    ).localCheckpoint(eager=True)
+    for _ in range(_PPR_ITERS):
+        sums = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(
+                "dst",
+                F.expr("ppr_units div out_deg").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = (
+            docs.join(sums, docs["doc_id"] == sums["dst"], "left")
+            .select(
+                F.col("doc_id").alias("node"),
+                (
+                    F.when(is_seed, F.lit(150_000)).otherwise(F.lit(0))
+                    + F.expr("85 * coalesce(s, 0) div 100")
+                )
+                .cast("long")
+                .alias("ppr_units"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        "node",
+        "ppr_units",
+        (F.col("node") % _PPR_SEED_MOD == 0).alias("is_seed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# scan_text_lines — plain text-file line reader (spark.read.text)
+# --------------------------------------------------------------------------
+
+def _stage_text_lines(spark, sf: str) -> str:
+    """Materialize documents as a pipe-delimited plain-text file under
+    /tmp (one line per doc, doc_id order) — the log-file landing the
+    text reader ingests. Same idempotent staging contract as
+    _stage_image_blobs."""
+    import os
+
+    from octospark.sources import _staged_dir
+
+    def write(dest: str) -> None:
+        rows = sorted(
+            (r.doc_id, r.lang, r.n_chars)
+            for r in load_table(spark, sf, "documents")
+            .select("doc_id", "lang", "n_chars")
+            .collect()
+        )
+        os.makedirs(dest, exist_ok=True)
+        with open(os.path.join(dest, "docs.txt"), "w") as f:
+            for doc_id, lang, n_chars in rows:
+                f.write(f"{doc_id}|{lang}|{n_chars}\n")
+        open(os.path.join(dest, "_STAGED"), "w").close()
+
+    return _staged_dir(
+        sf, "documents", "octospark_txt", "lines", "_STAGED", write
+    )
+
+
+@register(
+    "scan_text_lines",
+    "SELECT doc_id, lang, n_chars FROM documents",
+)
+def scan_text_lines(spark, sf):
+    """Plain TEXT line reader (spark.read.text) — the last member of
+    the R1 scan family (parquet/ORC/CSV/JSON/JSONL/binary/WARC all
+    have keys): raw log-style lines become one value row each, and
+    the field pulls are JVM split/element_at + casts — the
+    classic ingest shape for crawler logs and line-delimited exports
+    that predate structured formats.  Round-trip law: the staged file
+    is written FROM documents, so parsing it back must reproduce the
+    projection exactly (the oracle is the plain projection).
+
+    Scale shape: text files split by line boundaries into normal scan
+    partitions (maxPartitionBytes applies — a 10 TB log directory
+    reads as a well-partitioned scan); the parse is a map-side
+    projection, no shuffle at all.
+
+    Reference analog: octopy ingests plain-text ground-truth
+    transcription files alongside images (reference
+    src/octopy/cli/train.py gt loading) — line-file ingest."""
+    d = spark.read.text(_stage_text_lines(spark, sf))
+    parts = F.split(F.col("value"), "\\|")
+    return d.select(
+        F.element_at(parts, 1).cast("long").alias("doc_id"),
+        F.element_at(parts, 2).alias("lang"),
+        F.element_at(parts, 3).cast("long").alias("n_chars"),
+    )
