@@ -99,6 +99,9 @@ def _parse_record(data: bytes) -> dict:
         "rec_type": rec_type,
         "http_status": status,
         "html": payload,
+        "record_id": hdrs.get(b"warc-record-id", b"").decode(
+            "ascii", "replace"
+        ),
     }
 
 
@@ -247,3 +250,71 @@ def scan_warc(spark, sf):
     """
     d = stage_warc_files(sf)
     return read_warc_pages(spark, d).select("url", "warc_ts", "http_status")
+
+
+_IDS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("rec_type", T.StringType()),
+    ]
+)
+
+
+def _id_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        cols: dict = {"url": [], "record_id": [], "rec_type": []}
+        for blob in pdf["content"]:
+            records, _errors = parse_warc_file(bytes(blob))
+            for r in records:
+                cols["url"].append(r["url"])
+                cols["record_id"].append(r["record_id"])
+                cols["rec_type"].append(r["rec_type"])
+        yield pd.DataFrame(cols)
+
+
+@register(
+    "scan_warc_record_ids",
+    # the record id is the deterministic md5-urn of the target url
+    # (warcgen.record_id); the oracle recomputes the SAME function in
+    # SQL, so a parse that misreads the header OR a generator drift in
+    # the id scheme fails the hash compare
+    """
+    WITH h AS (
+      SELECT 'https://' || source || '.example.org/doc/'
+               || CAST(doc_id AS VARCHAR) AS url
+      FROM documents),
+    m AS (SELECT url, md5(url) AS x FROM h)
+    SELECT url,
+           '<urn:uuid:' || substr(x, 1, 8) || '-' || substr(x, 9, 4)
+             || '-' || substr(x, 13, 4) || '-' || substr(x, 17, 4)
+             || '-' || substr(x, 21, 12) || '>' AS record_id,
+           'response' AS rec_type
+    FROM m
+    """,
+)
+def scan_warc_record_ids(spark, sf):
+    """WARC record-IDENTITY surface — the WARC-Record-ID header parsed
+    back out of every staged container record: the primary key of a
+    web archive (dedup ledgers, revisit records, and CDX digests all
+    reference it), here the deterministic RFC-4122-shaped md5-urn of
+    the target url (warcgen.record_id).  The DuckDB twin RECOMPUTES
+    the same md5-urn formatting in SQL, so this key pins the full
+    identity chain: generator formula -> container bytes -> tolerant
+    parse -> recovered header, with any break (id-scheme drift, a
+    header-parse regression, member corruption) failing the exact
+    hash compare.
+
+    Scale shape: identical to scan_warc — binaryFile one-task-per-
+    member-concatenated-file, header-only Python parse (the payload
+    is never decoded here), no shuffle.
+
+    Reference analog: octopy names every output by a deterministic
+    derivation from the input path so reruns overwrite rather than
+    duplicate (reference src/octopy/cli/util.py output naming) —
+    stable content-derived identity."""
+    d = stage_warc_files(sf)
+    files = spark.read.format("binaryFile").load(
+        os.path.join(d, "*.warc.gz")
+    )
+    return files.select("content").mapInPandas(_id_batches, _IDS_SCHEMA)

@@ -318,6 +318,8 @@ def test_every_query_plan_is_free_of_antipatterns(spark):
         "extract_pdf_layout", "pdf_layout_blocks",
         # WARC gzip-member parse is inherently Python (binaryFile rows)
         "scan_warc",
+        # same WARC parse, header-identity surface
+        "scan_warc_record_ids",
         # page synthesis (build_pages) is the only Python stage here;
         # the href/title pulls themselves are JVM regexp_extract
         "extract_links", "extract_page_title",

@@ -60,3 +60,21 @@ def test_ppr_matches_sequential_fixed_point(spark):
     assert sum(non_seed_ranks) < sum(rank[d] for d in seeds) * len(
         non_seed_ranks
     )
+
+
+def test_warc_record_ids_match_md5_urn_formula(spark):
+    """Every parsed WARC-Record-ID equals the md5-urn of its target
+    url, and ids are unique across the archive."""
+    import hashlib
+
+    import octospark.warcops as W
+
+    rows = W.QUERIES["scan_warc_record_ids"](spark, SF).collect()
+    assert len(rows) == len({r.record_id for r in rows})
+    for r in rows:
+        h = hashlib.md5(r.url.encode()).hexdigest()
+        want = (
+            f"<urn:uuid:{h[0:8]}-{h[8:12]}-{h[12:16]}"
+            f"-{h[16:20]}-{h[20:32]}>"
+        )
+        assert r.record_id == want and r.rec_type == "response"
