@@ -10001,3 +10001,270 @@ def scan_text_lines(spark, sf):
         F.element_at(parts, 2).alias("lang"),
         F.element_at(parts, 3).cast("long").alias("n_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# graph_louvain_move_step — synchronous Louvain phase-1 sweep
+# --------------------------------------------------------------------------
+
+def _louvain_sql() -> str:
+    """One synchronous Louvain move sweep over the LPA(2) partition
+    (see graph_louvain_move_step). Inlines the LPA CTE chain so label
+    drift fails here too; every gain is exact integer (2m)^2 units.
+    The edge CTEs are MATERIALIZED — this chain joins und five ways,
+    which trips DuckDB's binder on the unnest-bearing inline (the
+    graph_two_hop_reach workaround, and the honest plan anyway)."""
+    lpa = _lpa_sql(2).replace(
+        "edges AS (", "edges AS MATERIALIZED (", 1
+    ).replace("und AS (", "und AS MATERIALIZED (", 1)
+    body = lpa[: lpa.rindex(" SELECT node, lbl AS label FROM l2")]
+    return (
+        body
+        + """,
+    lab AS (SELECT node, lbl AS label FROM l2),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM und),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+            FROM und GROUP BY src),
+    cdeg AS (
+      SELECT l.label, CAST(sum(d.d) AS BIGINT) AS d_c
+      FROM lab l JOIN deg d ON d.node = l.node GROUP BY l.label),
+    -- edges v -> neighbor community (self-loops excluded from k)
+    k AS (
+      SELECT u.src AS node, lu.label AS c,
+             CAST(count(*) AS BIGINT) AS k_vc
+      FROM und u JOIN lab lu ON lu.node = u.dst
+      WHERE u.src <> u.dst
+      GROUP BY u.src, lu.label),
+    base AS (
+      SELECT l.node, l.label AS old_label, d.d AS d_v,
+             COALESCE(ka.k_vc, 0) AS k_va,
+             ca.d_c - d.d AS d_a_prime
+      FROM lab l
+      JOIN deg d ON d.node = l.node
+      JOIN cdeg ca ON ca.label = l.label
+      LEFT JOIN k ka ON ka.node = l.node AND ka.c = l.label),
+    gains AS (
+      SELECT b.node, b.old_label, k.c AS cand_label,
+             2 * m.m2 * (k.k_vc - b.k_va)
+               - 2 * b.d_v * (cc.d_c - b.d_a_prime) AS gain_units
+      FROM base b
+      JOIN k ON k.node = b.node AND k.c <> b.old_label
+      JOIN cdeg cc ON cc.label = k.c
+      CROSS JOIN mm m),
+    best AS (
+      SELECT node, old_label,
+             min(struct_pack(ng := -gain_units, c := cand_label))
+               AS pick
+      FROM gains WHERE gain_units > 0 GROUP BY node, old_label)
+    SELECT b.node, b.old_label,
+           COALESCE(p.pick.c, b.old_label) AS new_label,
+           COALESCE(-p.pick.ng, 0) AS gain_units
+    FROM base b LEFT JOIN best p ON p.node = b.node
+    """
+    )
+
+
+@register("graph_louvain_move_step", _louvain_sql())
+def graph_louvain_move_step(spark, sf):
+    """One SYNCHRONOUS Louvain phase-1 sweep (Blondel et al. 2008,
+    public) over the LPA(2) partition — the modularity-GREEDY third
+    member of the community family: graph_label_propagation proposes
+    a partition, graph_modularity_score prices it, and this key
+    IMPROVES it — every node simultaneously evaluates moving to each
+    neighboring community and takes the best strictly-positive
+    modularity gain (parallel Louvain's synchronous variant — vanilla
+    Louvain's sequential sweep is order-dependent and no oracle could
+    replay it; the cluster_kmeans_step one-step discipline).
+
+    Exact integer gains: moving v from A to C changes modularity by
+    [k_vC - k_vA']/m - d_v(d_C - d_A')/(2m^2); in (2m)^2 units that
+    is gain = 2*2m*(k_vC - k_vA') - 2*d_v*(d_C - d_A') with
+    A' = A\\{v} — all int64 (the graph_modularity_score unit system,
+    so gains are directly comparable to that key's contributions).
+    Self-loops are excluded from the k counts in both engines; ties
+    break toward the smallest candidate label via the min(struct)
+    argmax; nodes with no positive gain keep their label with gain 0
+    (never-drop).
+
+    Scale shape: the und/labels/degree joins all cluster on the node
+    id; k_vC is ONE partial-agg groupBy over the label-joined edge
+    list; the argmax is min(struct) (map-side combinable, no window);
+    community degree is a label-keyed broadcast-sized rollup.  One
+    sweep = the cost of one LPA round plus one edge-list aggregation
+    — the Louvain inner loop at its honest distributed price.
+
+    Reference analog: octopy's merge pass accepts a class merge only
+    when it improves the validation metric (reference
+    src/octopy/mappings.py merge gating) — greedy accept-if-better
+    over a labeled partition."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    n = docs.count()  # single scalar, bounded driver read
+    edges = _modular_edges(docs, n)
+    und = (
+        edges.union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .repartition(par, "src")
+        .localCheckpoint(eager=True)
+    )
+    lab = graph_label_propagation(spark, sf).localCheckpoint(eager=True)
+    mm = und.agg(F.count("*").cast("long").alias("m2"))
+    deg = und.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    cdeg = (
+        lab.join(deg, lab["node"] == deg["src"])
+        .groupBy("label")
+        .agg(F.sum("d").cast("long").alias("d_c"))
+    )
+    lu = lab.select(
+        F.col("node").alias("nu"), F.col("label").alias("c")
+    )
+    k = (
+        und.filter(F.col("src") != F.col("dst"))
+        .join(lu, und["dst"] == lu["nu"])
+        .groupBy(F.col("src").alias("knode"), "c")
+        .agg(F.count("*").cast("long").alias("k_vc"))
+    )
+    base = (
+        lab.join(deg, lab["node"] == deg["src"])
+        .join(cdeg.withColumnRenamed("d_c", "d_a"), "label")
+        .join(
+            k.withColumnRenamed("c", "own_c"),
+            (F.col("knode") == F.col("node"))
+            & (F.col("own_c") == F.col("label")),
+            "left",
+        )
+        .select(
+            "node",
+            F.col("label").alias("old_label"),
+            F.col("d").alias("d_v"),
+            F.coalesce("k_vc", F.lit(0)).cast("long").alias("k_va"),
+            (F.col("d_a") - F.col("d")).alias("d_a_prime"),
+        )
+    )
+    gains = (
+        base.join(
+            k,
+            (F.col("knode") == F.col("node"))
+            & (F.col("c") != F.col("old_label")),
+        )
+        .join(
+            F.broadcast(cdeg.withColumnRenamed("label", "c")),
+            "c",
+        )
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "node",
+            "old_label",
+            F.col("c").alias("cand_label"),
+            (
+                2 * F.col("m2") * (F.col("k_vc") - F.col("k_va"))
+                - 2
+                * F.col("d_v")
+                * (F.col("d_c") - F.col("d_a_prime"))
+            )
+            .cast("long")
+            .alias("gain_units"),
+        )
+    )
+    best = (
+        gains.filter(F.col("gain_units") > 0)
+        .groupBy("node")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("gain_units")).alias("ng"),
+                    F.col("cand_label").alias("c"),
+                )
+            ).alias("pick")
+        )
+    )
+    return base.join(best, "node", "left").select(
+        "node",
+        "old_label",
+        F.coalesce(F.col("pick.c"), F.col("old_label")).alias(
+            "new_label"
+        ),
+        F.coalesce(-F.col("pick.ng"), F.lit(0))
+        .cast("long")
+        .alias("gain_units"),
+    )
+
+
+# --------------------------------------------------------------------------
+# graph_conductance — per-community cut quality (composes modularity)
+# --------------------------------------------------------------------------
+
+@register(
+    "graph_conductance",
+    _modularity_sql().replace(
+        """SELECT c.label, c.n_nodes,
+           COALESCE(i.in_pairs, 0) AS in_pairs, c.degree_sum,
+           m.m2 * COALESCE(i.in_pairs, 0)
+             - c.degree_sum * c.degree_sum AS contribution_x4m2
+    FROM cdeg c LEFT JOIN intra i USING (label) CROSS JOIN mm m""",
+        """SELECT c.label, c.n_nodes,
+           c.degree_sum - COALESCE(i.in_pairs, 0) AS cut_edges,
+           c.degree_sum AS volume,
+           CASE WHEN least(c.degree_sum,
+                           m.m2 - c.degree_sum) = 0 THEN 0
+                ELSE 1000000 * (c.degree_sum - COALESCE(i.in_pairs, 0))
+                     // least(c.degree_sum, m.m2 - c.degree_sum)
+           END AS conductance_ppm
+    FROM cdeg c LEFT JOIN intra i USING (label) CROSS JOIN mm m""",
+    ),
+)
+def graph_conductance(spark, sf):
+    """Per-community CONDUCTANCE over the LPA partition — modularity's
+    complementary quality metric (Shi-Malik normalized-cut family,
+    public): phi(C) = cut(C) / min(vol(C), 2m - vol(C)), the fraction
+    of a community's edge endpoints that LEAVE it, normalized by the
+    smaller side.  Low phi = a real cluster; phi near 1e6 ppm = a
+    label bag with no boundary.  Curation uses it to rank dedup/topic
+    clusters by coherence where modularity (a global score) cannot
+    rank individual communities.
+
+    COMPOSED from graph_modularity_score's exact rollup (the oracle
+    is that key's CTE chain with the final projection swapped; the
+    Spark side reuses the same registered building blocks): cut =
+    d_C - in_C over the ordered symmetric edge list, and the ratio is
+    floored-integer ppm — no float anywhere, engine-exact.  The
+    degenerate whole-graph community (min side 0) surfaces phi = 0
+    rather than dividing by zero (never-drop).
+
+    Scale shape: identical to graph_modularity_score (degree rollup,
+    two label joins, label-keyed partial aggs, scalar 2m broadcast) —
+    conductance adds ZERO new shuffles, just arithmetic on the
+    collapsed per-community table.
+
+    Reference analog: octopy's inspect flags classes whose members
+    scatter across containers (poor locality) vs classes that cluster
+    (reference src/octopy/cli/inspect.py) — boundary-mass QA per
+    label."""
+    m = graph_modularity_score(spark, sf)
+    mm = m.agg(
+        F.sum("degree_sum").cast("long").alias("m2")
+    )  # sum of community volumes = |und| = 2m, no second edge scan
+    cut = F.col("degree_sum") - F.col("in_pairs")
+    small = F.least(
+        F.col("degree_sum"), F.col("m2") - F.col("degree_sum")
+    )
+    return (
+        m.crossJoin(F.broadcast(mm))
+        .select(
+            "label",
+            "n_nodes",
+            cut.alias("cut_edges"),
+            F.col("degree_sum").alias("volume"),
+            F.when(small == 0, F.lit(0))
+            .otherwise(F.expr(
+                "1000000 * (degree_sum - in_pairs)"
+                " div least(degree_sum, m2 - degree_sum)"
+            ))
+            .cast("long")
+            .alias("conductance_ppm"),
+        )
+    )

@@ -1,0 +1,117 @@
+"""Laws for the round-6a keys (Louvain move step, conductance) —
+recomputed sequentially at sf0.001."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import octospark.textops as T
+from octospark.sources import load_table
+from tests.test_round5t_keys import _und_edges
+
+SF = "/root/testdata/sf0.001"
+
+
+def _lpa_labels(docs, und):
+    adj = defaultdict(list)
+    for a, b in und:
+        adj[a].append(b)
+    labels = {d: d for d in docs}
+    for _ in range(2):
+        new = {}
+        for v in docs:
+            votes = Counter(labels[u] for u in adj[v])
+            new[v] = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = new
+    return labels
+
+
+def test_louvain_step_matches_sequential_gains(spark):
+    """Every node's move equals the sequential synchronous argmax of
+    the exact integer modularity gain; all emitted gains positive or
+    zero-stay; moving by the emitted labels never DECREASES total
+    modularity units."""
+    docs = [
+        r.doc_id for r in load_table(spark, SF, "documents").collect()
+    ]
+    und = _und_edges(docs)
+    labels = _lpa_labels(docs, und)
+    m2 = len(und)
+    deg = Counter(a for a, _ in und)
+    d_c = defaultdict(int)
+    for v, l_ in labels.items():
+        d_c[l_] += deg[v]
+    k = defaultdict(int)  # (node, neighbor community) -> edge count
+    for a, b in und:
+        if a != b:
+            k[(a, labels[b])] += 1
+    want = set()
+    for v in docs:
+        a = labels[v]
+        k_va = k.get((v, a), 0)
+        d_ap = d_c[a] - deg[v]
+        best = None
+        for c in {labels[u] for u in
+                  (b for x, b in und if x == v)} - {a}:
+            gain = 2 * m2 * (k[(v, c)] - k_va) - 2 * deg[v] * (
+                d_c[c] - d_ap
+            )
+            if gain > 0 and (
+                best is None or (-gain, c) < (-best[1], best[0])
+            ):
+                best = (c, gain)
+        if best:
+            want.add((v, a, best[0], best[1]))
+        else:
+            want.add((v, a, a, 0))
+    got = {
+        tuple(r)
+        for r in T.QUERIES["graph_louvain_move_step"](
+            spark, SF
+        ).collect()
+    }
+    assert got == want
+
+    def q_units(lab):
+        dd = defaultdict(int)
+        inn = defaultdict(int)
+        for v, l_ in lab.items():
+            dd[l_] += deg[v]
+        for a, b in und:
+            if lab[a] == lab[b]:
+                inn[lab[a]] += 1
+        return sum(
+            m2 * inn[c] - dd[c] * dd[c] for c in dd
+        )
+    new_labels = {v: nl for v, _, nl, _ in got}
+    assert q_units(new_labels) >= q_units(labels)
+
+
+def test_conductance_matches_sequential_cut(spark):
+    """Per-community conductance equals the sequential cut/min-side
+    ppm recompute over the LPA partition."""
+    docs = [
+        r.doc_id for r in load_table(spark, SF, "documents").collect()
+    ]
+    und = _und_edges(docs)
+    labels = _lpa_labels(docs, und)
+    m2 = len(und)
+    deg = Counter(a for a, _ in und)
+    comm = defaultdict(set)
+    for v, l_ in labels.items():
+        comm[l_].add(v)
+    want = set()
+    for l_, ms in comm.items():
+        vol = sum(deg[v] for v in ms)
+        inn = sum(1 for a, b in und if a in ms and b in ms)
+        cut = vol - inn
+        small = min(vol, m2 - vol)
+        phi = 0 if small == 0 else 1_000_000 * cut // small
+        want.add((l_, len(ms), cut, vol, phi))
+    got = {
+        tuple(r)
+        for r in T.QUERIES["graph_conductance"](spark, SF).collect()
+    }
+    assert got == want
+    for _, _, cut, vol, phi in got:
+        assert 0 <= cut <= vol and 0 <= phi <= 1_000_000
