@@ -10268,3 +10268,100 @@ def graph_conductance(spark, sf):
             .alias("conductance_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# graph_coarsen_communities — Louvain phase-2 supergraph contraction
+# --------------------------------------------------------------------------
+
+def _coarsen_sql() -> str:
+    """Louvain phase-2 oracle: contract the move-step's communities
+    into supernodes (see graph_coarsen_communities). Reuses the full
+    _louvain_sql chain so any drift upstream fails here too."""
+    louvain = _louvain_sql()
+    marker = "SELECT b.node, b.old_label,"
+    body = louvain[: louvain.rindex(marker)]
+    return (
+        body.rstrip().rstrip(",")
+        + """,
+    moved AS (
+      SELECT b.node,
+             COALESCE(p.pick.c, b.old_label) AS new_label
+      FROM base b LEFT JOIN best p ON p.node = b.node)
+    SELECT la.new_label AS super_src, lb.new_label AS super_dst,
+           CAST(count(*) AS BIGINT) AS weight,
+           la.new_label = lb.new_label AS is_self_loop
+    FROM und u
+    JOIN moved la ON la.node = u.src
+    JOIN moved lb ON lb.node = u.dst
+    GROUP BY 1, 2
+    """
+    )
+
+
+@register("graph_coarsen_communities", _coarsen_sql())
+def graph_coarsen_communities(spark, sf):
+    """Louvain PHASE-2 contraction — the step that makes community
+    detection MULTILEVEL (Blondel 2008): after the move sweep
+    (graph_louvain_move_step), every community collapses into one
+    supernode and parallel edges sum into integer weights; the
+    self-loop rows carry each community's internal edge mass.  The
+    output supergraph is a valid input to the NEXT move sweep — the
+    two keys together are the complete Louvain inner loop, each
+    round shrinking the graph geometrically (why Louvain handles
+    billion-edge graphs: round k runs on the round-(k-1) supergraph,
+    not the raw edges).
+
+    COMPOSED end to end: the Spark side applies
+    graph_louvain_move_step's emitted new labels to the symmetric
+    edge list; the oracle inlines that key's full CTE chain and
+    contracts the same moved labels — drift anywhere in
+    LPA -> gains -> moves -> contraction fails the hash compare.
+    Weights are edge COUNTS over the ordered symmetric list (the
+    modularity unit convention), so sum(weight) = 2m exactly and
+    the self-loop weights equal the in_pairs the modularity key
+    reports for the same partition (law pinned in tests).
+
+    Scale shape: two node-keyed joins of the (tiny) label map onto
+    the edge list + ONE partial-agg groupBy on the supernode pair —
+    the cheapest possible contraction; the output is bounded by
+    community-pair count, never edge count.
+
+    Reference analog: octopy's merge pass rewrites the training set
+    with merged class labels before the next epoch (reference
+    src/octopy/mappings.py applied in train.py) — contract, then
+    iterate on the contracted problem."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    n = docs.count()  # single scalar, bounded driver read
+    edges = _modular_edges(docs, n)
+    und = (
+        edges.union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .repartition(par, "src")
+        .localCheckpoint(eager=True)
+    )
+    moved = (
+        graph_louvain_move_step(spark, sf)
+        .select("node", "new_label")
+        .localCheckpoint(eager=True)
+    )
+    la = moved.select(
+        F.col("node").alias("na"), F.col("new_label").alias("super_src")
+    )
+    lb = moved.select(
+        F.col("node").alias("nb"), F.col("new_label").alias("super_dst")
+    )
+    return (
+        und.join(la, und["src"] == la["na"])
+        .join(lb, und["dst"] == lb["nb"])
+        .groupBy("super_src", "super_dst")
+        .agg(F.count("*").cast("long").alias("weight"))
+        .withColumn(
+            "is_self_loop", F.col("super_src") == F.col("super_dst")
+        )
+    )

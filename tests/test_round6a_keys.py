@@ -115,3 +115,31 @@ def test_conductance_matches_sequential_cut(spark):
     assert got == want
     for _, _, cut, vol, phi in got:
         assert 0 <= cut <= vol and 0 <= phi <= 1_000_000
+
+
+def test_coarsen_matches_sequential_contraction(spark):
+    """Supergraph rows equal the sequential contraction of the moved
+    labels; sum(weight) = 2m and self-loop weights equal the
+    modularity key's in_pairs for the same partition."""
+    docs = [
+        r.doc_id for r in load_table(spark, SF, "documents").collect()
+    ]
+    und = _und_edges(docs)
+    moved = {
+        r.node: r.new_label
+        for r in T.QUERIES["graph_louvain_move_step"](
+            spark, SF
+        ).collect()
+    }
+    w = Counter((moved[a], moved[b]) for a, b in und)
+    want = {
+        (sa, sb, n, sa == sb) for (sa, sb), n in w.items()
+    }
+    got = {
+        tuple(r)
+        for r in T.QUERIES["graph_coarsen_communities"](
+            spark, SF
+        ).collect()
+    }
+    assert got == want
+    assert sum(n for _, _, n, _ in got) == len(und)
