@@ -10365,3 +10365,179 @@ def graph_coarsen_communities(spark, sf):
             "is_self_loop", F.col("super_src") == F.col("super_dst")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# sim_ann_ivf_pq — two-stage IVF + PQ-ADC retrieval (faiss IVFPQ shape)
+# --------------------------------------------------------------------------
+
+_IVFPQ_CELLS = 8    # coarse centroids: the vec_id 1..8 seed vectors
+_IVFPQ_PROBES = 2
+_IVFPQ_K = 5
+
+_IVFPQ_SQL = f"""
+    WITH v AS (
+      SELECT vec_id, i.i AS d,
+             CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS v_int
+      FROM embeddings, generate_series(1, 64) i(i)),
+    cvec AS (
+      SELECT vec_id AS ck, d, v_int AS c_int FROM v
+      WHERE vec_id BETWEEN 1 AND {_IVFPQ_CELLS}),
+    dots AS (
+      SELECT v.vec_id, c.ck,
+             CAST(sum(v.v_int * c.c_int) AS BIGINT) AS dot
+      FROM v JOIN cvec c USING (d) GROUP BY 1, 2),
+    cells AS (
+      SELECT vec_id,
+             min(struct_pack(nd := -dot, k := ck)).k AS cell
+      FROM dots GROUP BY vec_id),
+    probes AS (
+      SELECT vec_id AS query_id, ck AS cell FROM (
+        SELECT vec_id, ck,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, ck) AS rnk
+        FROM dots WHERE vec_id < {_PQ_NQ})
+      WHERE rnk <= {_IVFPQ_PROBES}),
+    c AS (
+      SELECT vec_id, d, v_int,
+             ntile({_PQ_BUCKETS}) OVER (PARTITION BY d
+                                        ORDER BY v_int, vec_id) AS code
+      FROM v),
+    cent AS (
+      SELECT d, code,
+             CAST(floor((min(v_int) + max(v_int)) / 2.0) AS BIGINT)
+               AS cent
+      FROM c GROUP BY 1, 2),
+    x AS (
+      SELECT c.vec_id, c.d, cent.cent
+      FROM c JOIN cent USING (d, code)),
+    q AS (
+      SELECT vec_id AS query_id, d, v_int AS qv
+      FROM c WHERE vec_id < {_PQ_NQ}),
+    cand AS (
+      SELECT p.query_id, ce.vec_id
+      FROM cells ce JOIN probes p ON ce.cell = p.cell
+      WHERE ce.vec_id <> p.query_id),
+    dist AS (
+      SELECT ca.query_id, ca.vec_id AS neighbor_id,
+             CAST(sum((q.qv - x.cent) * (q.qv - x.cent)) AS BIGINT)
+               AS adc_dist
+      FROM cand ca
+      JOIN x ON x.vec_id = ca.vec_id
+      JOIN q ON q.query_id = ca.query_id AND q.d = x.d
+      GROUP BY 1, 2),
+    r AS (
+      SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, neighbor_id) AS rnk
+      FROM dist)
+    SELECT query_id, neighbor_id, adc_dist, rnk
+    FROM r WHERE rnk <= {_IVFPQ_K}
+    """
+
+
+@register("sim_ann_ivf_pq", _IVFPQ_SQL)
+def sim_ann_ivf_pq(spark, sf):
+    """Two-stage IVF + PQ retrieval — the faiss IVFPQ architecture
+    (Jegou et al. 2011) assembled from this repo's two single-stage
+    keys: the COARSE stage assigns every vector to its nearest of 8
+    centroid seeds and probes each query's top-2 cells (sim_ann_ivf's
+    pruning, here in pure int64 dots over the 1e-6-quantized
+    components so the cell assignment is engine-exact, no float
+    argmax); the FINE stage scores only the probed candidates with
+    the PQ-ADC distance against the ntile-16 codebook (sim_ann_pq_adc
+    verbatim — same quantization, same codebook CTEs).  This is the
+    billion-scale serving shape: cells cut the scan ~cells/probes x,
+    codes cut bytes/vector 16x, and neither stage touches a float.
+
+    Scale shape: centroid table is (8 x 64) broadcast rows; cell
+    assignment is one partial-agg groupBy(vec, centroid) over the
+    dimension-joined rows + a min(struct) argmax (no window on the
+    big side); the probe list is (queries x 2) broadcast; candidate
+    selection is an equi-join on cell id; the ADC scan inherits
+    sim_ann_pq_adc's broadcast-codebook shape restricted to
+    candidates.  At 10^12 vectors the cells CTE is a stored index
+    column and only the probed fraction is ever read — partition
+    pruning by cell id.
+
+    Reference analog: octopy's two-stage segment-then-recognize
+    pipeline itself (reference src/octopy/cli/segment.py +
+    recognize.py) — a cheap coarse pass routes work, an expensive
+    fine pass runs only where routed; the architecture this whole
+    repo re-expresses, here applied to retrieval."""
+    emb = load_table(spark, sf, "embeddings")
+    v = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("d"),
+        F.floor(F.col("val").cast("double") * 1000000)
+        .cast("long")
+        .alias("v_int"),
+    )
+    cvec = v.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= _IVFPQ_CELLS)
+    ).select(
+        F.col("vec_id").alias("ck"), "d", F.col("v_int").alias("c_int")
+    )
+    dots = (
+        v.join(F.broadcast(cvec), "d")
+        .groupBy("vec_id", "ck")
+        .agg(
+            F.sum(F.col("v_int") * F.col("c_int"))
+            .cast("long")
+            .alias("dot")
+        )
+    )
+    cells = dots.groupBy("vec_id").agg(
+        F.min(
+            F.struct((-F.col("dot")).alias("nd"), F.col("ck").alias("k"))
+        )["k"].alias("cell")
+    )
+    wp = Window.partitionBy("vec_id").orderBy(
+        F.col("dot").desc(), F.col("ck")
+    )
+    probes = (
+        dots.filter(F.col("vec_id") < _PQ_NQ)
+        .withColumn("rnk", F.row_number().over(wp))
+        .filter(F.col("rnk") <= _IVFPQ_PROBES)
+        .select(F.col("vec_id").alias("query_id"), F.col("ck").alias("cell"))
+    )
+    wc = Window.partitionBy("d").orderBy("v_int", "vec_id")
+    c = v.select(
+        "vec_id", "d", "v_int",
+        F.ntile(_PQ_BUCKETS).over(wc).alias("code"),
+    )
+    cent = c.groupBy("d", "code").agg(
+        F.floor((F.min("v_int") + F.max("v_int")) / 2.0)
+        .cast("long")
+        .alias("cent")
+    )
+    x = c.join(F.broadcast(cent), ["d", "code"]).select(
+        "vec_id", "d", "cent"
+    )
+    q = c.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), "d", F.col("v_int").alias("qv")
+    )
+    cand = cells.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select("query_id", "vec_id")
+    diff = F.col("qv") - F.col("cent")
+    dist = (
+        cand.join(x, "vec_id")
+        .join(
+            F.broadcast(q),
+            ["query_id", "d"],
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum(diff * diff).cast("long").alias("adc_dist"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        "adc_dist", "neighbor_id"
+    )
+    return (
+        dist.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= _IVFPQ_K)
+        .select("query_id", "neighbor_id", "adc_dist", "rnk")
+    )

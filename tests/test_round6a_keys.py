@@ -143,3 +143,81 @@ def test_coarsen_matches_sequential_contraction(spark):
     }
     assert got == want
     assert sum(n for _, _, n, _ in got) == len(und)
+
+
+def test_ivf_pq_matches_sequential_two_stage(spark):
+    """IVF-PQ top-5 equals a sequential recompute: int-dot cell
+    assignment, top-2 probes, ntile codebook ADC within candidates;
+    and every returned neighbor lives in one of its query's probed
+    cells (the pruning law)."""
+    import math
+
+    emb = {
+        r.vec_id: [
+            int(math.floor(float(x) * 1_000_000)) for x in r.embedding
+        ]
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+    cents = {k: emb[k] for k in range(1, 9)}
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    cell = {
+        vid: min(
+            ((-dot(v, c), k) for k, c in cents.items())
+        )[1]
+        for vid, v in emb.items()
+    }
+    probes = {
+        qid: [
+            k
+            for _, k in sorted(
+                (-dot(emb[qid], c), k) for k, c in cents.items()
+            )[:2]
+        ]
+        for qid in range(8)
+    }
+    # ntile-16 codebook per dimension (ties by vec_id — replicate)
+    cent_lut = {}
+    code_of = {}
+    n = len(emb)
+    for d in range(64):
+        order = sorted((emb[vid][d], vid) for vid in emb)
+        base, extra = divmod(n, 16)
+        i = 0
+        for code in range(1, 17):
+            size = base + (1 if code <= extra else 0)
+            chunk = order[i : i + size]
+            lo, hi = chunk[0][0], chunk[-1][0]
+            cent_lut[(d, code)] = int(math.floor((lo + hi) / 2.0))
+            for _, vid in chunk:
+                code_of[(vid, d)] = code
+            i += size
+    want = set()
+    for qid in range(8):
+        cand = [
+            vid
+            for vid in emb
+            if vid != qid and cell[vid] in probes[qid]
+        ]
+        scored = sorted(
+            (
+                sum(
+                    (emb[qid][d] - cent_lut[(d, code_of[(vid, d)])])
+                    ** 2
+                    for d in range(64)
+                ),
+                vid,
+            )
+            for vid in cand
+        )[:5]
+        for rnk, (dist, vid) in enumerate(scored, 1):
+            want.add((qid, vid, dist, rnk))
+    got = {
+        tuple(r)
+        for r in T.QUERIES["sim_ann_ivf_pq"](spark, SF).collect()
+    }
+    assert got == want
+    for qid, vid, _, _ in got:
+        assert cell[vid] in probes[qid]
