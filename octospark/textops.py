@@ -10541,3 +10541,171 @@ def sim_ann_ivf_pq(spark, sf):
         .filter(F.col("rnk") <= _IVFPQ_K)
         .select("query_id", "neighbor_id", "adc_dist", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# cluster_kmeans_iterate — 3 exact unrolled k-means rounds + convergence
+# --------------------------------------------------------------------------
+
+_KMI_ROUNDS = 3
+
+
+def _kmi_sql() -> str:
+    """Unrolled 3-round k-means oracle (see cluster_kmeans_iterate):
+    integer-floored centroid handoff keeps every round's distances
+    pure int64; empty clusters keep their previous centroid."""
+    ctes = [
+        _QUANT_CTE_SQL,
+        """ex AS (
+      SELECT vec_id, unnest(q) AS code,
+             unnest(range(0, len(q))) AS dim
+      FROM qn)""",
+        (f"cent1 AS (SELECT vec_id AS cluster, dim, code AS cent "
+         f"FROM ex WHERE vec_id < {_KMEANS_K})"),
+    ]
+    for r in range(1, _KMI_ROUNDS + 1):
+        ctes.append(f"""dist{r} AS (
+      SELECT e.vec_id, c.cluster,
+             CAST(sum((e.code - c.cent) * (e.code - c.cent))
+                  AS BIGINT) AS dist
+      FROM ex e JOIN cent{r} c ON c.dim = e.dim
+      GROUP BY e.vec_id, c.cluster)""")
+        ctes.append(f"""asg{r} AS (
+      SELECT vec_id,
+             CAST(min(dist * {_KMEANS_K} + cluster) % {_KMEANS_K}
+               AS BIGINT) AS cluster
+      FROM dist{r} GROUP BY vec_id)""")
+        if r < _KMI_ROUNDS:
+            ctes.append(f"""sums{r} AS (
+      SELECT a.cluster, e.dim,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(e.code) AS BIGINT) AS s
+      FROM ex e JOIN asg{r} a USING (vec_id)
+      GROUP BY a.cluster, e.dim)""")
+            ctes.append(f"""cent{r + 1} AS (
+      SELECT c.cluster, c.dim,
+             COALESCE(s.s // s.n, c.cent) AS cent
+      FROM cent{r} c
+      LEFT JOIN sums{r} s
+        ON s.cluster = c.cluster AND s.dim = c.dim)""")
+    last, prev = _KMI_ROUNDS, _KMI_ROUNDS - 1
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+    SELECT a.cluster,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(d.dist) AS BIGINT) AS inertia,
+           CAST(sum(CASE WHEN a.cluster <> p.cluster
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+    FROM asg{last} a
+    JOIN dist{last} d
+      ON d.vec_id = a.vec_id AND d.cluster = a.cluster
+    JOIN asg{prev} p ON p.vec_id = a.vec_id
+    GROUP BY a.cluster"""
+    )
+
+
+@register("cluster_kmeans_iterate", _kmi_sql())
+def cluster_kmeans_iterate(spark, sf):
+    """THREE exact k-means rounds with convergence accounting — the
+    iterate that cluster_kmeans_step is the unit of (the
+    Louvain-move/coarsen completion discipline applied to
+    clustering): assign → integer-FLOORED centroid update
+    (cent = code_sum div n, so the next round's L2 distances stay
+    pure int64 — the float centroid a production k-means carries is
+    exactly what an oracle cannot replay) → reassign, three times;
+    per cluster the final membership, the final integer inertia
+    (the quantity k-means descends), and n_changed vs the previous
+    round — the convergence signal a driver loop would test against
+    zero.  Empty clusters keep their previous centroid (never-drop,
+    deterministic in both engines via the left-join COALESCE).  Note
+    the centroid handoff divides with Spark ``div`` / DuckDB ``//``,
+    which BOTH truncate toward zero on the negative code sums int8
+    embeddings produce (Python's // floors — the sequential law test
+    mirrors truncation explicitly).
+
+    Scale shape per round: the (K x dim) centroid table joins
+    BROADCAST onto the (vec, dim, code) rows, one partial-agg
+    groupBy(vec, cluster) for distances, the min-encoded argmin (no
+    window), and one partial-agg (cluster, dim) rollup for the
+    update — identical to cluster_kmeans_step's shape, looped with
+    localCheckpoint lineage truncation (the graph-family recipe), so
+    the plan never grows with rounds.
+
+    Reference analog: octopy's train loop = epoch-wise refit over the
+    full dataset with an improvement signal gating continuation
+    (reference src/octopy/train.py:64-77) — this is that loop for
+    clustering, with n_changed as the improvement signal."""
+    q = _quantized(spark, sf).select("vec_id", "q")
+    ex = q.select(
+        "vec_id", F.posexplode("q").alias("dim", "code")
+    ).localCheckpoint(eager=True)
+    cents = ex.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cluster"), "dim",
+        F.col("code").alias("cent"),
+    )
+    assign = prev_assign = None
+    dists = None
+    for r in range(1, _KMI_ROUNDS + 1):
+        dists = (
+            ex.join(F.broadcast(cents), "dim")
+            .groupBy("vec_id", "cluster")
+            .agg(
+                F.sum(
+                    (F.col("code") - F.col("cent"))
+                    * (F.col("code") - F.col("cent"))
+                )
+                .cast("long")
+                .alias("dist")
+            )
+        ).localCheckpoint(eager=True)
+        prev_assign = assign
+        assign = dists.groupBy("vec_id").agg(
+            (
+                F.min(
+                    F.col("dist") * _KMEANS_K + F.col("cluster")
+                )
+                % _KMEANS_K
+            )
+            .cast("long")
+            .alias("cluster")
+        ).localCheckpoint(eager=True)
+        if r < _KMI_ROUNDS:
+            sums = (
+                ex.join(assign.withColumnRenamed("cluster", "acl"),
+                        "vec_id")
+                .groupBy(F.col("acl").alias("cluster"), "dim")
+                .agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum("code").cast("long").alias("s"),
+                )
+            )
+            cents = (
+                cents.join(sums, ["cluster", "dim"], "left")
+                .select(
+                    "cluster",
+                    "dim",
+                    F.coalesce(
+                        F.expr("s div n"), F.col("cent")
+                    ).alias("cent"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    final_d = dists.join(
+        assign, ["vec_id", "cluster"]
+    )  # only the argmin row per vec survives
+    return (
+        final_d.join(
+            prev_assign.withColumnRenamed("cluster", "pcl"), "vec_id"
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("dist").cast("long").alias("inertia"),
+            F.sum(
+                F.when(F.col("cluster") != F.col("pcl"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_changed"),
+        )
+    )

@@ -221,3 +221,67 @@ def test_ivf_pq_matches_sequential_two_stage(spark):
     assert got == want
     for qid, vid, _, _ in got:
         assert cell[vid] in probes[qid]
+
+
+def test_kmeans_iterate_matches_sequential_rounds(spark):
+    """Per-cluster rollups equal a sequential 3-round recompute with
+    integer-floored centroids; total inertia never increases across
+    the replayed rounds (the k-means descent law on the
+    integer-centroid variant)."""
+    from octospark.textops import _KMEANS_K, _KMI_ROUNDS, _quantized
+
+    q = {
+        r.vec_id: list(r.q)
+        for r in _quantized(spark, SF).select("vec_id", "q").collect()
+    }
+    dim = len(next(iter(q.values())))
+    cents = {
+        (k, d): q[k][d] for k in range(_KMEANS_K) for d in range(dim)
+    }
+    assign, prev, dists, inertia_per_round = {}, {}, {}, []
+    for r in range(1, _KMI_ROUNDS + 1):
+        prev = assign
+        assign, dists = {}, {}
+        for vid, codes in q.items():
+            best = min(
+                (
+                    sum(
+                        (codes[d] - cents[(k, d)]) ** 2
+                        for d in range(dim)
+                    )
+                    * _KMEANS_K
+                    + k
+                )
+                for k in range(_KMEANS_K)
+            )
+            assign[vid] = best % _KMEANS_K
+            dists[vid] = best // _KMEANS_K
+        inertia_per_round.append(sum(dists.values()))
+        if r < _KMI_ROUNDS:
+            sums = defaultdict(lambda: [0, 0])
+            for vid, codes in q.items():
+                for d in range(dim):
+                    cell = sums[(assign[vid], d)]
+                    cell[0] += 1
+                    cell[1] += codes[d]
+            for (k, d), (n, s) in sums.items():
+                # both engines' integer div TRUNCATES toward zero on
+                # negative code sums (Spark `div`, DuckDB `//`);
+                # Python // floors, so mirror truncation explicitly
+                cents[(k, d)] = abs(s) // n * (1 if s >= 0 else -1)
+    want = defaultdict(lambda: [0, 0, 0])
+    for vid in q:
+        cell = want[assign[vid]]
+        cell[0] += 1
+        cell[1] += dists[vid]
+        cell[2] += 1 if assign[vid] != prev[vid] else 0
+    want_set = {
+        (k, n, i, c) for k, (n, i, c) in want.items()
+    }
+    got = {
+        tuple(r)
+        for r in T.QUERIES["cluster_kmeans_iterate"](
+            spark, SF
+        ).collect()
+    }
+    assert got == want_set
