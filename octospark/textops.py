@@ -10709,3 +10709,118 @@ def cluster_kmeans_iterate(spark, sf):
             .alias("n_changed"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# text_bm25_saturation — exact-rational BM25 term scoring statistics
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = 5  # query terms: the corpus's top-5 words
+
+
+@register(
+    "text_bm25_saturation",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+      FROM w GROUP BY doc_id),
+    n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS s
+      FROM dl),
+    cf AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS cf
+      FROM w GROUP BY word),
+    terms AS (
+      SELECT word FROM cf
+      ORDER BY cf DESC, word LIMIT {_BM25_TERMS}),
+    tf AS (
+      SELECT w.doc_id, w.word AS term,
+             CAST(count(*) AS BIGINT) AS tf
+      FROM w JOIN terms t ON w.word = t.word
+      GROUP BY 1, 2),
+    df AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df
+      FROM tf GROUP BY term)
+    SELECT tf.term, tf.doc_id, tf.tf, d.dl, df.df, n.n_docs,
+           (1000000 * 22 * tf.tf * n.s)
+             // (10 * tf.tf * n.s + 3 * n.s + 9 * d.dl * n.n_docs)
+             AS sat_ppm
+    FROM tf
+    JOIN dl d USING (doc_id)
+    JOIN df USING (term)
+    CROSS JOIN n
+    """,
+)
+def text_bm25_saturation(spark, sf):
+    """BM25 term-saturation scoring (Robertson-Sparck Jones / Okapi,
+    public; k1 = 1.2, b = 0.75) — the LEXICAL ranking half of hybrid
+    retrieval (sim_reciprocal_rank_fusion fuses rankings like this
+    one with the vector side): for the corpus's top-5 terms, every
+    matching doc's saturated, length-normalized term weight.  The
+    classic form tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) is a pure
+    rational in integers once avgdl = S/N is substituted — cleared of
+    denominators it is EXACTLY (22*tf*S) / (10*tf*S + 3*S + 9*dl*N),
+    emitted as floored-integer ppm: no ln, no float division, no
+    fold-order hazard anywhere.  The idf factor needs a logarithm —
+    deliberately NOT computed here (libm ln is not correctly-rounded
+    and differs across engines in the last ulp): df and n_docs ride
+    along so the consumer applies ln((N-df+0.5)/(df+0.5)) client-side
+    — the decimal-sum-then-one-cast discipline applied to retrieval.
+
+    Scale shape: one explode feeds THREE partial-agg rollups (doc
+    length, corpus term census, per-(term, doc) tf); the query-term
+    list is a 5-row TakeOrdered broadcast, df a per-term rollup of
+    the tf table, and (N, S) a one-row broadcast — the posting-list
+    build is the single word-keyed shuffle.  int64 holds while
+    22e6*tf*S < 2^63 (corpora to ~10^10 words at tf<=10^3); past
+    that, decimal(38,0) — documented swap.
+
+    Reference analog: octopy's recognizer weights character
+    hypotheses by a saturating confidence rather than raw counts
+    (reference src/octopy/cli/recognize.py scoring) — diminishing
+    returns on repeated evidence."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    w = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    dl = w.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    n = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("s"),
+    )
+    terms = (
+        w.groupBy("word")
+        .agg(F.count("*").alias("cf"))
+        .orderBy(F.col("cf").desc(), F.col("word"))
+        .limit(_BM25_TERMS)
+        .select("word")
+    )
+    tf = (
+        w.join(F.broadcast(terms), "word")
+        .groupBy("doc_id", F.col("word").alias("term"))
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            "dl",
+            "df",
+            "n_docs",
+            F.expr(
+                "(1000000 * 22 * tf * s)"
+                " div (10 * tf * s + 3 * s + 9 * dl * n_docs)"
+            ).alias("sat_ppm"),
+        )
+    )

@@ -285,3 +285,40 @@ def test_kmeans_iterate_matches_sequential_rounds(spark):
         ).collect()
     }
     assert got == want_set
+
+
+def test_bm25_saturation_matches_sequential_rational(spark):
+    """Rows equal a sequential recompute of the cleared-denominator
+    BM25 saturation; sat is monotone in tf for fixed dl (the
+    diminishing-returns law) and bounded by (k1+1) = 2.2e6 ppm."""
+    docs = {
+        r.doc_id: (r.text or "").split(" ")
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    dl = {d: len(ws) for d, ws in docs.items()}
+    n_docs, s = len(docs), sum(dl.values())
+    cf = Counter(w for ws in docs.values() for w in ws)
+    terms = [
+        w for w, _ in sorted(cf.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:5]
+    want = set()
+    per_term_docs = defaultdict(dict)
+    for d, ws in docs.items():
+        c = Counter(ws)
+        for t in terms:
+            if c[t]:
+                per_term_docs[t][d] = c[t]
+    for t, hits in per_term_docs.items():
+        df = len(hits)
+        for d, tf in hits.items():
+            sat = (1_000_000 * 22 * tf * s) // (
+                10 * tf * s + 3 * s + 9 * dl[d] * n_docs
+            )
+            want.add((t, d, tf, dl[d], df, n_docs, sat))
+    got = {
+        tuple(r)
+        for r in T.QUERIES["text_bm25_saturation"](spark, SF).collect()
+    }
+    assert got == want
+    for *_rest, sat in got:
+        assert 0 < sat <= 2_200_000
