@@ -9715,7 +9715,12 @@ def table_clustering_depth(spark, sf):
     Reference analog: octopy's inspect warns when container members
     interleave classes badly enough to hurt batch locality (reference
     src/octopy/cli/inspect.py) — layout-quality QA from metadata."""
-    stats = scan_parquet_rowgroup_stats(spark, sf)
+    # checkpoint the footer pass: it feeds both self-join branches,
+    # and without truncation the binaryFile read + pyarrow parse
+    # (the one Python stage) would execute twice
+    stats = scan_parquet_rowgroup_stats(spark, sf).localCheckpoint(
+        eager=True
+    )
     a = stats.select(
         "layout",
         F.col("row_group_id"),
@@ -10097,6 +10102,14 @@ def graph_louvain_move_step(spark, sf):
     when it improves the validation metric (reference
     src/octopy/mappings.py merge gating) — greedy accept-if-better
     over a labeled partition."""
+    return _louvain_parts(spark, sf)[1]
+
+
+def _louvain_parts(spark, sf):
+    """(und, moves) — the checkpointed symmetric edge list and the
+    Louvain move-sweep result, shared by graph_louvain_move_step and
+    graph_coarsen_communities so the composing key never rebuilds the
+    edge pipeline a second time."""
     par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf, "documents").select("doc_id")
     n = docs.count()  # single scalar, bounded driver read
@@ -10182,7 +10195,7 @@ def graph_louvain_move_step(spark, sf):
             ).alias("pick")
         )
     )
-    return base.join(best, "node", "left").select(
+    moves = base.join(best, "node", "left").select(
         "node",
         "old_label",
         F.coalesce(F.col("pick.c"), F.col("old_label")).alias(
@@ -10192,6 +10205,7 @@ def graph_louvain_move_step(spark, sf):
         .cast("long")
         .alias("gain_units"),
     )
+    return und, moves
 
 
 # --------------------------------------------------------------------------
@@ -10244,7 +10258,10 @@ def graph_conductance(spark, sf):
     scatter across containers (poor locality) vs classes that cluster
     (reference src/octopy/cli/inspect.py) — boundary-mass QA per
     label."""
-    m = graph_modularity_score(spark, sf)
+    # checkpoint the composed rollup: it feeds BOTH the row set and
+    # the 2m aggregate below, and without truncation each reference
+    # would re-run the whole modularity DAG (edge build + label joins)
+    m = graph_modularity_score(spark, sf).localCheckpoint(eager=True)
     mm = m.agg(
         F.sum("degree_sum").cast("long").alias("m2")
     )  # sum of community volumes = |und| = 2m, no second edge scan
@@ -10318,9 +10335,12 @@ def graph_coarsen_communities(spark, sf):
     contracts the same moved labels — drift anywhere in
     LPA -> gains -> moves -> contraction fails the hash compare.
     Weights are edge COUNTS over the ordered symmetric list (the
-    modularity unit convention), so sum(weight) = 2m exactly and
-    the self-loop weights equal the in_pairs the modularity key
-    reports for the same partition (law pinned in tests).
+    modularity unit convention), so sum(weight) = 2m exactly (law
+    pinned in tests); each self-loop weight is the MOVED partition's
+    intra-community pair count — the same quantity
+    graph_modularity_score calls in_pairs, but over the post-move
+    labels, so the two keys' numbers coincide only on graphs where
+    the sweep moves nothing.
 
     Scale shape: two node-keyed joins of the (tiny) label map onto
     the edge list + ONE partial-agg groupBy on the supernode pair —
@@ -10331,24 +10351,12 @@ def graph_coarsen_communities(spark, sf):
     with merged class labels before the next epoch (reference
     src/octopy/mappings.py applied in train.py) — contract, then
     iterate on the contracted problem."""
-    par = spark.sparkContext.defaultParallelism
-    docs = load_table(spark, sf, "documents").select("doc_id")
-    n = docs.count()  # single scalar, bounded driver read
-    edges = _modular_edges(docs, n)
-    und = (
-        edges.union(
-            edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
-        )
-        .distinct()
-        .repartition(par, "src")
-        .localCheckpoint(eager=True)
-    )
+    # _louvain_parts hands back BOTH the move result and the already-
+    # checkpointed symmetric edge list it was computed over, so the
+    # contraction never rebuilds the edge pipeline a second time
+    und, moves = _louvain_parts(spark, sf)
     moved = (
-        graph_louvain_move_step(spark, sf)
-        .select("node", "new_label")
-        .localCheckpoint(eager=True)
+        moves.select("node", "new_label").localCheckpoint(eager=True)
     )
     la = moved.select(
         F.col("node").alias("na"), F.col("new_label").alias("super_src")

@@ -267,6 +267,12 @@ def _id_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for blob in pdf["content"]:
             records, _errors = parse_warc_file(bytes(blob))
             for r in records:
+                # response records only, like _parse_batches: a mixed
+                # archive (warcinfo/request/metadata members) must not
+                # desync this surface from the one-response-per-url
+                # oracle
+                if r["rec_type"] != "response":
+                    continue
                 cols["url"].append(r["url"])
                 cols["record_id"].append(r["record_id"])
                 cols["rec_type"].append(r["rec_type"])

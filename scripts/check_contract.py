@@ -230,6 +230,15 @@ def main() -> int:
                     f"{name}: value_sha {old['value_sha']} -> "
                     f"{res['value_sha']}"
                 )
+        # deleted/renamed keys are drift too — but only when the whole
+        # surface ran (a subset run legitimately omits artifact keys)
+        if not only:
+            for name in prev:
+                if name not in results:
+                    drift.append(
+                        f"{name}: DELETED (in committed artifact, "
+                        f"not in registry)"
+                    )
         if drift:
             print("DRIFT vs committed CONTRACT_SELFCHECK.json:")
             for d in drift:
@@ -239,6 +248,8 @@ def main() -> int:
                 f"no drift vs committed artifact "
                 f"({len(results)} keys compared)"
             )
+        if as_json:
+            print(json.dumps(artifact, sort_keys=True))
         return 1 if (n_fail or drift) else 0
     if not only:
         with open(art, "w") as f:
